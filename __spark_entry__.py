@@ -1,38 +1,202 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG triple-extraction chain on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2) as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` carries the
+independent DuckDB restatement of each operator's semantics (kgspark.oracles).
+Column names and integer/double types are aligned pairwise — the driver's
+compare sorts columns by name and hashes values.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from kgspark import chunking, extraction, linking, oracles, textops, vecops  # noqa: E402
+from kgspark import ids as kgids  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full deterministic triple-extraction chain at sf0.001."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return extraction.triples(docs)
+
+
+# --------------------------------------------------------------- queries
+
+def _q_kg_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.length(F.trim("text")) > 0).select(
+        kgids.doc_id(F.trim("text")).alias("kg_doc_id"),
+        F.sha2(F.trim("text"), 256).alias("text_sha256"),
+        F.col("doc_id").alias("src_key"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extraction.mentions(_t(spark, sf_dir, "documents"))
+    return m.withColumn("pos", F.col("pos").cast("long"))
+
+
+def _q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = extraction.entities(_t(spark, sf_dir, "documents"))
+    return e.withColumn("first_pos", F.col("first_pos").cast("long"))
+
+
+def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = extraction.relations(_t(spark, sf_dir, "documents"))
+    return r.drop("relationship_keywords").withColumn(
+        "first_pos", F.col("first_pos").cast("long")
+    )
+
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction.triples(_t(spark, sf_dir, "documents"))
+
+
+def _q_kg_entity_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = extraction.entities(_t(spark, sf_dir, "documents"))
+    return (
+        e.groupBy(F.lower("entity_type").alias("entity_type"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
+def _q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = extraction.entities(_t(spark, sf_dir, "documents"))
+    out = linking.link_entities(e, linking.alias_dictionary(spark))
+    return out.select(
+        "entity_id", "entity_name", "entity_type", "doc_id",
+        "canonical_name", "canonical_id", "linked",
+    )
+
+
+def _q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.token_window_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.coalesce("lang", F.lit("ALL")).alias("lang"), "n_docs")
+    )
+
+
+def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("row_num"))
+        .filter((F.col("row_num") >= 51) & (F.col("row_num") <= 100))
+        .withColumn("row_num", F.col("row_num").cast("long"))
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = vecops.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — no SQL oracle (recall<1 by design): rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = vecops.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_doc_ids": _q_kg_doc_ids,
+        "kg_mentions": _q_kg_mentions,
+        "kg_entities": _q_kg_entities,
+        "kg_relations": _q_kg_relations,
+        "kg_triples": _q_kg_triples,
+        "kg_entity_type_counts": _q_kg_entity_type_counts,
+        "kg_entity_links": _q_kg_entity_links,
+        "kg_chunks": _q_kg_chunks,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_language_id": _q_text_language_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_simhash": _q_text_simhash,
+        "lang_rollup_counts": _q_lang_rollup_counts,
+        "docs_paginated": _q_docs_paginated,
+        "events_hourly": _q_events_hourly,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles.build()

@@ -1,0 +1,192 @@
+"""Deterministic synthetic web_pages generator (FIXTURES.md §1).
+
+Generates the authoritative input shape
+``web_pages(url string, warc_ts timestamp, html binary, text string, lang string)``
+fully seeded — html is rendered from small templates and ``text`` is the
+golden extraction output under the :mod:`kgspark.html_extract` contract, so
+the byte-identity digest check is exact by construction.
+
+Sentences embed typed entity mentions from a closed vocabulary
+("{SUBJ} {predicate phrase} {OBJ}.") so triple extraction is checkable.
+The corpus deliberately includes:
+  * duplicate-content pages (same text, different url)      — doc-dedup (A4/J1)
+  * empty / whitespace-only pages                           — drop filter (P4)
+  * alias surface forms of the same real-world entity       — linking/canon
+  * a skewed hot domain + a head entity with many mentions  — skew/salting
+  * relations referencing entities never defined in-doc     — drop-unknown (J2)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import html as html_mod
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# (name, type) — closed typed vocabulary for the web fixture, including
+# Symptom/Disease so the reference's symptom→disease BFS stays exercisable
+# verbatim (routes/graph.rs:389-395).
+WEB_ENTITIES: list[tuple[str, str]] = [
+    ("Ada Lovelace", "Person"),
+    ("Alan Turing", "Person"),
+    ("Acme Corp", "Organization"),
+    ("Globex", "Organization"),
+    ("IBM", "Organization"),
+    ("International Business Machines", "Organization"),  # alias of IBM
+    ("I.B.M.", "Organization"),                            # alias of IBM
+    ("London", "Place"),
+    ("Paris", "Place"),
+    ("Analytical Engine", "Product"),
+    ("Enigma Machine", "Product"),
+    ("World Fair", "Event"),
+    ("On Computable Numbers", "Work"),
+    ("Fatigue", "Symptom"),
+    ("Fever", "Symptom"),
+    ("Headache", "Symptom"),
+    ("Influenza", "Disease"),
+    ("Anemia", "Disease"),
+]
+
+# Predicate phrases; the extractor normalizes them by joining with '_'.
+PREDICATES = [
+    "works at",
+    "founded",
+    "lives in",
+    "visited",
+    "created",
+    "wrote",
+    "indicates",
+    "is treated in",
+    "collaborated with",
+]
+
+# Entities referenced in relations but never defined in any sentence's
+# subject position with a type marker — exercises drop-unknown (J2).
+UNDEFINED_ENTITIES = ["Phantom Widget", "Ghost Org"]
+
+SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+_BASE_TS = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _rng(seed: int, *parts) -> random.Random:
+    key = ":".join(str(p) for p in parts)
+    h = hashlib.sha256(f"{seed}:{key}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _sentence(r: random.Random) -> str:
+    subj, _ = r.choice(WEB_ENTITIES)
+    pred = r.choice(PREDICATES)
+    obj, _ = r.choice(WEB_ENTITIES)
+    return f"{subj} {pred} {obj}."
+
+
+def _unknown_sentence(r: random.Random) -> str:
+    subj = r.choice(UNDEFINED_ENTITIES)
+    pred = r.choice(PREDICATES)
+    obj, _ = r.choice(WEB_ENTITIES)
+    return f"{subj} {pred} {obj}."
+
+
+def _render_doc(seed: int, i: int, n_docs: int) -> tuple[str, dt.datetime, bytes, str, str]:
+    r = _rng(seed, "doc", i)
+    # skewed hot domain: ~20% of pages on one site (skew-test surface)
+    site = "hot" if r.random() < 0.2 else f"site{r.randrange(8)}"
+    url = f"https://example-{site}.test/section{r.randrange(4)}/{i}"
+    ts = _BASE_TS + dt.timedelta(minutes=i)
+    lang = r.choices(["en", "de", "fr"], weights=[8, 1, 1])[0]
+
+    kind = i % 20
+    if kind == 17:
+        # empty page
+        return url, ts, b"<html><body></body></html>", "", lang
+    if kind == 18:
+        # whitespace-only page
+        return url, ts, "<html><body><p>   \n\t </p></body></html>".encode(), "", lang
+    if kind == 19 and i >= 20:
+        # exact duplicate of an earlier page's content, different url
+        _, _, html_b, text, _ = _render_doc(seed, i - 19, n_docs)
+        return url, ts, html_b, text, lang
+
+    n_sent = 2 + r.randrange(4)
+    sents = [_sentence(r) for _ in range(n_sent)]
+    if kind == 16:
+        sents.append(_unknown_sentence(r))
+    title = f"Page {i} of example-{site}"
+    paras = [" ".join(sents[j::2]) for j in range(2) if sents[j::2]]
+
+    # golden text under the extraction contract: title + blocks joined by \n
+    blocks = [title] + [p for p in paras if p.strip()]
+    text = "\n".join(blocks)
+
+    esc = html_mod.escape
+    body_parts = [
+        "<nav>home | about | ignored boilerplate</nav>",
+        f"<h1>{esc(title)}</h1>",
+    ]
+    for p in paras:
+        body_parts.append(f"<p>{esc(p)}</p>")
+    body_parts.append("<footer>© example.test — ignored</footer>")
+    body_parts.append("<script>var x = 'ignored';</script>")
+    # a few malformed-tag cases (unclosed <b>) — html.parser recovers
+    if kind == 15:
+        body_parts.insert(2, "<p><b>bold run-on</p>")
+        blocks.insert(1, "bold run-on")
+        text = "\n".join(blocks)
+    html_doc = (
+        "<html><head><title></title></head><body>"
+        + "".join(body_parts)
+        + "</body></html>"
+    )
+    return url, ts, html_doc.encode("utf-8"), text, lang
+
+
+def web_pages_rows(n_docs: int, seed: int = 42):
+    """Generate rows driver-side (fine up to ~100k docs; bench uses Spark gen)."""
+    return [_render_doc(seed, i, n_docs) for i in range(n_docs)]
+
+
+def web_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    """Small-scale driver-side generation (tests, correctness fixtures)."""
+    return spark.createDataFrame(web_pages_rows(n_docs, seed), SCHEMA)
+
+
+def web_pages_distributed(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 32
+) -> DataFrame:
+    """Executor-side generation for bench scale — no driver materialization.
+
+    ``spark.range`` partitions the id space; each executor renders its ids
+    with the same seeded generator (mapInPandas, Arrow-batched).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_render_doc(seed, int(i), n_docs) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=SCHEMA)
+    )

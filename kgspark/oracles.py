@@ -1,0 +1,340 @@
+"""DuckDB oracle SQL — independent ANSI-SQL restatement of every operator.
+
+Each string here re-derives an operator's semantics from the raw parquet
+views (documents / embeddings / events ...) using only DuckDB SQL, with NO
+shared code with the Spark implementations — the Spark side uses Catalyst
+higher-order functions / pandas UDFs, the oracle uses unnest + windows.
+Column names and integer/double types are aligned exactly (the driver's
+compare hashes values after sorting columns by name).
+
+Engine-portable hash primitives shared by both sides:
+  * sha256 hex        — Spark ``sha2(x,256)``  = DuckDB ``sha256(x)``
+  * 60-bit int hash   — Spark ``conv(substr(md5(x),1,15),16,10)::long``
+                      = DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``
+"""
+
+from __future__ import annotations
+
+from . import spec
+from .textops import EN_STOPWORDS, LSH_BAND_ROWS, MINHASH_K
+
+# ---------------------------------------------------------------- fragments
+
+# Tokenized documents with content-addressed doc identity.
+TOK = """
+tok AS (
+  SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+         trim(text) AS ttext,
+         length(text) AS raw_chars,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+""".strip()
+
+# Vocabulary-matched mentions (zipped unnest gives 0-based positions).
+_M = """
+m AS (
+  SELECT kg_doc_id, toks,
+         unnest(toks) AS surface,
+         unnest(range(len(toks))) AS pos
+  FROM tok
+),
+mv AS (
+  SELECT m.kg_doc_id, m.toks, m.pos, m.surface, vocab.name, vocab.entity_type
+  FROM m JOIN {vocab} ON m.surface = vocab.surface
+)
+""".strip().format(vocab=spec.vocab_values_sql())
+
+# Relation pairs: adjacent mentions, gap <= MAX_GAP, differing names.
+_REL = f"""
+pr AS (
+  SELECT kg_doc_id, toks, pos, name, entity_type,
+         lead(pos)  OVER w AS next_pos,
+         lead(name) OVER w AS obj,
+         lead(entity_type) OVER w AS obj_type
+  FROM mv
+  WINDOW w AS (PARTITION BY kg_doc_id ORDER BY pos)
+),
+rel AS (
+  SELECT kg_doc_id, pos, name AS subj, entity_type AS subj_type,
+         CASE WHEN next_pos - pos = 1 THEN '{spec.NEAR_PREDICATE}'
+              ELSE array_to_string(toks[pos + 2 : next_pos], '_') END AS predicate,
+         obj, obj_type
+  FROM pr
+  WHERE next_pos IS NOT NULL
+    AND next_pos - pos <= {spec.MAX_GAP}
+    AND name <> obj
+),
+rel2 AS (
+  SELECT kg_doc_id,
+         'entity-' || sha256(kg_doc_id || ':' || subj || ':' || subj_type) AS source_entity_id,
+         'entity-' || sha256(kg_doc_id || ':' || obj  || ':' || obj_type)  AS target_entity_id,
+         subj, predicate, obj,
+         subj || ' ' || predicate || ' ' || obj AS relationship_description,
+         pos
+  FROM rel
+)
+""".strip()
+
+_ENTITIES = """
+ent AS (
+  SELECT 'entity-' || sha256(kg_doc_id || ':' || name || ':' || entity_type) AS entity_id,
+         name AS entity_name,
+         entity_type,
+         name || ' is a ' || entity_type AS entity_description,
+         kg_doc_id AS doc_id,
+         min(pos) AS first_pos,
+         count(*) AS n_mentions
+  FROM mv
+  GROUP BY kg_doc_id, name, entity_type
+)
+""".strip()
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_SHINGLES = """
+sh AS (
+  SELECT kg_doc_id,
+         list_distinct(list_transform(range(len(toks) - 2),
+             i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+  FROM tok
+  WHERE len(toks) >= 3
+)
+""".strip()
+
+
+def _sig_sql() -> str:
+    mins = ",\n         ".join(
+        "list_aggregate(list_transform(shingles, s -> "
+        + _H60.format(x=f"'{j}:' || s")
+        + f"), 'min') AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    return f"sig AS (\n  SELECT kg_doc_id,\n         {mins}\n  FROM sh\n)"
+
+
+def _bands_sql() -> str:
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    parts = []
+    for b in range(n_bands):
+        cols = " || ':' || ".join(
+            f"CAST(mh{b * LSH_BAND_ROWS + r} AS VARCHAR)" for r in range(LSH_BAND_ROWS)
+        )
+        parts.append(
+            f"SELECT kg_doc_id, {b} AS band, sha256({cols}) AS band_hash FROM sig"
+        )
+    return "bands AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def build() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    q["kg_doc_ids"] = """
+SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+       sha256(trim(text)) AS text_sha256,
+       doc_id AS src_key,
+       lang,
+       length(text) AS n_chars
+FROM documents
+WHERE length(trim(text)) > 0
+""".strip()
+
+    q["kg_mentions"] = f"""
+WITH {TOK},
+{_M}
+SELECT kg_doc_id, pos, surface, name, entity_type FROM mv
+""".strip()
+
+    q["kg_entities"] = f"""
+WITH {TOK},
+{_M},
+{_ENTITIES}
+SELECT entity_id, entity_name, entity_type, entity_description, doc_id,
+       first_pos, n_mentions
+FROM ent
+""".strip()
+
+    q["kg_relations"] = f"""
+WITH {TOK},
+{_M},
+{_REL}
+SELECT 'relation-' || sha256(kg_doc_id || ':' || source_entity_id || ':' ||
+                             target_entity_id || ':' || relationship_description) AS relation_id,
+       kg_doc_id AS doc_id,
+       source_entity_id, target_entity_id,
+       subj, predicate, obj, relationship_description,
+       min(pos) AS first_pos,
+       count(*) AS n_statements
+FROM rel2
+GROUP BY kg_doc_id, source_entity_id, target_entity_id,
+         subj, predicate, obj, relationship_description
+""".strip()
+
+    q["kg_triples"] = f"""
+WITH {TOK},
+{_M},
+{_REL}
+SELECT DISTINCT subj, predicate AS pred, obj, kg_doc_id AS doc_id FROM rel2
+""".strip()
+
+    q["kg_entity_type_counts"] = f"""
+WITH {TOK},
+{_M},
+{_ENTITIES}
+SELECT lower(entity_type) AS entity_type, count(*) AS n_entities
+FROM ent GROUP BY lower(entity_type)
+""".strip()
+
+    q["kg_entity_links"] = f"""
+WITH {TOK},
+{_M},
+{_ENTITIES}
+SELECT e.entity_id, e.entity_name, e.entity_type, e.doc_id,
+       coalesce(alias_dict.canonical_name, e.entity_name) AS canonical_name,
+       'canon-' || sha256(coalesce(alias_dict.canonical_name, e.entity_name)) AS canonical_id,
+       coalesce(alias_dict.canonical_name, e.entity_name) <> e.entity_name AS linked
+FROM ent e
+LEFT JOIN {spec.alias_values_sql()} ON lower(trim(e.entity_name)) = alias_dict.alias
+""".strip()
+
+    q["kg_chunks"] = f"""
+WITH {TOK},
+ch AS (
+  SELECT kg_doc_id AS doc_id,
+         unnest(range(CAST(ceil(len(toks) / {spec.CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_order_index,
+         toks
+  FROM tok
+),
+ct AS (
+  SELECT doc_id, chunk_order_index,
+         array_to_string(toks[chunk_order_index * {spec.CHUNK_TOKENS} + 1 :
+                              (chunk_order_index + 1) * {spec.CHUNK_TOKENS}], ' ') AS content
+  FROM ch
+)
+SELECT 'chunk-' || sha256(content) AS chunk_id,
+       doc_id, chunk_order_index, content,
+       len(string_split(content, ' ')) AS n_tokens
+FROM ct
+""".strip()
+
+    q["dedup_exact"] = """
+SELECT sha256(trim(text)) AS content_sha256,
+       min(doc_id) AS keep_key,
+       count(*) AS n_copies
+FROM documents
+WHERE length(trim(text)) > 0
+GROUP BY sha256(trim(text))
+""".strip()
+
+    q["text_token_stats"] = f"""
+WITH {TOK}
+SELECT kg_doc_id,
+       raw_chars AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+FROM tok
+""".strip()
+
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    q["text_quality"] = f"""
+WITH {TOK}, d AS (
+  SELECT kg_doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
+         length(ttext) AS trim_chars
+  FROM tok
+)
+SELECT kg_doc_id, n_tokens,
+       round(trim_chars * 1.0 / n_tokens, 6) AS mean_token_len,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05) AS passes_quality
+FROM d
+""".strip()
+
+    q["text_language_id"] = f"""
+WITH {TOK}
+SELECT kg_doc_id,
+       round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks), 6) AS en_score,
+       CASE WHEN len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM tok
+""".strip()
+
+    q["text_fingerprint"] = f"""
+WITH {TOK}
+SELECT kg_doc_id,
+       sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fingerprint
+FROM tok
+""".strip()
+
+    q["dedup_minhash_signatures"] = f"""
+WITH {TOK},
+{_SHINGLES},
+{_sig_sql()}
+SELECT * FROM sig
+""".strip()
+
+    q["dedup_lsh_pairs"] = f"""
+WITH {TOK},
+{_SHINGLES},
+{_sig_sql()},
+{_bands_sql()}
+SELECT DISTINCT a.kg_doc_id AS doc_a, b.kg_doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.kg_doc_id < b.kg_doc_id
+""".strip()
+
+    q["lang_rollup_counts"] = """
+SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs
+FROM documents GROUP BY ROLLUP(lang)
+""".strip()
+
+    q["docs_paginated"] = """
+SELECT doc_id, lang, n_chars, row_num FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS row_num
+  FROM documents
+) WHERE row_num BETWEEN 51 AND 100
+""".strip()
+
+    q["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+    q["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(
+           list_aggregate(list_transform(range(len(c.embedding)),
+               i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(len(q.q_vec)),
+                 i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(q.q_vec[i + 1] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(len(c.embedding)),
+                 i -> CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)), 'sum'))),
+         6) AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""".strip()
+
+    return q

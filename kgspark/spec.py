@@ -1,0 +1,115 @@
+"""The deterministic extraction specification.
+
+The reference extracts entities/relationships per chunk with an LLM behind a
+strict JSON schema and a closed 14-type vocabulary
+(reference: runtime/src/ai/schemas.rs:4-75, runtime/src/pipeline/extractor.rs:71-100).
+We replace the LLM with a deterministic, closed-vocabulary pattern extractor so
+that precision/recall vs the reference *semantics* is measurable and every
+stage is reproducible.  This module is the single source of truth for that
+spec; the vectorized pandas-UDF path (kgspark.extraction), the built-in
+Catalyst path, the DuckDB oracle SQL (__spark_entry__.py) and the synthetic
+data generator (kgspark.datagen) all derive from it.
+
+Spec (versioned; bump SPEC_VERSION on any semantic change):
+
+  * tokens(text)      = split(trim(text)) on runs of ASCII whitespace,
+                        0-based positions.
+  * mention           = token whose lowercase form is a key of ``VOCAB``;
+                        carries (pos, surface, name, entity_type).
+  * entity (per doc)  = distinct (name, entity_type); first-wins metadata by
+                        smallest position (mirrors the reference's first-chunk
+                        wins merge, pipeline/pipeline.rs:335-347).
+  * entity_id         = 'entity-' + sha256(doc_id || ':' || name || ':' || type)
+                        (pipeline/pipeline.rs:322-333).
+  * relation          = each *adjacent* pair of mentions (ordered by position)
+                        within one document with position gap <= MAX_GAP and
+                        different names.  predicate = intervening tokens joined
+                        by '_' (or 'near' when adjacent), description =
+                        "<subj> <predicate> <obj>".
+  * relation_id       = 'relation-' + sha256(doc_id ':' src_id ':' tgt_id ':' desc)
+                        (pipeline/pipeline.rs:375-381).
+  * doc_id            = 'doc-' + sha256(text)  (pipeline/pipeline.rs:478).
+  * chunk_id          = 'chunk-' + sha256(chunk_text)  (pipeline/chunker.rs:72).
+"""
+
+from __future__ import annotations
+
+SPEC_VERSION = 1
+
+# Closed entity-type vocabulary for the word-salad `documents` corpus
+# (lowercase surface form -> (canonical display name, entity type)).  The
+# web-domain analog of the reference's closed biomedical enum
+# (runtime/src/ai/schemas.rs:4-21).  Keep Symptom/Disease-style pairs so the
+# symptom→disease BFS query shape stays exercisable.
+VOCAB: dict[str, tuple[str, str]] = {
+    "spark":    ("Spark", "Product"),
+    "customer": ("Customer", "Person"),
+    "table":    ("Table", "Artifact"),
+    "window":   ("Window", "Artifact"),
+    "vector":   ("Vector", "Concept"),
+    "stream":   ("Stream", "Concept"),
+    "hash":     ("Hash", "Concept"),
+    "batch":    ("Batch", "Concept"),
+}
+
+# Maximum token-position gap between two adjacent mentions for a relation.
+MAX_GAP = 4
+
+# Predicate used when the two mentions are adjacent tokens (no words between).
+NEAR_PREDICATE = "near"
+
+# Chunking defaults.  The reference windows 500 tokens with 50 overlap
+# (pipeline/pipeline.rs:55-64); we default to non-overlapping windows so the
+# chunk set is SQL-expressible (an overlapping variant is exposed by the UDF).
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 0
+
+# Sentence-segmented chunking for web_pages: consecutive sentences grouped
+# N-at-a-time (north-star "sentence-segmented chunking").
+CHUNK_SENTENCES = 5
+
+# ID prefixes (pipeline/utils.rs:130-136 compute_mdhash_id call sites).
+DOC_PREFIX = "doc-"
+CHUNK_PREFIX = "chunk-"
+ENTITY_PREFIX = "entity-"
+RELATION_PREFIX = "relation-"
+CANON_PREFIX = "canon-"
+
+# Broadcast alias dictionary for entity linking (FIXTURES.md §2): normalized
+# surface form (lower/trim, the reference's name key at
+# pipeline/pipeline.rs:317-321) -> canonical display name.  Names without an
+# entry canonicalize to themselves.
+ALIAS_DICT: dict[str, str] = {
+    "spark": "Apache Spark",
+    "apache spark": "Apache Spark",
+    "stream": "Data Stream",
+    "data stream": "Data Stream",
+    "customer": "Customer Account",
+}
+
+
+def alias_rows() -> list[tuple[str, str]]:
+    return sorted(ALIAS_DICT.items())
+
+
+def alias_values_sql() -> str:
+    rows = ", ".join(f"('{a}', '{c}')" for a, c in alias_rows())
+    return f"(VALUES {rows}) AS alias_dict(alias, canonical_name)"
+
+
+# Entity-type vocabulary for the synthetic web_pages fixture (FIXTURES.md §1).
+WEB_ENTITY_TYPES = [
+    "Person", "Organization", "Place", "Product", "Event",
+    "Work", "Condition", "Symptom", "Disease",
+]
+
+
+def vocab_rows() -> list[tuple[str, str, str]]:
+    """VOCAB as (surface, name, entity_type) rows, sorted for determinism."""
+    return sorted((s, n, t) for s, (n, t) in VOCAB.items())
+
+
+def vocab_values_sql() -> str:
+    """Inline SQL VALUES table of the vocabulary (for DuckDB oracle parity)."""
+    rows = ", ".join(f"('{s}', '{n}', '{t}')" for s, n, t in vocab_rows())
+    return f"(VALUES {rows}) AS vocab(surface, name, entity_type)"

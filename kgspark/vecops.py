@@ -1,0 +1,141 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+The reference prototyped (and commented out) LanceDB ANN top-5 with a 0.5
+distance cutoff for entity dedup (runtime/src/examples/deduplication.rs:109-163).
+Here both the exact baseline and the scale path are real DataFrame operators
+over an ``array<float>`` column.
+
+Scale design: the query side is broadcast (top-k is almost always
+few-queries × huge-corpus); dot products run as ``aggregate(zip_with(...))``
+inside whole-stage codegen — no Python, no shuffle on the corpus; only the
+final per-query top-k window shuffles (tiny: k rows per query).  The
+random-hyperplane LSH variant buckets the corpus once (narrow projection) and
+probes only matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches excluded.  Queries are broadcast; ties broken by neighbor id
+    so results are fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _rp_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed to a long."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state leakage)."""
+    import hashlib
+    import struct
+
+    planes = []
+    for i in range(n_planes):
+        vals = []
+        for j in range(dim):
+            h = hashlib.sha256(f"{seed}:{i}:{j}".encode()).digest()
+            # map first 8 bytes to (-1, 1)
+            u = struct.unpack(">Q", h[:8])[0] / 2 ** 64
+            vals.append(2.0 * u - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's random-hyperplane bucket.
+
+    Recall < 1.0 by design; the scale win is that the corpus join key is the
+    LSH bucket (uniform-ish), so each query touches ~corpus/2^n_planes rows
+    instead of all of them.  Multi-probe (flipping low-confidence bits) is a
+    natural extension.
+    """
+    planes = make_planes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _rp_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _rp_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

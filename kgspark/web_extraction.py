@@ -1,0 +1,131 @@
+"""Batched OpenIE-style triple extraction for web text — pandas UDF path.
+
+The deterministic replacement of the reference's per-chunk LLM call
+(extract_entities_and_relationships, runtime/src/pipeline/extractor.rs:71-100;
+output schema EntitiesRelationships, runtime/src/ai/schemas.rs:77-96): a
+vectorized pandas UDF that emits, per chunk, typed entity mentions from a
+closed multiword vocabulary plus (subject, predicate, object) relationships
+from sentence templates.  Missing structured output in the reference degrades
+to an empty extraction rather than an error (ai/responses.rs:219-221) — the
+UDF mirrors that: unparseable text yields empty arrays.
+
+Unlike :mod:`kgspark.extraction` (single-token vocab, pure Catalyst), this
+path handles multiword surface forms and emits relationships by *surface
+name*, so the downstream fold must resolve names → entity ids with the
+doc-scoped lower(trim) key join and DROP relationships referencing unknown
+entities — exactly the reference's J2 semantics (pipeline/pipeline.rs:313-373,
+drop-unknown at :364-373).
+
+Scale: Arrow-batched, regex compiled once per executor; per-row work is
+O(len(text)); no shuffle introduced by the UDF itself.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import datagen
+
+# ---- compiled once per process -------------------------------------------
+
+_VOCAB = {name.lower(): (name, etype) for name, etype in datagen.WEB_ENTITIES}
+_ENTITY_RE = re.compile(
+    "|".join(
+        re.escape(n)
+        for n, _ in sorted(datagen.WEB_ENTITIES, key=lambda x: -len(x[0]))
+    )
+)
+_PRED_ALT = "|".join(
+    re.escape(p) for p in sorted(datagen.PREDICATES, key=len, reverse=True)
+)
+# "<subj> <predicate phrase> <obj>." within one sentence
+_REL_RE = re.compile(rf"(?P<subj>[^.!?]+?)\s+(?P<pred>{_PRED_ALT})\s+(?P<obj>[^.!?]+?)[.!?]")
+
+EXTRACTION_SCHEMA = StructType(
+    [
+        StructField(
+            "entities",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("entity_name", StringType()),
+                        StructField("entity_type", StringType()),
+                        StructField("entity_description", StringType()),
+                        StructField("first_offset", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "relationships",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("source_entity", StringType()),
+                        StructField("target_entity", StringType()),
+                        StructField("relationship_keywords", ArrayType(StringType())),
+                        StructField("relationship_description", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def extract_chunk_py(text: str) -> dict:
+    """UDF kernel: one chunk's text → {entities, relationships} (testable)."""
+    if not text or not text.strip():
+        return {"entities": [], "relationships": []}
+    ents: dict[str, dict] = {}
+    for m in _ENTITY_RE.finditer(text):
+        name, etype = _VOCAB[m.group(0).lower()]
+        if name not in ents:  # first-wins within chunk
+            ents[name] = {
+                "entity_name": name,
+                "entity_type": etype,
+                "entity_description": f"{name} is a {etype}",
+                "first_offset": m.start(),
+            }
+    rels = []
+    for m in _REL_RE.finditer(text):
+        subj = m.group("subj").strip()
+        pred = m.group("pred")
+        obj = m.group("obj").strip()
+        rels.append(
+            {
+                "source_entity": subj,
+                "target_entity": obj,
+                "relationship_keywords": pred.split(),
+                "relationship_description": f"{subj} {'_'.join(pred.split())} {obj}",
+            }
+        )
+    return {"entities": list(ents.values()), "relationships": rels}
+
+
+@F.pandas_udf(EXTRACTION_SCHEMA)
+def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in batches:
+        yield batch.map(lambda t: extract_chunk_py(t or ""))
+
+
+def extract_from_chunks(chunks: DataFrame, text_col: str = "content") -> DataFrame:
+    """chunks → per-chunk raw extraction result (entities+relationships).
+
+    Carries chunk_id/doc_id/chunk_order_index through the UDF — Spark joins
+    by key, never positionally (the reference's zip at pipeline.rs:315 is an
+    ordering hazard we deliberately do not reproduce).
+    """
+    return chunks.withColumn("extraction", extract_udf(F.col(text_col)))
