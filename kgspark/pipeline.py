@@ -1,0 +1,304 @@
+"""The end-to-end web_pages → triples job chain (the north rule's core).
+
+Re-expresses the reference's construction pipeline (EP1, SURVEY.md §3:
+upload → extract → chunk → LLM-extract → fold → persist,
+runtime/src/pipeline/pipeline.rs:135-414) as one declarative DataFrame chain:
+
+    web_pages(url, warc_ts, html, text, lang)
+      → extract_docs   HTML→text pandas UDF + per-url sha256 digest gate
+                       (extractor.rs:33-58 analog; byte-identity invariant)
+      → docs           sanitize (P1) → empty filter (P4) → doc_id = sha2 →
+                       exact-dedup first-wins by url (A4, pipeline.rs:461-470)
+      → chunks         sentence-segmented chunking (W1 analog, utils.rs:49-128)
+      → extracted      per-chunk typed entities + (subj, pred, obj) via the
+                       vectorized extraction UDF (extractor.rs:71-100 analog)
+      → entities       first-wins fold per (doc, name, type) (A5, :335-347)
+      → relations      name→id resolution joins with DROP-UNKNOWN semantics
+                       (J2, :313-373) + first-wins per relation_id (A6, :383-393)
+      → triples        normalized (subj, pred, obj, doc_id) set — the P/R gate
+
+Scale design:
+  * extract + chunk + extract-UDF are narrow per-row stages — zero shuffles
+    until the entity fold; partitioning follows the input splits.
+  * The folds are single-shuffle hash aggregations on content-hash keys
+    (uniform — no skew by construction); ``min(struct(...))`` gives
+    deterministic first-wins with map-side partial aggregation.
+  * The J2 resolution joins key on (doc_id, normalized name): doc_id is a
+    sha256 hash, so the composite key is uniform even when one entity name
+    dominates the corpus — the classic head-entity skew never lands on a
+    single reducer here.  AQE skew-join stays on as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import chunking, html_extract, ids, web_extraction
+
+
+def _norm_name(c: Column) -> Column:
+    """The reference's name-resolution key: lower(trim(name))
+    (pipeline/pipeline.rs:317-321)."""
+    return F.lower(F.trim(c))
+
+
+def extract_docs(web_pages: DataFrame) -> DataFrame:
+    """HTML→text extraction + digest columns (no rows dropped yet)."""
+    return html_extract.extract_stage(web_pages)
+
+
+def digest_violations(extracted: DataFrame) -> DataFrame:
+    """Rows where extracted text != golden text — must be empty (the gate)."""
+    return html_extract.digest_check(extracted)
+
+
+def docs(web_pages: DataFrame, check_digest: bool = False) -> DataFrame:
+    """Deduplicated document table keyed by content-addressed doc_id.
+
+    sanitize (P1: strip \\r + trim, pipeline.rs:531-533) → drop empty (P4,
+    :463-466) → doc_id = 'doc-'+sha2 (:478) → first-wins dedup by smallest
+    url (A4 ``unique_contents``, :461-470).  One shuffle (on doc_id).
+    """
+    ex = extract_docs(web_pages)
+    if check_digest:
+        bad = digest_violations(ex).limit(1).collect()
+        if bad:
+            raise AssertionError(f"digest violation for url={bad[0]['url']}")
+    sanitized = F.trim(F.regexp_replace("extracted_text", "\r", ""))
+    base = (
+        ex.select(
+            ids.doc_id(sanitized).alias("doc_id"),
+            sanitized.alias("content"),
+            F.sha2(sanitized, 256).alias("text_sha256"),
+            "url",
+            "warc_ts",
+            "lang",
+        )
+        .filter(F.length("content") > 0)
+    )
+    # First-wins by (url, warc_ts): deterministic representative per content.
+    return (
+        base.groupBy("doc_id")
+        .agg(
+            F.min(F.struct("url", "warc_ts", "lang", "content", "text_sha256")).alias("w"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.url").alias("url"),
+            F.col("w.warc_ts").alias("warc_ts"),
+            F.col("w.lang").alias("lang"),
+            F.col("w.content").alias("content"),
+            F.col("w.text_sha256").alias("text_sha256"),
+            F.length("w.content").cast("long").alias("content_length"),
+            F.when(
+                F.length("w.content") <= 200, F.col("w.content")
+            ).otherwise(
+                F.concat(F.substring("w.content", 1, 200), F.lit("…"))
+            ).alias("content_summary"),
+            "n_copies",
+        )
+    )
+
+
+def chunks(doc_table: DataFrame) -> DataFrame:
+    """Sentence-segmented chunks (chunk_id, doc_id, chunk_order_index, content,
+    n_tokens) — text_chunks analog (SURVEY.md §1)."""
+    return chunking.sentence_chunks(
+        doc_table, text_col="content", doc_id_col="doc_id"
+    )
+
+
+def extracted_chunks(chunk_table: DataFrame) -> DataFrame:
+    """chunks + per-chunk raw extraction struct (vectorized pandas UDF)."""
+    return web_extraction.extract_from_chunks(chunk_table, text_col="content")
+
+
+def entities(extracted: DataFrame) -> DataFrame:
+    """First-wins entity fold (A5): one row per (doc, name, type).
+
+    Metadata comes from the smallest (chunk_order_index, first_offset) —
+    the deterministic restatement of the reference's arrival-order
+    ``entry().or_insert`` (pipeline.rs:335-347; arrival order there is
+    nondeterministic under concurrency, ours is reproducible).
+    """
+    m = extracted.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_order_index",
+        F.explode("extraction.entities").alias("e"),
+    )
+    return (
+        m.groupBy(
+            "doc_id",
+            F.col("e.entity_name").alias("entity_name"),
+            F.col("e.entity_type").alias("entity_type"),
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("chunk_order_index").alias("chunk_order_index"),
+                    F.col("e.first_offset").alias("first_offset"),
+                    F.col("chunk_id").alias("chunk_id"),
+                    F.col("e.entity_description").alias("entity_description"),
+                )
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+        .select(
+            ids.entity_id(
+                F.col("doc_id"), F.col("entity_name"), F.col("entity_type")
+            ).alias("entity_id"),
+            "entity_name",
+            "entity_type",
+            F.col("w.entity_description").alias("entity_description"),
+            "doc_id",
+            F.col("w.chunk_id").alias("chunk_id"),
+            F.col("w.chunk_order_index").cast("long").alias("chunk_order_index"),
+            F.col("w.first_offset").cast("long").alias("first_offset"),
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+        )
+    )
+
+
+def _name_index(entity_table: DataFrame) -> DataFrame:
+    """Per-doc name→entity resolution index keyed by lower(trim(name)).
+
+    One row per (doc_id, norm_name): first-wins on (chunk_order_index,
+    first_offset, entity_id) — the DataFrame form of the reference's
+    ``HashMap<"{doc}::{lower(name)}" → id>`` (pipeline.rs:350-359).
+    """
+    return (
+        entity_table.groupBy(
+            "doc_id", _norm_name(F.col("entity_name")).alias("norm_name")
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    "chunk_order_index", "first_offset", "entity_id", "entity_name"
+                )
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            "norm_name",
+            F.col("w.entity_id").alias("entity_id"),
+            F.col("w.entity_name").alias("entity_name"),
+        )
+    )
+
+
+def relations(extracted: DataFrame, entity_table: DataFrame) -> DataFrame:
+    """Name-resolved, first-wins relation fold (J2 + A6).
+
+    Inner joins on (doc_id, lower(trim(name))) for source and target give
+    exactly the reference's drop-unknown semantics (pipeline.rs:364-373:
+    relationships referencing entities never emitted in the doc are skipped).
+    """
+    r = extracted.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_order_index",
+        F.explode("extraction.relationships").alias("r"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_order_index",
+        _norm_name(F.col("r.source_entity")).alias("src_norm"),
+        _norm_name(F.col("r.target_entity")).alias("tgt_norm"),
+        F.col("r.relationship_keywords").alias("relationship_keywords"),
+        F.col("r.relationship_description").alias("relationship_description"),
+    )
+    idx = _name_index(entity_table)
+    src = idx.select(
+        F.col("doc_id").alias("s_doc"),
+        F.col("norm_name").alias("src_norm"),
+        F.col("entity_id").alias("source_entity_id"),
+        F.col("entity_name").alias("subj"),
+    )
+    tgt = idx.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("norm_name").alias("tgt_norm"),
+        F.col("entity_id").alias("target_entity_id"),
+        F.col("entity_name").alias("obj"),
+    )
+    resolved = r.join(
+        src, (r["doc_id"] == src["s_doc"]) & (r["src_norm"] == src["src_norm"]), "inner"
+    ).join(
+        tgt, (r["doc_id"] == tgt["t_doc"]) & (r["tgt_norm"] == tgt["tgt_norm"]), "inner"
+    )
+    rel_id = ids.relation_id(
+        r["doc_id"],
+        F.col("source_entity_id"),
+        F.col("target_entity_id"),
+        F.col("relationship_description"),
+    )
+    rows = resolved.select(
+        rel_id.alias("relation_id"),
+        r["doc_id"].alias("doc_id"),
+        "chunk_id",
+        "chunk_order_index",
+        "source_entity_id",
+        "target_entity_id",
+        "subj",
+        "obj",
+        "relationship_keywords",
+        "relationship_description",
+    )
+    # A6 first-wins per relation_id, deterministic by chunk order.
+    return (
+        rows.groupBy(
+            "relation_id",
+            "doc_id",
+            "source_entity_id",
+            "target_entity_id",
+            "subj",
+            "obj",
+            "relationship_description",
+        )
+        .agg(
+            F.min(
+                F.struct("chunk_order_index", "chunk_id", "relationship_keywords")
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n_statements"),
+        )
+        .select(
+            "relation_id",
+            "doc_id",
+            F.col("w.chunk_id").alias("chunk_id"),
+            F.col("w.chunk_order_index").cast("long").alias("chunk_order_index"),
+            "source_entity_id",
+            "target_entity_id",
+            "subj",
+            "obj",
+            F.col("w.relationship_keywords").alias("relationship_keywords"),
+            "relationship_description",
+            F.col("n_statements").cast("long").alias("n_statements"),
+        )
+    )
+
+
+def triples(relation_table: DataFrame) -> DataFrame:
+    """Normalized (subj, pred, obj, doc_id) — the P/R comparison set.
+
+    pred is the keyword-joined predicate ('works_at' style), recovered from
+    the description's canonical form "<subj> <pred> <obj>".
+    """
+    return relation_table.select(
+        "subj",
+        F.array_join("relationship_keywords", "_").alias("pred"),
+        "obj",
+        "doc_id",
+    ).distinct()
+
+
+def build(web_pages: DataFrame, check_digest: bool = False) -> dict[str, DataFrame]:
+    """The full chain as named DataFrames (lazy — nothing executes here)."""
+    d = docs(web_pages, check_digest=check_digest)
+    c = chunks(d)
+    x = extracted_chunks(c)
+    e = entities(x)
+    r = relations(x, e)
+    t = triples(r)
+    return {"docs": d, "chunks": c, "entities": e, "relations": r, "triples": t}

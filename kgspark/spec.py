@@ -97,6 +97,23 @@ def alias_values_sql() -> str:
     return f"(VALUES {rows}) AS alias_dict(alias, canonical_name)"
 
 
+# Broadcast alias dictionary for the web_pages corpus: normalized surface
+# form -> canonical display name.  Covers the IBM alias cluster that the
+# synthetic corpus plants (kgspark.datagen.WEB_ENTITIES) so entity linking +
+# canonicalization have a real merge to perform.
+WEB_ALIAS_DICT: dict[str, str] = {
+    "ibm": "IBM",
+    "i.b.m.": "IBM",
+    "international business machines": "IBM",
+    "acme corp": "Acme Corp",
+    "acme corporation": "Acme Corp",
+}
+
+
+def web_alias_rows() -> list[tuple[str, str]]:
+    return sorted(WEB_ALIAS_DICT.items())
+
+
 # Entity-type vocabulary for the synthetic web_pages fixture (FIXTURES.md §1).
 WEB_ENTITY_TYPES = [
     "Person", "Organization", "Place", "Product", "Event",

@@ -85,6 +85,23 @@ EXTRACTION_SCHEMA = StructType(
 )
 
 
+def _resolve_name(span: str, last: bool) -> str:
+    """Resolve a subject/object span to a clean vocabulary entity name.
+
+    Mirrors the reference's naming contract (ai/schemas.rs:132-135: the LLM
+    is instructed to emit consistent canonical-cased names, which is what
+    makes the downstream name→id join work).  We take the entity mention
+    nearest the predicate (last match for subjects, first for objects); spans
+    with no known mention pass through trimmed — those relationships then hit
+    the drop-unknown path of the J2 join (pipeline/pipeline.rs:364-373).
+    """
+    matches = list(_ENTITY_RE.finditer(span))
+    if not matches:
+        return span.strip()
+    m = matches[-1] if last else matches[0]
+    return _VOCAB[m.group(0).lower()][0]
+
+
 def extract_chunk_py(text: str) -> dict:
     """UDF kernel: one chunk's text → {entities, relationships} (testable)."""
     if not text or not text.strip():
@@ -101,9 +118,9 @@ def extract_chunk_py(text: str) -> dict:
             }
     rels = []
     for m in _REL_RE.finditer(text):
-        subj = m.group("subj").strip()
+        subj = _resolve_name(m.group("subj"), last=True)
         pred = m.group("pred")
-        obj = m.group("obj").strip()
+        obj = _resolve_name(m.group("obj"), last=False)
         rels.append(
             {
                 "source_entity": subj,
@@ -116,9 +133,16 @@ def extract_chunk_py(text: str) -> dict:
 
 
 @F.pandas_udf(EXTRACTION_SCHEMA)
-def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    # Struct-typed pandas UDFs yield DataFrames: one column per struct field.
     for batch in batches:
-        yield batch.map(lambda t: extract_chunk_py(t or ""))
+        results = [extract_chunk_py(t or "") for t in batch]
+        yield pd.DataFrame(
+            {
+                "entities": [r["entities"] for r in results],
+                "relationships": [r["relationships"] for r in results],
+            }
+        )
 
 
 def extract_from_chunks(chunks: DataFrame, text_col: str = "content") -> DataFrame:
