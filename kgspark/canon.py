@@ -1,0 +1,290 @@
+"""Canonicalization: merge surface forms of the same real-world entity.
+
+The reference's only cross-doc linking idea is a commented-out ANN prototype
+(runtime/src/examples/deduplication.rs:109-163: embedding top-5, distance <
+0.5, skip self/exact).  Here it becomes a real, fully-distributed stage:
+
+  1. candidate pairs  — three generators, unioned:
+       a. exact-normalized-key pairs (punctuation/case-insensitive equality);
+       b. MinHash-LSH over character 3-gram shingles of the normalized name
+          (the blocking step — O(n·bucket), never O(n²)), verified with exact
+          Jaccard >= threshold;
+       c. broadcast alias-dictionary edges (name -> canonical display name).
+  2. connected components — iterative hash-min label propagation over the
+     undirected pair graph (driver loop, one join+agg per round,
+     localCheckpoint to truncate lineage).  Alias graphs are star-shaped
+     (diameter 2–4 around each canonical form), so hash-min converges in a
+     handful of rounds; the O(log n)-round alternating large-star/small-star
+     variant would only add shuffles here.  A hard iteration cap + residual
+     check guards pathological chains.
+  3. canonical representative — per component, the alias dictionary's
+     canonical name when one is present, else the lexicographically smallest
+     member (deterministic; the reference has no tie rule at all).
+  4. rewrite — triples/entities join the canonical map on name.  The map is
+     names-only (orders of magnitude smaller than the triple table), so the
+     rewrite is a broadcast join when it fits and an AQE skew-safe shuffle
+     join otherwise — head-entity skew (one name in billions of triples)
+     never concentrates on one reducer because the build side is broadcast.
+
+Pair generation dedups by unordered pair; all name comparisons use the
+normalized key so 'I.B.M.' == 'IBM' exactly and 'Acme Corporation' ~ 'Acme
+Corp' via Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ids, spec
+
+LSH_K = 8            # minhash permutations over char 3-grams
+LSH_BAND_ROWS = 2    # 4 bands of 2 — recall-leaning for short strings
+JACCARD_THRESHOLD = 0.5
+CHAR_NGRAM = 3
+
+
+def norm_key(c: Column) -> Column:
+    """lower → strip non-alphanumeric (keep spaces) → collapse spaces → trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def _shingle_expr(c: Column, n: int = CHAR_NGRAM) -> Column:
+    """Distinct character n-grams of a (normalized) name; whole name if short.
+
+    Dynamic start positions need Column-typed ``substr``, not ``F.substring``.
+    """
+    return F.when(F.length(c) <= n, F.array(c)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - n + 1),
+                lambda i: c.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def _hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def distinct_names(entity_table: DataFrame, name_col: str = "entity_name") -> DataFrame:
+    """(name, nkey) — the working set for canonicalization (names only)."""
+    return (
+        entity_table.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("nkey", norm_key(F.col("name")))
+        .filter(F.length("nkey") > 0)
+    )
+
+
+def exact_key_pairs(names: DataFrame) -> DataFrame:
+    """Names sharing the same normalized key (punctuation/case variants)."""
+    a = names.select(F.col("name").alias("name_a"), "nkey")
+    b = names.select(F.col("name").alias("name_b"), "nkey")
+    return (
+        a.join(b, "nkey")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+
+
+def lsh_pairs(
+    names: DataFrame,
+    k: int = LSH_K,
+    band_rows: int = LSH_BAND_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over char-shingles, Jaccard-verified.
+
+    Narrow signature computation → explode band keys → bucket self-join
+    (shuffle on band hash only) → exact Jaccard on the candidate pairs.
+    """
+    sh = names.withColumn("shingles", _shingle_expr(F.col("nkey")))
+
+    def _perm(j: int):
+        return lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
+
+    sig_cols = [
+        F.array_min(F.transform("shingles", _perm(j))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    sig = sh.select("name", "shingles", *sig_cols)
+    n_bands = k // band_rows
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("name", "shingles", F.explode(bands).alias("band_key"))
+    l = banded.select(
+        F.col("name").alias("name_a"), F.col("shingles").alias("sh_a"), "band_key"
+    )
+    r = banded.select(
+        F.col("name").alias("name_b"), F.col("shingles").alias("sh_b"), "band_key"
+    )
+    cand = (
+        l.join(r, "band_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.filter(jac >= threshold).select("name_a", "name_b")
+
+
+def alias_edges(spark: SparkSession, names: DataFrame) -> DataFrame:
+    """Broadcast alias-dict edges: corpus name ↔ canonical display name."""
+    alias_df = spark.createDataFrame(
+        spec.web_alias_rows(), schema="alias string, canonical_name string"
+    )
+    hits = names.join(
+        F.broadcast(alias_df), names["nkey"] == alias_df["alias"], "inner"
+    )
+    return hits.filter(F.col("name") != F.col("canonical_name")).select(
+        F.least("name", "canonical_name").alias("name_a"),
+        F.greatest("name", "canonical_name").alias("name_b"),
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Hash-min label propagation: (node, comp) with comp = component min.
+
+    One shuffle-join + one aggregation per round; lineage truncated with
+    localCheckpoint so the plan doesn't grow across iterations.  Converges in
+    O(diameter) rounds; raises if the cap is hit with labels still moving.
+    """
+    e = (
+        pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+        .union(
+            pairs.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(comp, e["dst"] == comp["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_comp = (
+            comp.join(nbr_min, comp["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            return comp
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def canonical_map(
+    spark: SparkSession, entity_table: DataFrame, name_col: str = "entity_name"
+) -> DataFrame:
+    """(entity_name → canonical_name, canonical_id) for every distinct name.
+
+    Singleton names (no pair edges) canonicalize to themselves; components
+    take the alias dictionary's canonical name when a member has one, else
+    the lexicographically smallest member.
+    """
+    names = distinct_names(entity_table, name_col)
+    pairs = (
+        exact_key_pairs(names)
+        .union(lsh_pairs(names))
+        .union(alias_edges(spark, names))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+
+    alias_df = spark.createDataFrame(
+        spec.web_alias_rows(), schema="alias string, canonical_name string"
+    )
+    member_canon = (
+        comp.join(names, comp["node"] == names["name"], "left")
+        .join(F.broadcast(alias_df), names["nkey"] == alias_df["alias"], "left")
+        .groupBy("comp")
+        .agg(
+            F.min(F.col("canonical_name")).alias("alias_canon"),
+            F.min("node").alias("min_member"),
+        )
+        .select(
+            "comp",
+            F.coalesce("alias_canon", "min_member").alias("canonical_name"),
+        )
+    )
+    mapped = comp.join(member_canon, "comp").select(
+        F.col("node").alias("entity_name"), "canonical_name"
+    )
+    # Singletons: names not in any component map to themselves.
+    singles = names.join(
+        comp, names["name"] == comp["node"], "left_anti"
+    ).select(
+        F.col("name").alias("entity_name"),
+        F.col("name").alias("canonical_name"),
+    )
+    out = mapped.union(singles)
+    return out.withColumn(
+        "canonical_id", ids.canonical_id(F.col("canonical_name"))
+    )
+
+
+def canonical_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite triple subjects/objects through the canonical map.
+
+    The map is broadcast (names-only — tiny vs the triple table), so the
+    rewrite adds zero shuffles and head-entity skew is a non-issue.
+    """
+    s = F.broadcast(
+        cmap.select(
+            F.col("entity_name").alias("subj"),
+            F.col("canonical_name").alias("canon_subj"),
+        )
+    )
+    o = F.broadcast(
+        cmap.select(
+            F.col("entity_name").alias("obj"),
+            F.col("canonical_name").alias("canon_obj"),
+        )
+    )
+    return (
+        triples.join(s, "subj", "left")
+        .join(o, "obj", "left")
+        .select(
+            F.coalesce("canon_subj", F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.coalesce("canon_obj", F.col("obj")).alias("obj"),
+            "doc_id",
+        )
+        .distinct()
+    )
