@@ -1,0 +1,227 @@
+"""Materialization, lineage, and checkpoint-resume (SURVEY.md §7 steps 7).
+
+Design target is an Iceberg catalog: every stage lands in a versioned table,
+commits are atomic snapshots, and a run manifest records the snapshot ids so
+any run can resume.  The sandbox ships no iceberg-spark runtime jar, so this
+module implements the documented fallback (SURVEY.md §7.1): parquet stage
+tables + a JSON manifest whose pointer swap plays the role of the Iceberg
+snapshot commit (the reference's own durability story is the same shape —
+temp-file + fsync + rename, storage/io.rs:38-53).  The API is kept
+Iceberg-shaped (``write``/``read``/``commit``) so swapping the backend is a
+one-class change.
+
+Resume model (the reference's two recovery surfaces re-expressed):
+  * doc-level: the ``doc_status`` table + a LEFT ANTI join keeps already
+    PROCESSED documents out of the new batch (J1 ``filter_keys``,
+    storage/json_kv.rs:260-264, call site pipeline/pipeline.rs:482-488);
+  * stage-level: content-addressed ids make every stage append-only and
+    idempotent — re-processing a doc produces byte-identical rows, so a
+    crash between stages is healed by re-running the batch: new rows are
+    unioned, duplicates collapse on the id.
+
+Lineage/metrics: every committed stage records per-partition row counts
+(spark_partition_id groupBy) plus totals in the manifest — the per-partition
+lineage + metrics rows the north rule asks for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon, pipeline
+
+STATUS_PROCESSED = "PROCESSED"  # storage/mod.rs:38-62 status vocabulary
+STATUS_PENDING = "PENDING"
+
+
+class Warehouse:
+    """Parquet stage tables + manifest commits under one root directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"runs": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, m: dict) -> None:
+        # atomic pointer swap — the parquet analog of an Iceberg snapshot
+        # commit (and of the reference's temp+fsync+rename, storage/io.rs).
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    # -- IO ---------------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.table_path(name), "_SUCCESS"))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> dict:
+        """Write a stage table and return its lineage metrics (uncommitted)."""
+        df.write.mode(mode).parquet(self.table_path(name))
+        out = self.read(name)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+        return {
+            "table": name,
+            "path": self.table_path(name),
+            "n_rows": int(sum(r["n_rows"] for r in per_part)),
+            "n_partitions": len(per_part),
+            "partitions": {
+                str(r["partition_id"]): int(r["n_rows"]) for r in per_part
+            },
+        }
+
+
+def doc_status(docs: DataFrame, chunk_table: DataFrame, run_id: str) -> DataFrame:
+    """DocProcessingStatus analog (storage/mod.rs:38-62): one row per doc with
+    ordered chunks_list, content metadata, and the producing run (track_id)."""
+    chunk_lists = (
+        chunk_table.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_order_index", "chunk_id"))
+            ).alias("cl")
+        )
+        .select(
+            "doc_id",
+            F.transform("cl", lambda s: s["chunk_id"]).alias("chunks_list"),
+        )
+    )
+    return (
+        docs.join(chunk_lists, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(STATUS_PROCESSED).alias("status"),
+            "url",
+            "content_length",
+            "content_summary",
+            F.coalesce("chunks_list", F.array().cast("array<string>")).alias(
+                "chunks_list"
+            ),
+            F.lit(run_id).alias("track_id"),
+        )
+    )
+
+
+def status_counts(status_table: DataFrame) -> DataFrame:
+    """A1/A2 (json_doc_status.rs:251-265): per-status counts + ALL total."""
+    return (
+        status_table.rollup("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.coalesce("status", F.lit("ALL")).alias("status"), "n_docs")
+    )
+
+
+STAGES = ("docs", "chunks", "entities", "relations", "triples")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    wh: Warehouse,
+    run_id: str,
+    check_digest: bool = False,
+) -> dict:
+    """One resumable batch: process docs not yet in doc_status, append stages,
+    rebuild global canonicalization, commit the manifest.
+
+    Returns the manifest entry for this run (stage metrics + skip counts).
+    """
+    t0 = time.perf_counter()
+    d_new = pipeline.docs(web_pages, check_digest=check_digest)
+
+    n_input = d_new.count()
+    if wh.exists("doc_status"):
+        existing = wh.read("doc_status").select("doc_id")
+        d_new = d_new.join(existing, "doc_id", "left_anti")  # J1 resume
+    n_todo = d_new.count()
+
+    stage_metrics: dict[str, dict] = {}
+    if n_todo > 0:
+        c = pipeline.chunks(d_new)
+        x = pipeline.extracted_chunks(c)
+        e = pipeline.entities(x)
+        r = pipeline.relations(x, e)
+        t = pipeline.triples(r)
+        new_status = doc_status(d_new, c, run_id)
+
+        for name, df in (
+            ("docs", d_new),
+            ("chunks", c),
+            ("entities", e),
+            ("relations", r),
+            ("triples", t),
+            ("doc_status", new_status),
+        ):
+            if wh.exists(name):
+                merged = wh.read(name).unionByName(df)
+                # content-addressed ids: append + write is idempotent because
+                # the anti-join guarantees new doc_ids only; a re-run after a
+                # crash re-derives identical rows, never divergent ones.
+                stage_metrics[name] = wh.write(name + ".tmpnew", merged)
+                _swap(wh, name)
+            else:
+                stage_metrics[name] = wh.write(name, df)
+            stage_metrics[name]["table"] = name
+            stage_metrics[name]["path"] = wh.table_path(name)
+
+    # global canonicalization is always rebuilt over the full entity table
+    # (names-only input — cheap relative to the corpus).
+    if wh.exists("entities"):
+        cmap = canon.canonical_map(spark, wh.read("entities"))
+        stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
+        ct = canon.canonical_triples(wh.read("triples"), wh.read("canonical_map"))
+        stage_metrics["canonical_triples"] = wh.write("canonical_triples", ct)
+
+    entry = {
+        "run_id": run_id,
+        "input_docs": int(n_input),
+        "processed_docs": int(n_todo),
+        "skipped_docs": int(n_input - n_todo),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "stages": stage_metrics,
+    }
+    m = wh.manifest()
+    m["runs"].append(entry)
+    wh._commit_manifest(m)
+    return entry
+
+
+def _swap(wh: Warehouse, name: str) -> None:
+    """Replace table ``name`` with the staged ``name.tmpnew`` write."""
+    import shutil
+
+    final, tmp = wh.table_path(name), wh.table_path(name + ".tmpnew")
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(final, old)
+    os.replace(tmp, final)
+    shutil.rmtree(old)
