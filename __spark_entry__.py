@@ -22,7 +22,20 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-from kgspark import chunking, extraction, linking, oracles, textops, vecops  # noqa: E402
+from kgspark import (  # noqa: E402
+    canon,
+    chunking,
+    datagen,
+    extraction,
+    graph,
+    linking,
+    materialize,
+    oracles,
+    pipeline,
+    textops,
+    vecops,
+    web_oracles,
+)
 from kgspark import ids as kgids  # noqa: E402
 
 
@@ -31,9 +44,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full deterministic triple-extraction chain at sf0.001."""
-    docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    return extraction.triples(docs)
+    """Flagship: the full web_pages → triples construction chain (north rule):
+    HTML→text extraction, dedup, sentence chunking, UDF triple extraction,
+    name-resolution fold — on the deterministic synthetic web corpus."""
+    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    return pipeline.build(web)["triples"]
 
 
 # --------------------------------------------------------------- queries
@@ -171,6 +186,95 @@ def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.0)
 
 
+# ------------------------------------------------- web_pages pipeline queries
+#
+# The web corpus is synthesized deterministically (kgspark.datagen) at a FIXED
+# size — these entries validate the distributed construction-fold semantics
+# against driver-side imperative oracles (kgspark.web_oracles); scan-scale
+# behavior is bench.py's job.  sf_dir is deliberately unused.
+
+def _web_built(spark: SparkSession) -> dict[str, DataFrame]:
+    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    return pipeline.build(web)
+
+
+def _q_web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _web_built(spark)["docs"].select(
+        "doc_id", "url", "lang", "content_length"
+    )
+
+
+def _q_web_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _web_built(spark)["chunks"].select(
+        "chunk_id", "doc_id", "chunk_order_index", "n_tokens"
+    )
+
+
+def _q_web_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _web_built(spark)["entities"].select(
+        "entity_id", "entity_name", "entity_type", "doc_id",
+        "chunk_id", "chunk_order_index", "first_offset",
+    )
+
+
+def _q_web_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _web_built(spark)["relations"].select(
+        "relation_id", "doc_id", "source_entity_id", "target_entity_id",
+        "subj", "obj", "relationship_description",
+    )
+
+
+def _q_web_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _web_built(spark)["triples"]
+
+
+def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _web_built(spark)
+    return canon.canonical_map(spark, b["entities"]).select(
+        "entity_name", "canonical_name", "canonical_id"
+    )
+
+
+def _q_web_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return canon.canonical_triples(b["triples"], cmap)
+
+
+def _q_web_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _web_built(spark)
+    st = materialize.doc_status(b["docs"], b["chunks"], run_id="q")
+    return materialize.status_counts(st)
+
+
+def _q_web_entity_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _web_built(spark)["entities"]
+        .groupBy(F.lower("entity_type").alias("entity_type"))
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
+def _q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symptom→Disease BFS over the web KG — iterative, no SQL oracle."""
+    b = _web_built(spark)
+    p = graph.graph_search(b["entities"], b["relations"])
+    return p.select(
+        "start", F.concat_ws("->", "path").alias("path_str"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def _q_graph_render_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendered llm-friendly path strings — iterative, no SQL oracle."""
+    b = _web_built(spark)
+    v, e = graph.vertices(b["entities"]), graph.edges(b["relations"])
+    p = graph.bfs_paths(v, e)
+    return graph.render_paths(p, v, e).select(
+        "start", "rendered", F.col("depth").cast("long").alias("depth")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_ids": _q_kg_doc_ids,
@@ -195,8 +299,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "web_docs": _q_web_docs,
+        "web_chunks": _q_web_chunks,
+        "web_entities": _q_web_entities,
+        "web_relations": _q_web_relations,
+        "web_triples": _q_web_triples,
+        "web_canonical_map": _q_web_canonical_map,
+        "web_canonical_triples": _q_web_canonical_triples,
+        "web_status_counts": _q_web_status_counts,
+        "web_entity_type_counts": _q_web_entity_type_counts,
+        "graph_bfs_paths": _q_graph_bfs_paths,
+        "graph_render_paths": _q_graph_render_paths,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracles.build()
+    return {**oracles.build(), **web_oracles.build()}

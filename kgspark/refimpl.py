@@ -66,7 +66,12 @@ def run(web_rows) -> KGResult:
         if doc_id in seen_content:
             continue  # A4 first-wins dedup
         seen_content[doc_id] = url
-        out.docs[doc_id] = {"doc_id": doc_id, "url": url, "lang": lang}
+        out.docs[doc_id] = {
+            "doc_id": doc_id,
+            "url": url,
+            "lang": lang,
+            "content_length": len(content),
+        }
 
         doc_chunks = chunking.chunk_sentences_py(content)
         name_index: dict[str, tuple[str, str]] = {}  # norm -> (entity_id, name)

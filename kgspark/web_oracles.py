@@ -1,0 +1,228 @@
+"""VALUES-based DuckDB oracles for the web_pages pipeline queries.
+
+The web corpus is synthesized (not a driver parquet table), so its oracles
+inline expected rows as SQL ``VALUES``.  Expected rows come from two
+independent driver-side implementations:
+
+  * the construction fold — :mod:`kgspark.refimpl` (imperative per-doc
+    HashMap fold, shares only the per-row kernels with Spark);
+  * canonicalization — a union-find implemented HERE, mirroring the LSH
+    banding arithmetic numerically (same md5-derived 60-bit hashes — Python
+    hashlib vs Spark ``conv(substr(md5..))``) but sharing zero code with the
+    distributed joins/components loop it checks.
+
+The corpus size is FIXED (WEB_N) regardless of sf_dir: the comparison
+validates distributed-fold semantics, not scan scale (bench covers scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from . import datagen, refimpl, spec
+
+WEB_N = 160
+WEB_SEED = 42
+
+
+def _q(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple], cols: list[str], types: list[str]) -> str:
+    body = ",\n".join(
+        "(" + ", ".join(_q(c) if t == "s" else str(int(c)) for c, t in zip(r, types)) + ")"
+        for r in sorted(rows)
+    )
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
+
+
+# ------------------------------------------------------- python canon oracle
+
+def _norm(name: str) -> str:
+    import re
+
+    return re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", name.lower())).strip()
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(nkey: str, n: int = 3) -> set[str]:
+    if len(nkey) <= n:
+        return {nkey}
+    return {nkey[i : i + n] for i in range(len(nkey) - n + 1)}
+
+
+def _band_keys(nkey: str, k: int = 8, band_rows: int = 2) -> list[str]:
+    sh = _shingles(nkey)
+    sig = [min(_h60(f"{j}:{s}") for s in sh) for j in range(k)]
+    return [
+        ":".join([str(b)] + [str(sig[b * band_rows + r]) for r in range(band_rows)])
+        for b in range(k // band_rows)
+    ]
+
+
+def canon_map_py(names: list[str]) -> dict[str, tuple[str, str]]:
+    """name -> (canonical_name, canonical_id) via union-find (independent of
+    kgspark.canon's iterative-join implementation)."""
+    names = sorted(set(names))
+    nkey = {n: _norm(n) for n in names}
+    names = [n for n in names if nkey[n]]
+
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # a. exact normalized key
+    by_key: dict[str, list[str]] = {}
+    for n in names:
+        by_key.setdefault(nkey[n], []).append(n)
+    for grp in by_key.values():
+        for other in grp[1:]:
+            union(grp[0], other)
+
+    # b. LSH candidates (same banding arithmetic as the Spark side) + Jaccard
+    buckets: dict[str, list[str]] = {}
+    for n in names:
+        for bk in _band_keys(nkey[n]):
+            buckets.setdefault(bk, []).append(n)
+    for grp in buckets.values():
+        for i, a in enumerate(grp):
+            for b in grp[i + 1 :]:
+                if a == b:
+                    continue
+                sa, sb = _shingles(nkey[a]), _shingles(nkey[b])
+                if len(sa & sb) / len(sa | sb) >= 0.5:
+                    union(a, b)
+
+    # c. alias edges: name whose nkey is an alias joins its canonical name
+    #    (only when that canonical display name is itself in the corpus —
+    #    mirroring the inner join in canon.alias_edges; otherwise the alias
+    #    still votes for the component's canonical display name below).
+    alias = dict(spec.web_alias_rows())
+    present = set(names)
+    for n in names:
+        cn = alias.get(nkey[n])
+        if cn and cn != n and cn in present:
+            union(n, cn)
+
+    comps: dict[str, list[str]] = {}
+    for n in names:
+        comps.setdefault(find(n), []).append(n)
+    out: dict[str, tuple[str, str]] = {}
+    for members in comps.values():
+        alias_canons = sorted(
+            {alias[nkey[m]] for m in members if nkey[m] in alias}
+        )
+        canon_name = alias_canons[0] if alias_canons else min(members)
+        cid = spec.CANON_PREFIX + hashlib.sha256(canon_name.encode()).hexdigest()
+        for m in members:
+            out[m] = (canon_name, cid)
+    return out
+
+
+# ------------------------------------------------------------- oracle build
+
+@lru_cache(maxsize=1)
+def _golden() -> refimpl.KGResult:
+    return refimpl.run(datagen.web_pages_rows(WEB_N, WEB_SEED))
+
+
+@lru_cache(maxsize=1)
+def build() -> dict[str, str]:
+    g = _golden()
+
+    docs_rows = [
+        (d["doc_id"], d["url"], d["lang"], d["content_length"])
+        for d in g.docs.values()
+    ]
+    chunks_rows = [
+        (c["chunk_id"], c["doc_id"], c["chunk_order_index"], c["n_tokens"])
+        for c in g.chunks
+    ]
+    ent_rows = [
+        (
+            e["entity_id"], e["entity_name"], e["entity_type"], e["doc_id"],
+            e["chunk_id"], e["chunk_order_index"], e["first_offset"],
+        )
+        for e in g.entities.values()
+    ]
+    rel_rows = [
+        (
+            r["relation_id"], r["doc_id"], r["source_entity_id"],
+            r["target_entity_id"], r["subj"], r["obj"],
+            r["relationship_description"],
+        )
+        for r in g.relations.values()
+    ]
+    triple_rows = sorted(g.triples)
+
+    cmap = canon_map_py([e["entity_name"] for e in g.entities.values()])
+    cmap_rows = [(n, cn, cid) for n, (cn, cid) in cmap.items()]
+    ct_rows = sorted(
+        {
+            (cmap[s][0] if s in cmap else s, p, cmap[o][0] if o in cmap else o, d)
+            for (s, p, o, d) in g.triples
+        }
+    )
+    type_counts: dict[str, int] = {}
+    for e in g.entities.values():
+        t = e["entity_type"].lower()
+        type_counts[t] = type_counts.get(t, 0) + 1
+
+    n_docs = len(g.docs)
+    return {
+        "web_docs": _values(
+            docs_rows, ["doc_id", "url", "lang", "content_length"], ["s", "s", "s", "i"]
+        ),
+        "web_chunks": _values(
+            chunks_rows,
+            ["chunk_id", "doc_id", "chunk_order_index", "n_tokens"],
+            ["s", "s", "i", "i"],
+        ),
+        "web_entities": _values(
+            ent_rows,
+            [
+                "entity_id", "entity_name", "entity_type", "doc_id",
+                "chunk_id", "chunk_order_index", "first_offset",
+            ],
+            ["s", "s", "s", "s", "s", "i", "i"],
+        ),
+        "web_relations": _values(
+            rel_rows,
+            [
+                "relation_id", "doc_id", "source_entity_id",
+                "target_entity_id", "subj", "obj", "relationship_description",
+            ],
+            ["s"] * 7,
+        ),
+        "web_triples": _values(
+            triple_rows, ["subj", "pred", "obj", "doc_id"], ["s"] * 4
+        ),
+        "web_canonical_map": _values(
+            cmap_rows, ["entity_name", "canonical_name", "canonical_id"], ["s"] * 3
+        ),
+        "web_canonical_triples": _values(
+            ct_rows, ["subj", "pred", "obj", "doc_id"], ["s"] * 4
+        ),
+        "web_status_counts": _values(
+            [("PROCESSED", n_docs), ("ALL", n_docs)],
+            ["status", "n_docs"],
+            ["s", "i"],
+        ),
+        "web_entity_type_counts": _values(
+            sorted(type_counts.items()), ["entity_type", "n_entities"], ["s", "i"]
+        ),
+    }
