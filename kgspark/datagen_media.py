@@ -1,0 +1,63 @@
+"""Deterministic synthetic media corpus (binary payloads with real magics).
+
+Pairs with :mod:`kgspark.multimodal`: payloads carry genuine container magic
+bytes (JPEG/PNG/GIF/RIFF/Matroska) followed by a fixed synthetic header layout
+— bytes [8:16] hold two big-endian u32s (dims / sample count / frame count) —
+and sha-derived filler bytes.  Everything is seeded, so driver-side expected
+rows for VALUES oracles are exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("declared_kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+_MAGICS = {
+    "jpeg": bytes.fromhex("FFD8FFE000104A46"),
+    "png": bytes.fromhex("89504E470D0A1A0A"),
+    "gif": b"GIF89a\x00\x00",
+    "riff": b"RIFF\x00\x00\x00\x00",
+    "matroska": bytes.fromhex("1A45DFA393428288"),
+}
+_KINDS = list(_MAGICS)
+
+
+def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
+    kind = _KINDS[i % len(_KINDS)]
+    h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
+    if kind in ("jpeg", "png", "gif"):
+        a, b = 64 + (h[0] % 64) * 16, 64 + (h[1] % 64) * 16  # width, height
+    elif kind == "riff":
+        a, b = 8000 + h[0] * 256, 0  # n_samples
+    else:  # matroska: frames + packed dims
+        a, b = 24 * (1 + h[0] % 10), ((640 + h[1]) << 16) | (360 + h[2])
+    header = _MAGICS[kind] + struct.pack(">II", a, b)
+    filler = (h * ((64 + len(h) - 1) // len(h)))[: 64 + (h[3] % 64)]
+    payload = header + filler
+    media_id = "media-" + hashlib.sha256(payload).hexdigest()[:16]
+    return media_id, kind, payload
+
+
+def media_rows(n: int, seed: int = 42) -> list[tuple[str, str, bytes]]:
+    return [_payload(seed, i) for i in range(n)]
+
+
+def media_files(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """media_files(media_id, declared_kind, payload binary) — seeded corpus."""
+    return spark.createDataFrame(media_rows(n, seed), MEDIA_SCHEMA)
