@@ -26,10 +26,13 @@ from kgspark import (  # noqa: E402
     canon,
     chunking,
     datagen,
+    datagen_media,
     extraction,
     graph,
     linking,
     materialize,
+    media_oracles,
+    multimodal,
     oracles,
     pipeline,
     textops,
@@ -186,6 +189,45 @@ def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.0)
 
 
+def _q_text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vecops.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (recall<1 by design): rows-only, no SQL oracle."""
+    return vecops.cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+# ------------------------------------------------------- multimodal queries
+#
+# Binary-column plumbing over the deterministic synthetic media corpus
+# (kgspark.datagen_media); oracles are driver-computed VALUES
+# (kgspark.media_oracles).  sf_dir deliberately unused (fixed corpus).
+
+def _media(spark: SparkSession) -> DataFrame:
+    return datagen_media.media_files(
+        spark, media_oracles.MEDIA_N, media_oracles.MEDIA_SEED
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_metadata(_media(spark))
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_media(_media(spark))
+
+
+def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(_media(spark))
+
+
 # ------------------------------------------------- web_pages pipeline queries
 #
 # The web corpus is synthesized deterministically (kgspark.datagen) at a FIXED
@@ -255,6 +297,14 @@ def _q_web_entity_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: both-direction neighbors of every Symptom entity in the web KG."""
+    b = _web_built(spark)
+    v, e = graph.vertices(b["entities"]), graph.edges(b["relations"])
+    starts = v.filter(F.lower("entity_type") == "symptom").select("id")
+    return graph.neighbors(e, starts, direction="both")
+
+
 def _q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symptom→Disease BFS over the web KG — iterative, no SQL oracle."""
     b = _web_built(spark)
@@ -289,7 +339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_lsh": _q_dedup_embedding_pairs_lsh,
         "text_token_stats": _q_text_token_stats,
+        "text_bpe_token_counts": _q_text_bpe_token_counts,
+        "media_metadata": _q_media_metadata,
+        "media_decode": _q_media_decode,
+        "media_frame_samples": _q_media_frame_samples,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,
@@ -308,10 +364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_triples": _q_web_canonical_triples,
         "web_status_counts": _q_web_status_counts,
         "web_entity_type_counts": _q_web_entity_type_counts,
+        "web_neighbors": _q_web_neighbors,
         "graph_bfs_paths": _q_graph_bfs_paths,
         "graph_render_paths": _q_graph_render_paths,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**oracles.build(), **web_oracles.build()}
+    return {**oracles.build(), **web_oracles.build(), **media_oracles.build()}

@@ -44,6 +44,8 @@ HEADLINE = [
     "text_simhash",
     "text_quality",
     "text_language_id",
+    "text_bpe_token_counts",
+    "dedup_embedding_pairs",
     "ann_cosine_topk",
     "events_hourly",
 ]

@@ -313,6 +313,65 @@ FROM events
 GROUP BY 1, 2
 """.strip()
 
+    q["text_bpe_token_counts"] = r"""
+SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_distinct_bpe_tokens
+FROM documents
+WHERE length(trim(text)) > 0
+""".strip()
+
+    # simhash: 32 bit-vote folds over distinct-token 60-bit hashes
+    _hs = _H60.format(x="x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) - len(hs) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    q["text_simhash"] = f"""
+WITH {TOK},
+h AS (
+  SELECT kg_doc_id, list_transform(list_distinct(toks), x -> {_hs}) AS hs
+  FROM tok
+)
+SELECT kg_doc_id, {bit_terms} AS simhash FROM h
+""".strip()
+
+    q["dedup_jaccard_pairs"] = f"""
+WITH {TOK},
+{_SHINGLES},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.kg_doc_id AS doc_a, b.kg_doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.kg_doc_id < b.kg_doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.kg_doc_id = doc_a
+JOIN sh sb ON sb.kg_doc_id = doc_b
+""".strip()
+
+    _cos = """
+round(
+  list_aggregate(list_transform(range(len(a.embedding)),
+      i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)), 'sum')
+  / (sqrt(list_aggregate(list_transform(range(len(a.embedding)),
+        i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE)), 'sum'))
+   * sqrt(list_aggregate(list_transform(range(len(b.embedding)),
+        i -> CAST(b.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)), 'sum'))),
+6)
+""".strip()
+    q["dedup_embedding_pairs"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos} >= 0.4
+""".strip()
+
     q["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

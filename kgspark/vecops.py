@@ -99,6 +99,84 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return planes
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >= t.
+
+    The exact baseline of embedding near-dup (the commented-out intent of
+    reference examples/deduplication.rs:109-163, distance<0.5 there).  Norms
+    are computed once per row BEFORE the pair join, so the O(n²) scoring is a
+    single dot product per pair.  At corpus scale the LSH-bucketed variant
+    below replaces the cross join; this one is the correctness oracle.
+    """
+    n = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: bucket by random-hyperplane sign
+    signature, score only within-bucket pairs (recall < 1 by design — similar
+    vectors land in the same bucket with high probability; multi-probe raises
+    recall).  Shuffle key is the bucket id, never the full cross join."""
+    planes = make_planes(dim, n_planes)
+    n = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        _rp_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = n.select(
+        "bucket", F.col("vid").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        "bucket", F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -182,8 +182,25 @@ def build() -> dict[str, str]:
         t = e["entity_type"].lower()
         type_counts[t] = type_counts.get(t, 0) + 1
 
+    # G7 neighbors (both directions) of every Symptom-typed entity.
+    symptom_ids = {
+        e["entity_id"] for e in g.entities.values() if e["entity_type"] == "Symptom"
+    }
+    nbr_rows = sorted(
+        {
+            (eid, nbr)
+            for r in g.relations.values()
+            for eid, nbr in (
+                (r["source_entity_id"], r["target_entity_id"]),
+                (r["target_entity_id"], r["source_entity_id"]),
+            )
+            if eid in symptom_ids
+        }
+    )
+
     n_docs = len(g.docs)
     return {
+        "web_neighbors": _values(nbr_rows, ["id", "neighbor"], ["s", "s"]),
         "web_docs": _values(
             docs_rows, ["doc_id", "url", "lang", "content_length"], ["s", "s", "s", "i"]
         ),
