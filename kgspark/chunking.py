@@ -135,8 +135,12 @@ def sentence_chunks(
                 ]
             )
 
+    # deterministic kernel; the flag stops Catalyst duplicating the UDF into
+    # the explode's pushed-down size()>0 filter (double evaluation).
+    _chunk_nd = _chunk.asNondeterministic()
+
     exploded = (
-        docs.withColumn("_chunks", _chunk(F.col(text_col)))
+        docs.withColumn("_chunks", _chunk_nd(F.col(text_col)))
         .select(doc_id_col, F.explode("_chunks").alias("ch"))
     )
     return exploded.select(

@@ -170,14 +170,24 @@ def web_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
 
 
 def web_pages_distributed(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 32
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int = 32,
+    lo: int = 0,
+    hi: int | None = None,
 ) -> DataFrame:
     """Executor-side generation for bench scale — no driver materialization.
 
     ``spark.range`` partitions the id space; each executor renders its ids
-    with the same seeded generator (mapInPandas, Arrow-batched).
+    with the same seeded generator (mapInPandas, Arrow-batched).  ``lo``/``hi``
+    select an id-range shard of the same corpus (the scaling bench's
+    executor-model runs give each worker JVM one shard).
     """
     import pandas as pd
+
+    if hi is None:
+        hi = n_docs
 
     def gen(batches):
         for pdf in batches:
@@ -187,6 +197,6 @@ def web_pages_distributed(
             )
 
     return (
-        spark.range(0, n_docs, numPartitions=partitions)
+        spark.range(lo, hi, numPartitions=partitions)
         .mapInPandas(gen, schema=SCHEMA)
     )

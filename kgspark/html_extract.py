@@ -98,9 +98,15 @@ def extract_text_py(html_bytes: bytes | str | None) -> str:
 
 
 @F.pandas_udf(StringType())
-def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def _extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for batch in batches:
         yield batch.map(extract_text_py)
+
+
+# The kernel IS deterministic; the flag is an optimizer fence.  Without it
+# Catalyst duplicates the UDF call into pushed-down filters and the plan
+# parses every page TWICE (measured: two ArrowEvalPython nodes per stage).
+extract_text_udf = _extract_text_udf.asNondeterministic()
 
 
 def extract_stage(web_pages: DataFrame, html_col: str = "html") -> DataFrame:

@@ -293,11 +293,26 @@ def triples(relation_table: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def build(web_pages: DataFrame, check_digest: bool = False) -> dict[str, DataFrame]:
-    """The full chain as named DataFrames (lazy — nothing executes here)."""
+def build(
+    web_pages: DataFrame, check_digest: bool = False, reuse: bool = True
+) -> dict[str, DataFrame]:
+    """The full chain as named DataFrames (lazy — nothing executes here).
+
+    The plan is a diamond at the extraction stage: ``entities`` and
+    ``relations`` both consume it, and a naive lazy chain re-runs the whole
+    upstream (scan → HTML parse → dedup shuffle → chunk/extract UDFs) once
+    per branch.  ``reuse=True`` persists the extraction (memory, spill to
+    disk), so it is computed exactly once per action — the in-memory analog
+    of the stage tables ``materialize.run_pipeline`` writes between stages at
+    warehouse scale.
+    """
     d = docs(web_pages, check_digest=check_digest)
     c = chunks(d)
     x = extracted_chunks(c)
+    if reuse:
+        from pyspark.storagelevel import StorageLevel
+
+        x = x.persist(StorageLevel.MEMORY_AND_DISK)
     e = entities(x)
     r = relations(x, e)
     t = triples(r)

@@ -9,6 +9,7 @@ applied uniformly.  On a real cluster the same builder is used via
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -21,6 +22,17 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's 1m default minPartitionSize coalesces small-scale shuffles below
+    # the core count, serializing the UDF-heavy post-shuffle stages (measured:
+    # <50% CPU at local[32]).  A small floor keeps coalescing for the
+    # many-tiny-partition case while preserving one-task-per-core parallelism;
+    # at cluster scale partitions are far above either threshold.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # The whole-stage-codegen class cache defaults to 100 entries; the full
+    # construction chain + AQE re-planning exceeds that, so every run evicted
+    # and re-compiled (Janino + C2) its generated classes — measured as
+    # never-converging, bimodal rep times.  Size it to hold the pipeline.
+    "spark.sql.codegen.cache.maxEntries": "10000",
     # Arrow transport for every pandas UDF in the pipeline.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
@@ -30,6 +42,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # Keep scan partitions big enough to amortize task overhead locally.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # Local mode runs all task threads in the driver JVM: the 1g default heap
+    # collapses into GC thrash at local[32] (measured: GCLocker retry storms,
+    # 4x slowdown vs local[8]).  On a real cluster this maps to executor
+    # memory instead.  Applies only when the JVM is launched by this builder.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
     # Quieter local runs.
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
@@ -53,6 +70,13 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
+    # Shuffle partitions scale with the compute (2-3x total cores, the
+    # standard sizing rule); AQE coalesces the excess.  A fixed count would
+    # under-parallelize the bigger cluster in the N-vs-4N scaling runs, just
+    # as a fixed 32 would on a 1000-executor cluster.
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        confs["spark.sql.shuffle.partitions"] = str(max(32, 3 * int(m.group(1))))
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:

@@ -133,7 +133,7 @@ def extract_chunk_py(text: str) -> dict:
 
 
 @F.pandas_udf(EXTRACTION_SCHEMA)
-def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+def _extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     # Struct-typed pandas UDFs yield DataFrames: one column per struct field.
     for batch in batches:
         results = [extract_chunk_py(t or "") for t in batch]
@@ -143,6 +143,12 @@ def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
                 "relationships": [r["relationships"] for r in results],
             }
         )
+
+
+# Deterministic kernel; flag = optimizer fence so the explode-generated
+# size()>0 filter doesn't re-evaluate the extraction a second time
+# (measured: duplicate ArrowEvalPython nodes without it).
+extract_udf = _extract_udf.asNondeterministic()
 
 
 def extract_from_chunks(chunks: DataFrame, text_col: str = "content") -> DataFrame:
