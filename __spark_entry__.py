@@ -297,6 +297,13 @@ def _q_web_entity_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: DocumentSummary projection over doc_status (routes/documents.rs:63-91)."""
+    b = _web_built(spark)
+    st = materialize.doc_status(b["docs"], b["chunks"], run_id="q")
+    return materialize.document_summaries(st)
+
+
 def _q_web_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: both-direction neighbors of every Symptom entity in the web KG."""
     b = _web_built(spark)
@@ -365,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_status_counts": _q_web_status_counts,
         "web_entity_type_counts": _q_web_entity_type_counts,
         "web_neighbors": _q_web_neighbors,
+        "web_doc_summaries": _q_web_doc_summaries,
         "graph_bfs_paths": _q_graph_bfs_paths,
         "graph_render_paths": _q_graph_render_paths,
     }

@@ -269,6 +269,68 @@ def graph_search(
     return p
 
 
+def _dot_escape(s: str) -> str:
+    return (s or "").replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _truncate(s: str, n: int = 40) -> str:
+    """Char-truncate with ellipsis (F8, examples/create_graph.rs:215-225)."""
+    s = s or ""
+    return s if len(s) <= n else s[:n] + "…"
+
+
+def to_dot(
+    vertex_table: DataFrame,
+    edge_table: DataFrame,
+    cluster_by_doc: bool = True,
+    max_nodes: int = 2000,
+) -> str:
+    """S9/G8: render the graph to Graphviz DOT, clustered by doc_id
+    (examples/create_graph.rs:100-225).
+
+    Driver-side render — intended for SMALL graphs (dashboards, debugging);
+    guarded by ``max_nodes``.  Large-graph exports go through
+    :func:`kgspark.materialize.export_json` instead.
+    """
+    n = vertex_table.count()
+    if n > max_nodes:
+        raise ValueError(f"graph too large to render: {n} nodes > {max_nodes}")
+    verts = sorted(
+        vertex_table.collect(), key=lambda r: r["id"]
+    )  # deterministic order (reference iterates HashMap order)
+    eds = sorted(
+        edge_table.collect(), key=lambda r: (r["src"], r["dst"], r["id"])
+    )
+    out = ["digraph knowledge_graph {", "  rankdir=LR;", "  node [shape=box];"]
+    if cluster_by_doc:
+        by_doc: dict[str, list] = {}
+        for v in verts:
+            by_doc.setdefault(v["doc_id"], []).append(v)
+        for i, doc_id in enumerate(sorted(by_doc)):
+            out.append(f'  subgraph "cluster_{i}" {{')
+            out.append(f'    label="{_dot_escape(_truncate(doc_id, 16))}";')
+            for v in by_doc[doc_id]:
+                out.append(
+                    f'    "{_dot_escape(v["id"])}" '
+                    f'[label="{_dot_escape(_truncate(v["name"]))}\\n'
+                    f'({_dot_escape(v["entity_type"])})"];'
+                )
+            out.append("  }")
+    else:
+        for v in verts:
+            out.append(
+                f'  "{_dot_escape(v["id"])}" '
+                f'[label="{_dot_escape(_truncate(v["name"]))}"];'
+            )
+    for e in eds:
+        out.append(
+            f'  "{_dot_escape(e["src"])}" -> "{_dot_escape(e["dst"])}" '
+            f'[label="{_dot_escape(_truncate(e["description"]))}"];'
+        )
+    out.append("}")
+    return "\n".join(out)
+
+
 def count_by_type(vertex_table: DataFrame) -> DataFrame:
     """A3 (examples/traverse_graph.rs:261-267)."""
     return vertex_table.groupBy(

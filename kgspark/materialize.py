@@ -130,6 +130,31 @@ def doc_status(docs: DataFrame, chunk_table: DataFrame, run_id: str) -> DataFram
     )
 
 
+def document_summaries(status_table: DataFrame) -> DataFrame:
+    """P12 (routes/documents.rs:63-91): DocumentSummary projection —
+    summary = coalesce(content_summary, url, 'No summary available'),
+    chunk count from the ordered chunks_list."""
+    return status_table.select(
+        "doc_id",
+        F.coalesce(
+            F.when(F.length("content_summary") > 0, F.col("content_summary")),
+            F.when(F.length("url") > 0, F.col("url")),
+            F.lit("No summary available"),
+        ).alias("summary"),
+        "status",
+        F.col("content_length").cast("long").alias("content_length"),
+        F.size("chunks_list").cast("long").alias("n_chunks"),
+    )
+
+
+def export_json(df: DataFrame, path: str) -> None:
+    """S8 (routes/download.rs:32-95): entity/relation JSON export sink.
+
+    Distributed ``df.write.json`` — one file per partition; the reference
+    streams one big file, which does not survive 100 TB."""
+    df.write.mode("overwrite").json(path)
+
+
 def status_counts(status_table: DataFrame) -> DataFrame:
     """A1/A2 (json_doc_status.rs:251-265): per-status counts + ALL total."""
     return (

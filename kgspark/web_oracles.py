@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
-from . import datagen, refimpl, spec
+from . import datagen, html_extract, refimpl, spec
 
 WEB_N = 160
 WEB_SEED = 42
@@ -198,9 +198,36 @@ def build() -> dict[str, str]:
         }
     )
 
+    # P12 document summaries: content_summary recomputed from the corpus rows
+    # (first-wins dedup in the same (url, warc_ts) order as refimpl.run).
+    chunk_counts: dict[str, int] = {}
+    for c in g.chunks:
+        chunk_counts[c["doc_id"]] = chunk_counts.get(c["doc_id"], 0) + 1
+    summaries: dict[str, str] = {}
+    for url, warc_ts, html_b, _txt, _lang in sorted(
+        datagen.web_pages_rows(WEB_N, WEB_SEED), key=lambda r: (str(r[0]), str(r[1]))
+    ):
+        content = html_extract.extract_text_py(html_b).replace("\r", "").strip()
+        if not content:
+            continue
+        doc_id = spec.DOC_PREFIX + hashlib.sha256(content.encode()).hexdigest()
+        if doc_id not in summaries:
+            summaries[doc_id] = (
+                content if len(content) <= 200 else content[:200] + "…"
+            )
+    summary_rows = [
+        (d, summaries[d], "PROCESSED", r["content_length"], chunk_counts.get(d, 0))
+        for d, r in g.docs.items()
+    ]
+
     n_docs = len(g.docs)
     return {
         "web_neighbors": _values(nbr_rows, ["id", "neighbor"], ["s", "s"]),
+        "web_doc_summaries": _values(
+            summary_rows,
+            ["doc_id", "summary", "status", "content_length", "n_chunks"],
+            ["s", "s", "s", "i", "i"],
+        ),
         "web_docs": _values(
             docs_rows, ["doc_id", "url", "lang", "content_length"], ["s", "s", "s", "i"]
         ),

@@ -1,0 +1,64 @@
+"""Export surfaces: DOT render (S9/G8), JSON sink (S8), summaries (P12)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgspark import datagen, graph, materialize, pipeline
+
+N = 40
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    web = datagen.web_pages(spark, N, SEED)
+    b = pipeline.build(web)
+    b["entities"].persist().count()
+    b["relations"].persist().count()
+    return b
+
+
+def test_dot_render_clustered(built):
+    v, e = graph.vertices(built["entities"]), graph.edges(built["relations"])
+    dot = graph.to_dot(v, e)
+    assert dot.startswith("digraph knowledge_graph {") and dot.endswith("}")
+    assert "subgraph \"cluster_0\"" in dot
+    # every vertex id appears; every edge rendered with an arrow
+    assert dot.count("->") == e.count()
+    for row in v.limit(5).collect():
+        assert row["id"] in dot
+    # deterministic: same input -> identical string
+    assert dot == graph.to_dot(v, e)
+
+
+def test_dot_render_size_guard(built):
+    v, e = graph.vertices(built["entities"]), graph.edges(built["relations"])
+    with pytest.raises(ValueError, match="too large"):
+        graph.to_dot(v, e, max_nodes=1)
+
+
+def test_export_json_roundtrip(spark, built, tmp_path):
+    path = os.path.join(str(tmp_path), "entities_json")
+    materialize.export_json(built["entities"], path)
+    back = spark.read.json(path)
+    assert back.count() == built["entities"].count()
+    assert set(back.columns) == set(built["entities"].columns)
+
+
+def test_document_summaries(built):
+    st = materialize.doc_status(built["docs"], built["chunks"], run_id="t")
+    s = materialize.document_summaries(st).collect()
+    docs = {r["doc_id"]: r for r in built["docs"].collect()}
+    assert len(s) == len(docs)
+    for row in s:
+        d = docs[row["doc_id"]]
+        assert row["status"] == "PROCESSED"
+        assert row["content_length"] == d["content_length"]
+        assert row["n_chunks"] >= 1
+        # summary is content_summary (never empty for non-empty docs)
+        assert row["summary"] == d["content_summary"]
+        if d["content_length"] > 200:
+            assert row["summary"].endswith("…") and len(row["summary"]) == 201
