@@ -126,6 +126,10 @@ def lsh_pairs(
         ]
     )
     banded = sig.select("name", "shingles", F.explode(bands).alias("band_key"))
+    # One shared exchange for both self-join branches (ReuseExchange): the
+    # shingle/signature pipeline computes once, and the bucket join is
+    # co-partitioned on the band key.
+    banded = banded.repartition("band_key")
     l = banded.select(
         F.col("name").alias("name_a"), F.col("shingles").alias("sh_a"), "band_key"
     )

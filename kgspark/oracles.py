@@ -16,7 +16,13 @@ Engine-portable hash primitives shared by both sides:
 from __future__ import annotations
 
 from . import spec
-from .textops import EN_STOPWORDS, LSH_BAND_ROWS, MINHASH_K
+from .textops import (
+    EN_STOPWORDS,
+    LSH_BAND_ROWS,
+    MINHASH_K,
+    MINHASH_P,
+    minhash_perm_coeffs,
+)
 
 # ---------------------------------------------------------------- fragments
 
@@ -105,13 +111,22 @@ sh AS (
 
 
 def _sig_sql() -> str:
-    mins = ",\n         ".join(
-        "list_aggregate(list_transform(shingles, s -> "
-        + _H60.format(x=f"'{j}:' || s")
-        + f"), 'min') AS mh{j}"
-        for j in range(MINHASH_K)
+    # hash each shingle once to the 31-bit universe, then k affine perms —
+    # identical integer arithmetic to kgspark.textops.minhash_signatures.
+    h31 = "(" + _H60.format(x="s") + f") % {MINHASH_P}"
+    mins = []
+    for j in range(MINHASH_K):
+        a, b = minhash_perm_coeffs(j)
+        mins.append(
+            f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}),"
+            f" 'min') AS mh{j}"
+        )
+    body = ",\n         ".join(mins)
+    return (
+        "hsh AS (\n  SELECT kg_doc_id,"
+        f" list_transform(shingles, s -> {h31}) AS hs\n  FROM sh\n),\n"
+        f"sig AS (\n  SELECT kg_doc_id,\n         {body}\n  FROM hsh\n)"
     )
-    return f"sig AS (\n  SELECT kg_doc_id,\n         {mins}\n  FROM sh\n)"
 
 
 def _bands_sql() -> str:

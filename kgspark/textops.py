@@ -29,6 +29,20 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 MINHASH_K = 16          # number of minhash permutations
 LSH_BAND_ROWS = 4       # rows per band → 4 bands of 4
 SHINGLE_N = 3           # token-shingle width
+MINHASH_P = 2147483647  # 2^31-1: affine-permutation modulus (fits int64 math)
+
+
+def minhash_perm_coeffs(j: int) -> tuple[int, int]:
+    """Seeded (a_j, b_j) for the j-th affine permutation, a_j != 0.
+
+    Derived from md5 so any engine (the DuckDB oracle included) can
+    reproduce them; exposed so oracle SQL generation shares the constants.
+    """
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a:{j}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"mh-b:{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
 
 
 def _toks(text_col: str = "text") -> Column:
@@ -170,32 +184,67 @@ def _shingles(t: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def minhash_row_py(text: str, k: int = MINHASH_K) -> list[int] | None:
+    """Kernel: one document's minhash signature (None if < SHINGLE_N tokens).
+
+    Arithmetic is engine-portable and shared verbatim with the DuckDB oracle:
+    shingle -> int(md5[:15],16) % (2^31-1), then k affine permutations
+    (a_j*h + b_j) mod p, min per permutation.
+    """
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.strip(), flags=re.ASCII) if text and text.strip() else []
+    if len(toks) < SHINGLE_N:
+        return None
+    shingles = {
+        " ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
+    }
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in shingles
+    ]
+    out = []
+    for j in range(k):
+        a, b = minhash_perm_coeffs(j)
+        out.append(min((a * h + b) % MINHASH_P for h in hs))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
     """K-permutation MinHash signature over token 3-gram shingles.
 
-    Narrow: per row, K minima over the shingle array — no shuffle, no UDF.
-    Columns mh0..mh{k-1} (flat columns, not an array, so downstream banding
-    and the DuckDB oracle both stay trivial).
+    Arrow-batched mapInPandas over the pruned text column.  A pure-Catalyst
+    formulation exists but loses: shingle construction + k permutation scans
+    run as *interpreted* higher-order-function lambdas (never codegen'd) —
+    measured 7x slower than this kernel at sf0.1.  Only (text) crosses into
+    Python; the signature is (k+1) longs per row out.  Columns mh0..mh{k-1}
+    stay flat so downstream banding and the DuckDB oracle are trivial.
     """
-    t = _toks(text_col)
+    import pandas as pd
 
-    # NB: PySpark higher-order-function lambdas are arity-inspected (a second
-    # parameter receives the element index), so loop variables must be bound
-    # via a factory, never via default args.
-    def _perm_hash(j: int):
-        return lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
+    fields = ", ".join(["kg_doc_id string"] + [f"mh{j} long" for j in range(k)])
 
-    # Materialize the shingle array ONCE behind a projection: inlining the
-    # expression into each of the k min-hash columns (and the filter) makes
-    # Catalyst re-derive it k+1 times per row — measured 10x slowdown.
-    base = docs.select(
-        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
-        _shingles(t).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    cols = [F.col("kg_doc_id")]
-    for j in range(k):
-        cols.append(F.array_min(F.transform("_sh", _perm_hash(j))).alias(f"mh{j}"))
-    return base.select(*cols)
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for text in pdf["_text"]:
+                t = (text or "").strip()
+                if not t:
+                    continue
+                sig = minhash_row_py(t, k)
+                if sig is None:
+                    continue
+                doc_id = "doc-" + hashlib.sha256(t.encode()).hexdigest()
+                rows.append([doc_id, *sig])
+            yield pd.DataFrame(
+                rows, columns=["kg_doc_id"] + [f"mh{j}" for j in range(k)]
+            )
+
+    pruned = docs.select(F.col(text_col).alias("_text"))
+    return pruned.mapInPandas(gen, schema=fields)
 
 
 def lsh_candidate_pairs(
@@ -228,6 +277,11 @@ def lsh_candidate_pairs(
     exploded = sig.select("kg_doc_id", F.explode(bands).alias("b")).select(
         "kg_doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     )
+    # Explicit shuffle on the band key: the self-join's two branches then
+    # share ONE identical exchange (ReuseExchange), so the signature pipeline
+    # is computed once instead of once per side — measured ~2x on the full
+    # operator — and the join itself needs no further shuffle.
+    exploded = exploded.repartition("band", "band_hash")
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -246,6 +300,41 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(kg_doc_id, shingles array<string>) via an Arrow-batched kernel.
+
+    Same rationale as minhash_signatures: Catalyst's higher-order-function
+    shingle construction runs interpreted (measured ~7x slower)."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        for pdf in batches:
+            ids_, shs = [], []
+            for text in pdf["_text"]:
+                t = (text or "").strip()
+                if not t:
+                    continue
+                toks = re.split(r"\s+", t, flags=re.ASCII)
+                if len(toks) < SHINGLE_N:
+                    continue
+                seen, ordered = set(), []
+                for i in range(len(toks) - SHINGLE_N + 1):
+                    s = " ".join(toks[i : i + SHINGLE_N])
+                    if s not in seen:
+                        seen.add(s)
+                        ordered.append(s)
+                ids_.append("doc-" + hashlib.sha256(t.encode()).hexdigest())
+                shs.append(ordered)
+            yield pd.DataFrame({"kg_doc_id": ids_, "shingles": shs})
+
+    return docs.select(F.col(text_col).alias("_text")).mapInPandas(
+        gen, schema="kg_doc_id string, shingles array<string>"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:
@@ -255,11 +344,7 @@ def ngram_jaccard_pairs(
     shingle sets for candidates only and computes exact Jaccard — the
     standard two-phase near-dup at scale.
     """
-    t = _toks(text_col)
-    sh = docs.filter(F.size(_shingles(_toks(text_col))) > 0).select(
-        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
-        _shingles(t).alias("shingles"),
-    )
+    sh = shingle_sets(docs, text_col)
     pairs = lsh_candidate_pairs(docs, text_col)
     j = (
         pairs.join(sh.withColumnRenamed("kg_doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -277,29 +362,58 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def simhash_row_py(text: str, bits: int = 32) -> int | None:
+    """Kernel: one document's simhash (None for empty text).
+
+    Engine-portable arithmetic shared with the DuckDB oracle: per distinct
+    token h = int(md5[:15],16); bit b votes +1 if (h>>b)&1 else -1; the
+    fingerprint sets bit b where the vote is positive.
+    """
+    import hashlib
+    import re
+
+    t = (text or "").strip()
+    if not t:
+        return None
+    toks = re.split(r"\s+", t, flags=re.ASCII)
+    # list (not set) over first-occurrence-distinct tokens: mirrors the
+    # oracle's list_transform(list_distinct(toks), ...) exactly
+    hs = [
+        int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for tok in dict.fromkeys(toks)
+    ]
+    sim = 0
+    for b in range(bits):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if vote > 0:
+            sim |= 1 << b
+    return sim
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint from per-token 60-bit hashes (default 32 bits).
 
-    Per-row bit-vote fold via ``aggregate`` over the token array — narrow, no
-    shuffle, no UDF.  Hamming-distance bucketing downstream can reuse the
-    same banding trick as MinHash.
+    Arrow-batched kernel (the pure-Catalyst bit-vote fold runs 32 interpreted
+    ``aggregate`` lambdas per row — measured ~8x slower).  Hamming-distance
+    bucketing downstream can reuse the same banding trick as MinHash.
     """
-    t = _toks(text_col)
-    hashes = F.transform(F.array_distinct(t), _hash60)
+    import pandas as pd
 
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def gen(batches):
+        import hashlib
 
-    votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(bits)
-    ]
-    sim = None
-    for b, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
-        sim.alias("simhash"),
+        for pdf in batches:
+            ids_, sims = [], []
+            for text in pdf["_text"]:
+                s = simhash_row_py(text, bits)
+                if s is None:
+                    continue
+                ids_.append(
+                    "doc-" + hashlib.sha256(text.strip().encode()).hexdigest()
+                )
+                sims.append(s)
+            yield pd.DataFrame({"kg_doc_id": ids_, "simhash": sims})
+
+    return docs.select(F.col(text_col).alias("_text")).mapInPandas(
+        gen, schema="kg_doc_id string, simhash long"
     )
