@@ -99,6 +99,41 @@ class Warehouse:
         }
 
 
+def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> int:
+    """S7 (storage/json_kv.rs:209-237): delete by id list — anti-join rewrite.
+
+    Parquet has no row-level delete; the Iceberg form is ``DELETE FROM t
+    WHERE id IN (...)``.  Here: rewrite the table minus the ids (staged
+    write + atomic swap, same pattern as the resume path).  Returns rows
+    removed."""
+    before = wh.read(name)
+    n_before = before.count()
+    doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+    kept = before.join(doomed, id_col, "left_anti")
+    wh.write(name + ".tmpnew", kept)
+    _swap(wh, name)
+    return n_before - wh.read(name).count()
+
+
+def truncate(wh: "Warehouse", name: str) -> None:
+    """S7 drop_all analog: truncate a stage table."""
+    import shutil
+
+    p = wh.table_path(name)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+
+
+def docs_by_track_id(status_table: DataFrame, track_id: str) -> DataFrame:
+    """P7 (json_doc_status.rs:284-299): docs produced by one run."""
+    return status_table.filter(F.col("track_id") == track_id)
+
+
+def doc_by_url(status_table: DataFrame, url: str) -> DataFrame:
+    """P8 (json_doc_status.rs:234-243): first match by source url."""
+    return status_table.filter(F.col("url") == url).limit(1)
+
+
 def doc_status(docs: DataFrame, chunk_table: DataFrame, run_id: str) -> DataFrame:
     """DocProcessingStatus analog (storage/mod.rs:38-62): one row per doc with
     ordered chunks_list, content metadata, and the producing run (track_id)."""
@@ -126,6 +161,15 @@ def doc_status(docs: DataFrame, chunk_table: DataFrame, run_id: str) -> DataFram
                 "chunks_list"
             ),
             F.lit(run_id).alias("track_id"),
+            # RFC-3339 stamps (F5, status_service.rs:80; chrono to_rfc3339).
+            # Deliberately NOT part of any oracle-checked projection —
+            # wall-clock columns are metadata, not semantics.
+            F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"
+            ).alias("created_at"),
+            F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"
+            ).alias("updated_at"),
         )
     )
 
