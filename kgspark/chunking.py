@@ -116,6 +116,82 @@ def chunk_sentences_py(
     return out
 
 
+def chunk_by_delimiter_py(
+    text: str,
+    delimiter: str = "\n\n",
+    max_tokens: int = spec.CHUNK_TOKENS,
+    overlap: int = 0,
+    split_by_delimiter_only: bool = False,
+) -> list[tuple[int, str, int]]:
+    """W2 (reference utils.rs:65-101): delimiter pre-split chunking.
+
+    Split on ``delimiter``; pieces within ``max_tokens`` whitespace tokens
+    emit as-is, oversized pieces are re-windowed with token windows of size
+    ``max_tokens`` stepping ``max_tokens - overlap`` — unless
+    ``split_by_delimiter_only`` (the reference's ``split_by_character_only``),
+    which keeps oversized pieces whole.  ``chunk_order_index`` = emission
+    order; raises when overlap >= max_tokens (utils.rs:57-61 parity).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than chunk size")
+    out: list[tuple[int, str, int]] = []
+    idx = 0
+    for piece in (text or "").split(delimiter):
+        piece = piece.strip()
+        if not piece:
+            continue
+        toks = piece.split()
+        if split_by_delimiter_only or len(toks) <= max_tokens:
+            out.append((idx, piece, len(toks)))
+            idx += 1
+            continue
+        step = max_tokens - overlap
+        for start in range(0, len(toks), step):
+            window = toks[start : start + max_tokens]
+            out.append((idx, " ".join(window), len(window)))
+            idx += 1
+            if start + max_tokens >= len(toks):
+                break
+    return out
+
+
+def delimiter_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    delimiter: str = "\n\n",
+    max_tokens: int = spec.CHUNK_TOKENS,
+    overlap: int = 0,
+    split_by_delimiter_only: bool = False,
+) -> DataFrame:
+    """W2 as a vectorized pandas UDF + posexplode (same shape as W1)."""
+
+    @F.pandas_udf(_CHUNK_STRUCT)
+    def _chunk(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            yield batch.map(
+                lambda t: [
+                    {"chunk_order_index": i, "content": c, "n_tokens": n}
+                    for i, c, n in chunk_by_delimiter_py(
+                        t or "", delimiter, max_tokens, overlap,
+                        split_by_delimiter_only,
+                    )
+                ]
+            )
+
+    exploded = (
+        docs.withColumn("_chunks", _chunk.asNondeterministic()(F.col(text_col)))
+        .select(doc_id_col, F.explode("_chunks").alias("ch"))
+    )
+    return exploded.select(
+        ids.chunk_id(F.col("ch.content")).alias("chunk_id"),
+        F.col(doc_id_col).alias("doc_id"),
+        F.col("ch.chunk_order_index").cast("long").alias("chunk_order_index"),
+        F.col("ch.content").alias("content"),
+        F.col("ch.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def sentence_chunks(
     docs: DataFrame,
     text_col: str = "text",

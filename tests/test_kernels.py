@@ -111,3 +111,48 @@ def test_extract_chunk_unknown_subject_passes_through():
 def test_extract_chunk_empty():
     assert extract_chunk_py("") == {"entities": [], "relationships": []}
     assert extract_chunk_py(None or "") == {"entities": [], "relationships": []}
+
+
+# ----------------------------------------------------- delimiter chunking (W2)
+
+def test_delimiter_chunks_small_pieces_pass_through():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    out = chunk_by_delimiter_py("a b c\n\nd e", max_tokens=10)
+    assert out == [(0, "a b c", 3), (1, "d e", 2)]
+
+
+def test_delimiter_chunks_oversized_piece_rewindowed():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    text = " ".join(f"t{i}" for i in range(12)) + "\n\nshort bit"
+    out = chunk_by_delimiter_py(text, max_tokens=5, overlap=0)
+    # 12 tokens -> windows [0:5],[5:10],[10:12], then the short piece
+    assert [(i, n) for i, _, n in out] == [(0, 5), (1, 5), (2, 2), (3, 2)]
+    assert out[2][1] == "t10 t11"
+
+
+def test_delimiter_chunks_overlap_windows():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    text = " ".join(f"t{i}" for i in range(9))
+    out = chunk_by_delimiter_py(text, max_tokens=4, overlap=2)
+    # step 2: windows starting 0,2,4,6 — stop once the window reaches the end
+    assert [c for _, c, _ in out] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8",
+    ]
+
+
+def test_delimiter_only_keeps_oversized_whole():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    text = " ".join(f"t{i}" for i in range(12))
+    out = chunk_by_delimiter_py(text, max_tokens=5, split_by_delimiter_only=True)
+    assert out == [(0, text, 12)]
+
+
+def test_delimiter_chunks_overlap_ge_max_raises():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    with pytest.raises(ValueError):
+        chunk_by_delimiter_py("a b", max_tokens=3, overlap=3)
