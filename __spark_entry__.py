@@ -27,6 +27,7 @@ from kgspark import (  # noqa: E402
     chunking,
     datagen,
     datagen_media,
+    events,
     extraction,
     graph,
     linking,
@@ -166,6 +167,18 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_t(spark, sf_dir, "events"))
+
+
+def _q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.props_extract(_t(spark, sf_dir, "events"))
+
+
+def _q_events_topk_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.topk_by_type(_t(spark, sf_dir, "events"))
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rollup_counts": _q_lang_rollup_counts,
         "docs_paginated": _q_docs_paginated,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "events_props_extract": _q_events_props_extract,
+        "events_topk_by_type": _q_events_topk_by_type,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "web_docs": _q_web_docs,

@@ -1,0 +1,81 @@
+"""Event-stream batch operators: sessionization, JSON props, per-group top-k.
+
+The reference has no event analytics at all (SURVEY.md §2.10 — its closest
+analog is a 10s scheduler tick); these are the standard large-scale log
+operators a training-data pipeline runs next to the KG build.  All are pure
+Catalyst window/aggregate plans with exact DuckDB restatements.
+
+Scale notes: sessionization shuffles once on user_id (uniform key), then two
+window passes over the same partitioning — Spark reuses the sort.  JSON
+extraction is ``get_json_object`` (codegen, no UDF).  Top-k per group is the
+classic rank-window + filter, shuffling on the (low-cardinality but bounded)
+group key — for truly hot groups the mitigation is pre-aggregating a per-
+partition top-k before the final window (not needed at these cardinalities).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the previous event exceeds ``gap_minutes``.
+
+    Output: one row per session with bounds, event count, and value sum.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        # unix_timestamp handles TIMESTAMP_NTZ parquet columns; the gap is a
+        # difference, so any timezone interpretation cancels.
+        F.when(
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    with_sid = gapped.withColumn(
+        "session_idx", F.sum("is_new").over(w).cast("long")
+    )
+    return (
+        with_sid.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
+    from the free-form ``props`` JSON column — codegen, no UDF."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+def topk_by_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k events by value within each event_type (deterministic ties)."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "event_type", "event_id", "value", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

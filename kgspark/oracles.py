@@ -318,6 +318,40 @@ SELECT doc_id, lang, n_chars, row_num FROM (
 ) WHERE row_num BETWEEN 51 AND 100
 """.strip()
 
+    q["events_sessionize"] = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 30 * 60 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM gapped
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 6) AS total_value
+FROM sid
+GROUP BY user_id, session_idx
+""".strip()
+
+    q["events_props_extract"] = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events
+""".strip()
+
+    q["events_topk_by_type"] = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+""".strip()
+
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
