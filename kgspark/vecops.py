@@ -177,6 +177,17 @@ def cosine_pairs(
     )
 
 
+def _probe_buckets(bucket: Column, n_planes: int, multiprobe: int) -> Column:
+    """Bucket ids to probe: the home bucket plus, when ``multiprobe>=1``,
+    every bucket at Hamming distance 1 (each sign bit flipped) — the
+    standard multi-probe LSH recall boost without extra tables."""
+    probes = [bucket]
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.append(bucket.bitwiseXOR(F.lit(2 ** i)))
+    return F.array(*probes)
+
+
 def cosine_pairs_lsh(
     corpus: DataFrame,
     dim: int,
@@ -184,11 +195,18 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Scale path for embedding near-dup: bucket by random-hyperplane sign
-    signature, score only within-bucket pairs (recall < 1 by design — similar
-    vectors land in the same bucket with high probability; multi-probe raises
-    recall).  Shuffle key is the bucket id, never the full cross join."""
+    signature; score only candidate pairs sharing a probed bucket.
+
+    Recall < 1 by design: a pair at angle θ shares the home bucket with
+    probability (1-θ/π)^n_planes; ``multiprobe=1`` additionally probes every
+    Hamming-1 bucket of the LEFT side, covering pairs that disagree on one
+    plane (for true near-dups at cosine≥0.9 this lifts recall from ~0.4 to
+    ~0.8 at n_planes=6).  Shuffle key stays the bucket id; candidate volume
+    grows by at most (n_planes+1)x, never toward the full cross join.
+    """
     planes = make_planes(dim, n_planes)
     n = corpus.select(
         F.col(id_col).alias("vid"),
@@ -197,7 +215,12 @@ def cosine_pairs_lsh(
         _rp_bits(F.col(vec_col), planes).alias("bucket"),
     )
     a = n.select(
-        "bucket", F.col("vid").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+        F.explode(
+            _probe_buckets(F.col("bucket"), n_planes, multiprobe)
+        ).alias("bucket"),
+        F.col("vid").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = n.select(
         "bucket", F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
@@ -225,13 +248,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's random-hyperplane bucket.
+    """Approximate top-k: probe the query's random-hyperplane bucket plus
+    (``multiprobe>=1``) every Hamming-1 neighbor bucket.
 
     Recall < 1.0 by design; the scale win is that the corpus join key is the
-    LSH bucket (uniform-ish), so each query touches ~corpus/2^n_planes rows
-    instead of all of them.  Multi-probe (flipping low-confidence bits) is a
-    natural extension.
+    LSH bucket (uniform-ish), so each query touches ~(n_planes+1) buckets of
+    ~corpus/2^n_planes rows instead of all of them.
     """
     planes = make_planes(dim, n_planes)
     c = corpus.select(
@@ -242,7 +266,9 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _rp_bits(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            _probe_buckets(_rp_bits(F.col(vec_col), planes), n_planes, multiprobe)
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

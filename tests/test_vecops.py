@@ -1,0 +1,79 @@
+"""Vector similarity: planted near-dup recall, multi-probe, determinism."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import vecops
+
+DIM = 32
+
+
+def _vec(seed: str) -> list[float]:
+    out = []
+    for j in range(DIM):
+        h = hashlib.sha256(f"{seed}:{j}".encode()).digest()
+        out.append(2.0 * (struct.unpack(">Q", h[:8])[0] / 2**64) - 1.0)
+    return out
+
+
+def _perturb(v: list[float], eps: float = 0.02) -> list[float]:
+    return [x + eps * ((i % 3) - 1) for i, x in enumerate(v)]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 random vectors + 40 near-duplicates (cosine ~0.999)."""
+    rows = [(i, _vec(f"base{i}")) for i in range(200)]
+    rows += [(1000 + i, _perturb(_vec(f"base{i}"))) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_pairs_find_planted_dups(planted):
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs(planted, threshold=0.95).collect()
+    }
+    assert {(i, 1000 + i) for i in range(40)} <= got
+
+
+def test_lsh_pairs_high_recall_on_true_near_dups(planted):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs(planted, threshold=0.95).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs_lsh(
+            planted, dim=DIM, threshold=0.95, multiprobe=1
+        ).collect()
+    }
+    assert approx <= exact  # no false positives: exact verify inside
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"near-dup recall {recall:.2f} below 0.85"
+
+
+def test_multiprobe_dominates_single_probe(planted):
+    base = vecops.cosine_pairs_lsh(
+        planted, dim=DIM, threshold=0.95, multiprobe=0
+    ).count()
+    probed = vecops.cosine_pairs_lsh(
+        planted, dim=DIM, threshold=0.95, multiprobe=1
+    ).count()
+    assert probed >= base
+
+
+def test_topk_deterministic_and_self_excluded(planted):
+    q = planted.filter(F.col("vec_id") < 5)
+    a = [tuple(r) for r in vecops.cosine_topk(planted, q, k=3).collect()]
+    b = [tuple(r) for r in vecops.cosine_topk(planted, q, k=3).collect()]
+    assert sorted(a) == sorted(b)
+    assert all(r[0] != r[1] for r in a)
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r[0], []).append(r)
+    assert all(len(v) == 3 for v in per_q.values())
