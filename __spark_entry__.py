@@ -326,7 +326,8 @@ def _q_web_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symptom→Disease BFS over the web KG — iterative, no SQL oracle."""
+    """G4: Symptom→Disease BFS over the web KG (iterative joins); checked
+    against an independent driver-side level-synchronous BFS oracle."""
     b = _web_built(spark)
     p = graph.graph_search(b["entities"], b["relations"])
     return p.select(
@@ -336,7 +337,8 @@ def _q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_graph_render_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rendered llm-friendly path strings — iterative, no SQL oracle."""
+    """G5: rendered llm-friendly path strings; VALUES-oracled (J4 edge pick
+    mirrored driver-side)."""
     b = _web_built(spark)
     v, e = graph.vertices(b["entities"]), graph.edges(b["relations"])
     p = graph.bfs_paths(v, e)

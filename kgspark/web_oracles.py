@@ -198,6 +198,80 @@ def build() -> dict[str, str]:
         }
     )
 
+    # G4 BFS paths: independent level-synchronous BFS over the golden graph,
+    # mirroring kgspark.graph.bfs_paths' documented determinism rules (starts
+    # ordered by entity_id, first-visit min-path ties, (depth, path) top-k) —
+    # shares no code with the iterative-join implementation it checks.
+    adj: dict[str, set[str]] = {}
+    for r in g.relations.values():
+        adj.setdefault(r["source_entity_id"], set()).add(r["target_entity_id"])
+        adj.setdefault(r["target_entity_id"], set()).add(r["source_entity_id"])
+    etype = {e["entity_id"]: e["entity_type"] for e in g.entities.values()}
+    starts = sorted(
+        eid for eid, t in etype.items() if t.lower() == "symptom"
+    )[:50]
+    max_depth, max_paths = 6, 5
+    hits: list[tuple[str, list[str], int]] = []
+    frontier: dict[tuple[str, str], list[str]] = {
+        (s, s): [s] for s in starts
+    }
+    visited: set[tuple[str, str]] = set(frontier)
+    for depth in range(1, max_depth + 1):
+        nxt: dict[tuple[str, str], list[str]] = {}
+        for (s, node), path in frontier.items():
+            for nbr in adj.get(node, ()):  # expand both directions
+                key = (s, nbr)
+                if key in visited:
+                    continue
+                cand = path + [nbr]
+                if key not in nxt or cand < nxt[key]:
+                    nxt[key] = cand
+        if not nxt:
+            break
+        for (s, node), path in nxt.items():
+            if etype.get(node, "").lower() == "disease":
+                hits.append((s, path, depth))
+        visited |= set(nxt)
+        frontier = nxt
+    by_start: dict[str, list[tuple[str, list[str], int]]] = {}
+    for s, path, depth in hits:
+        by_start.setdefault(s, []).append((s, path, depth))
+    bfs_rows = []
+    for s, items in by_start.items():
+        for s2, path, depth in sorted(items, key=lambda x: (x[2], x[1]))[:max_paths]:
+            bfs_rows.append((s2, "->".join(path), depth))
+
+    # G5/J4 path rendering: per (a,b) step pick the edge by max(is_forward,
+    # description) over both directions (forward preferred), render
+    # "A --- desc ---> B" segments joined with ' ----- '.
+    fwd_desc: dict[tuple[str, str], list[str]] = {}
+    for r in g.relations.values():
+        fwd_desc.setdefault(
+            (r["source_entity_id"], r["target_entity_id"]), []
+        ).append(r["relationship_description"])
+    ename = {e["entity_id"]: e["entity_name"] for e in g.entities.values()}
+
+    def _pick(a: str, b: str) -> tuple[bool, str] | None:
+        cands = [(True, d) for d in fwd_desc.get((a, b), [])]
+        cands += [(False, d) for d in fwd_desc.get((b, a), [])]
+        return max(cands) if cands else None
+
+    render_rows = []
+    for s, path_str, depth in bfs_rows:
+        path = path_str.split("->")
+        segs = []
+        ok = True
+        for a, b in zip(path, path[1:]):
+            picked = _pick(a, b)
+            if picked is None:
+                ok = False  # step without an edge drops from the render join
+                break
+            is_fwd, desc = picked
+            arrows = (" --- ", " ---> ") if is_fwd else (" <--- ", " --- ")
+            segs.append(f"{ename[a]}{arrows[0]}{desc}{arrows[1]}{ename[b]}")
+        if ok and segs:
+            render_rows.append((s, " ----- ".join(segs), depth))
+
     # P12 document summaries: content_summary recomputed from the corpus rows
     # (first-wins dedup in the same (url, warc_ts) order as refimpl.run).
     chunk_counts: dict[str, int] = {}
@@ -227,6 +301,12 @@ def build() -> dict[str, str]:
             summary_rows,
             ["doc_id", "summary", "status", "content_length", "n_chunks"],
             ["s", "s", "s", "i", "i"],
+        ),
+        "graph_bfs_paths": _values(
+            bfs_rows, ["start", "path_str", "depth"], ["s", "s", "i"]
+        ),
+        "graph_render_paths": _values(
+            render_rows, ["start", "rendered", "depth"], ["s", "s", "i"]
         ),
         "web_docs": _values(
             docs_rows, ["doc_id", "url", "lang", "content_length"], ["s", "s", "s", "i"]
