@@ -72,6 +72,54 @@ def ingest_available_now(
     return n_batches["n"]
 
 
+def dedup_stream(
+    web_pages: DataFrame,
+) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch exact dedup by content hash.
+
+    ``applyInPandasWithState`` keyed on sha256(text): the first page with a
+    given content hash is emitted, every later arrival (same batch or any
+    later batch) is dropped.  State is one boolean per hash, persisted in the
+    streaming state store — a restart from the checkpoint continues
+    deduplicating against everything already seen.  This is the streaming
+    twin of the batch anti-join resume: same invariant (content-addressed
+    first-wins), state-store instead of warehouse table.
+
+    Output: (url, warc_ts, text_sha256) of first-seen pages, append mode.
+    """
+    from pyspark.sql import functions as F2
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = web_pages.select(
+        "url", "warc_ts", F2.sha2(F2.coalesce("text", F2.lit("")), 256).alias("text_sha256")
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            # hash already emitted in an earlier batch: drop everything
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+                first = pdf.iloc[[0]][["url", "warc_ts", "text_sha256"]]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return hashed.groupBy("text_sha256").applyInPandasWithState(
+        fn,
+        outputStructType="url string, warc_ts timestamp, text_sha256 string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def docs_per_window(
     web_pages: DataFrame,
     window: str = "1 hour",

@@ -83,3 +83,45 @@ def test_docs_per_window_stream_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert got == expected
     assert len(got) > 1  # multiple event-time windows actually exercised
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState dedup: first-wins across batches and restarts."""
+    tmp = str(tmp_path)
+    _write_drop(spark, tmp, "d1", 0, 30)
+
+    out_dir = os.path.join(tmp, "dedup_out")
+
+    def drain():
+        stream = streaming.read_web_pages_stream(spark, os.path.join(tmp, "input"))
+        q = (
+            streaming.dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    got1 = drain()
+    hashes1 = [r["text_sha256"] for r in got1]
+    assert len(hashes1) == len(set(hashes1))  # one emission per content hash
+
+    # replay rows 0-30 + add 30-60: only genuinely-new hashes emit after the
+    # RESTART (fresh query, same checkpoint — state store carries the seen set)
+    _write_drop(spark, tmp, "d2", 0, 30)
+    _write_drop(spark, tmp, "d3", 30, N)
+    got2 = drain()
+    hashes2 = [r["text_sha256"] for r in got2]
+    assert len(hashes2) == len(set(hashes2))
+    assert set(hashes1) <= set(hashes2)
+
+    import hashlib
+    expected = {
+        hashlib.sha256((t or "").encode()).hexdigest()
+        for _, _, _, t, _ in datagen.web_pages_rows(N, SEED)
+    }
+    assert set(hashes2) == expected
