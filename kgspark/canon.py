@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ids, spec
+from .textops import MINHASH_P, minhash_perm_coeffs
 
 LSH_K = 8            # minhash permutations over char 3-grams
 LSH_BAND_ROWS = 2    # 4 bands of 2 — recall-leaning for short strings
@@ -106,11 +107,20 @@ def lsh_pairs(
     """
     sh = names.withColumn("shingles", _shingle_expr(F.col("nkey")))
 
+    # hash each shingle ONCE into the 31-bit universe, then k cheap affine
+    # permutations (a_j*h + b_j) mod 2^31-1 — k md5 calls per shingle -> 1
+    # (same universal-hashing scheme as textops.minhash_signatures; the
+    # driver-side mirror in web_oracles._band_keys uses identical constants).
+    sh = sh.withColumn(
+        "_hs", F.transform("shingles", lambda s: _hash60(s) % F.lit(MINHASH_P))
+    )
+
     def _perm(j: int):
-        return lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
+        a, b = minhash_perm_coeffs(j)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     sig_cols = [
-        F.array_min(F.transform("shingles", _perm(j))).alias(f"mh{j}")
+        F.array_min(F.transform("_hs", _perm(j))).alias(f"mh{j}")
         for j in range(k)
     ]
     sig = sh.select("name", "shingles", *sig_cols)

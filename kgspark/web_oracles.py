@@ -57,8 +57,13 @@ def _shingles(nkey: str, n: int = 3) -> set[str]:
 
 
 def _band_keys(nkey: str, k: int = 8, band_rows: int = 2) -> list[str]:
-    sh = _shingles(nkey)
-    sig = [min(_h60(f"{j}:{s}") for s in sh) for j in range(k)]
+    from .textops import MINHASH_P, minhash_perm_coeffs
+
+    hs = [_h60(s) % MINHASH_P for s in _shingles(nkey)]
+    sig = []
+    for j in range(k):
+        a, b = minhash_perm_coeffs(j)
+        sig.append(min((a * h + b) % MINHASH_P for h in hs))
     return [
         ":".join([str(b)] + [str(sig[b * band_rows + r]) for r in range(band_rows)])
         for b in range(k // band_rows)
