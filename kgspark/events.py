@@ -53,7 +53,14 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
             F.count(F.lit(1)).alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # Sum exactly: doubles accumulate in partition/arrival order, so a
+            # float sum is not partition-invariant (and hash-diverged from the
+            # DuckDB oracle near round-6 ties in round 1).  decimal(38,9)
+            # addition is exact and associative — the rounded total is
+            # order-independent on any engine.
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -334,7 +334,7 @@ SELECT user_id, session_idx,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       round(sum(value), 6) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS total_value
 FROM sid
 GROUP BY user_id, session_idx
 """.strip()
