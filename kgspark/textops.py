@@ -184,26 +184,75 @@ def _shingles(t: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
-def minhash_row_py(text: str, k: int = MINHASH_K) -> list[int] | None:
-    """Kernel: one document's minhash signature (None if < SHINGLE_N tokens).
+def _doc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Catalyst-side identity + trim feeding every Python kernel.
 
-    Arithmetic is engine-portable and shared verbatim with the DuckDB oracle:
-    shingle -> int(md5[:15],16) % (2^31-1), then k affine permutations
-    (a_j*h + b_j) mod p, min per permutation.
+    ONE normalization for all engines: ``F.trim`` (Spark) == ``trim``
+    (DuckDB oracle) strip ASCII spaces only, and ``kg_doc_id`` is derived in
+    Catalyst — the kernels never re-derive identity in Python, so docs with
+    leading tabs/newlines/unicode whitespace can't get divergent ids between
+    the signature tables and the doc/metrics tables (Python ``str.strip()``
+    strips unicode whitespace and silently broke those joins before).
     """
-    import hashlib
+    t = F.trim(F.col(text_col))
+    return docs.filter(F.length(t) > 0).select(
+        ids.doc_id(t).alias("kg_doc_id"), t.alias("_text")
+    )
+
+
+def _split_ascii_ws(text: str) -> list[str]:
+    """The shared token split: ASCII \\s+ on the Catalyst-trimmed text —
+    byte-for-byte the oracle's ``string_split_regex(trim(text), '\\s+')``."""
     import re
 
-    toks = re.split(r"\s+", text.strip(), flags=re.ASCII) if text and text.strip() else []
+    return re.split(r"\s+", text, flags=re.ASCII)
+
+
+def _ordered_shingles(toks: list[str], n: int = SHINGLE_N) -> list[str]:
+    """First-occurrence-distinct n-token shingles (oracle: list_distinct)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# Executor-global md5 caches: the md5 calls are the only per-item Python in
+# the vectorized kernels, and shingle/token reuse across documents is high in
+# real corpora.  Bounded (entries are ~100 B; 4M ≈ 400 MB worst case).
+_MD5_CACHE: dict[str, int] = {}
+_MD5_CACHE_MAX = 4_000_000
+
+
+def _md5_60(s: str) -> int:
+    """int(md5(s)[:15], 16) — the engine-portable 60-bit hash, cached."""
+    import hashlib
+
+    v = _MD5_CACHE.get(s)
+    if v is None:
+        if len(_MD5_CACHE) >= _MD5_CACHE_MAX:
+            _MD5_CACHE.clear()
+        v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        _MD5_CACHE[s] = v
+    return v
+
+
+def minhash_row_py(text: str, k: int = MINHASH_K) -> list[int] | None:
+    """Reference kernel: one document's minhash signature (None if < SHINGLE_N
+    tokens).  Scalar form of the vectorized batch kernel — kept as the
+    unit-test spec; arithmetic is engine-portable and shared verbatim with the
+    DuckDB oracle: shingle -> int(md5[:15],16) % (2^31-1), then k affine
+    permutations (a_j*h + b_j) mod p, min per permutation.
+
+    ``text`` is expected pre-trimmed (ASCII spaces) by the Catalyst side.
+    """
+    toks = _split_ascii_ws(text) if text else []
     if len(toks) < SHINGLE_N:
         return None
-    shingles = {
-        " ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
-    }
-    hs = [
-        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
-        for s in shingles
-    ]
+    hs = [_md5_60(s) % MINHASH_P for s in _ordered_shingles(toks)]
     out = []
     for j in range(k):
         a, b = minhash_perm_coeffs(j)
@@ -211,44 +260,113 @@ def minhash_row_py(text: str, k: int = MINHASH_K) -> list[int] | None:
     return out
 
 
+# Cap on flattened shingle-hash block size for the vectorized permutation
+# matmul: bounds transient numpy memory at k * BLOCK * 8 B per array.
+_MINHASH_BLOCK = 1 << 18
+
+
+def _sig_shingle_kernel(k: int, include_shingles: bool):
+    """Batch kernel computing minhash signatures (and optionally the shingle
+    sets) in ONE pass over the text column.
+
+    The k affine permutations run as a single numpy broadcast
+    ``(A[:,None]*hs[None,:] + B[:,None]) % P`` with per-document minima via
+    ``np.minimum.reduceat`` — the md5 of each *unique* shingle (cached
+    executor-globally) is the only per-item Python left.  Measured ~3x over
+    the previous per-row hashlib/min() loops at sf0.1 (and the shared-scan
+    shape halves the jaccard operator on top).
+    """
+    import numpy as np
+    import pandas as pd
+
+    A = np.asarray([minhash_perm_coeffs(j)[0] for j in range(k)], dtype=np.int64)
+    B = np.asarray([minhash_perm_coeffs(j)[1] for j in range(k)], dtype=np.int64)
+    mh_cols = [f"mh{j}" for j in range(k)]
+
+    def _sigs_for(flat: list[int], offsets: list[int]) -> "np.ndarray":
+        hs = np.asarray(flat, dtype=np.int64) % MINHASH_P
+        offs = np.asarray(offsets, dtype=np.int64)
+        # (k, n_shingles) broadcast; a,h < 2^31 so a*h+b < 2^63 stays exact.
+        m = (A[:, None] * hs[None, :] + B[:, None]) % MINHASH_P
+        return np.minimum.reduceat(m, offs, axis=1).T  # (n_docs, k)
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids: list[str] = []
+            out_sh: list[list[str]] = []
+            sig_blocks: list[np.ndarray] = []
+            flat: list[int] = []
+            offsets: list[int] = []
+            for doc_id, text in zip(pdf["kg_doc_id"], pdf["_text"]):
+                toks = _split_ascii_ws(text) if text else []
+                if len(toks) < SHINGLE_N:
+                    continue
+                sh = _ordered_shingles(toks)
+                if len(flat) + len(sh) > _MINHASH_BLOCK and flat:
+                    sig_blocks.append(_sigs_for(flat, offsets))
+                    flat, offsets = [], []
+                offsets.append(len(flat))
+                flat.extend(_md5_60(s) for s in sh)
+                out_ids.append(doc_id)
+                if include_shingles:
+                    out_sh.append(sh)
+            if flat:
+                sig_blocks.append(_sigs_for(flat, offsets))
+            sigs = (
+                np.concatenate(sig_blocks)
+                if sig_blocks
+                else np.empty((0, k), dtype=np.int64)
+            )
+            res = pd.DataFrame({"kg_doc_id": out_ids})
+            if include_shingles:
+                res["shingles"] = out_sh
+            for j, c in enumerate(mh_cols):
+                res[c] = sigs[:, j]
+            yield res
+
+    return gen
+
+
+def minhash_shingles(
+    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """(kg_doc_id, shingles, mh0..mh{k-1}) in ONE scan of the text column.
+
+    The shared upstream of the two-phase near-dup: LSH banding consumes the
+    signature columns, the exact-Jaccard verify consumes the shingle sets —
+    persist this frame and both stages read it (no recompute).
+    """
+    fields = "kg_doc_id string, shingles array<string>, " + ", ".join(
+        f"mh{j} long" for j in range(k)
+    )
+    return _doc_text(docs, text_col).mapInPandas(
+        _sig_shingle_kernel(k, include_shingles=True), schema=fields
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
     """K-permutation MinHash signature over token 3-gram shingles.
 
-    Arrow-batched mapInPandas over the pruned text column.  A pure-Catalyst
-    formulation exists but loses: shingle construction + k permutation scans
-    run as *interpreted* higher-order-function lambdas (never codegen'd) —
-    measured 7x slower than this kernel at sf0.1.  Only (text) crosses into
-    Python; the signature is (k+1) longs per row out.  Columns mh0..mh{k-1}
-    stay flat so downstream banding and the DuckDB oracle are trivial.
+    Arrow-batched mapInPandas over (Catalyst id, pruned text).  A
+    pure-Catalyst formulation exists but loses: shingle construction + k
+    permutation scans run as *interpreted* higher-order-function lambdas
+    (never codegen'd) — measured 7x slower than the Arrow kernel at sf0.1;
+    the numpy permutation fold (see _sig_shingle_kernel) buys another ~3x.
+    Columns mh0..mh{k-1} stay flat so downstream banding and the DuckDB
+    oracle are trivial.
     """
-    import pandas as pd
-
     fields = ", ".join(["kg_doc_id string"] + [f"mh{j} long" for j in range(k)])
-
-    def gen(batches):
-        import hashlib
-
-        for pdf in batches:
-            rows = []
-            for text in pdf["_text"]:
-                t = (text or "").strip()
-                if not t:
-                    continue
-                sig = minhash_row_py(t, k)
-                if sig is None:
-                    continue
-                doc_id = "doc-" + hashlib.sha256(t.encode()).hexdigest()
-                rows.append([doc_id, *sig])
-            yield pd.DataFrame(
-                rows, columns=["kg_doc_id"] + [f"mh{j}" for j in range(k)]
-            )
-
-    pruned = docs.select(F.col(text_col).alias("_text"))
-    return pruned.mapInPandas(gen, schema=fields)
+    return _doc_text(docs, text_col).mapInPandas(
+        _sig_shingle_kernel(k, include_shingles=False), schema=fields
+    )
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    band_rows: int = LSH_BAND_ROWS,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of minhash signatures.
 
@@ -256,8 +374,12 @@ def lsh_candidate_pairs(
     (narrow) → explode k/band_rows band keys → self-join within band buckets
     (shuffle on band hash only) → distinct pairs.  This is the
     O(n²)→O(n·bucket) reduction that makes near-dup feasible at 100 TB.
+
+    Pass ``signatures`` (any frame carrying kg_doc_id + mh0..mh{k-1}, e.g. a
+    persisted :func:`minhash_shingles`) to band precomputed signatures
+    instead of re-scanning the corpus.
     """
-    sig = minhash_signatures(docs, text_col, k)
+    sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
     n_bands = k // band_rows
     bands = F.array(
         *[
@@ -304,35 +426,27 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(kg_doc_id, shingles array<string>) via an Arrow-batched kernel.
 
     Same rationale as minhash_signatures: Catalyst's higher-order-function
-    shingle construction runs interpreted (measured ~7x slower)."""
+    shingle construction runs interpreted (measured ~7x slower).  Identity is
+    Catalyst-derived (see :func:`_doc_text`)."""
     import pandas as pd
 
     def gen(batches):
-        import hashlib
-        import re
-
         for pdf in batches:
             ids_, shs = [], []
-            for text in pdf["_text"]:
-                t = (text or "").strip()
-                if not t:
-                    continue
-                toks = re.split(r"\s+", t, flags=re.ASCII)
+            for doc_id, text in zip(pdf["kg_doc_id"], pdf["_text"]):
+                toks = _split_ascii_ws(text) if text else []
                 if len(toks) < SHINGLE_N:
                     continue
-                seen, ordered = set(), []
-                for i in range(len(toks) - SHINGLE_N + 1):
-                    s = " ".join(toks[i : i + SHINGLE_N])
-                    if s not in seen:
-                        seen.add(s)
-                        ordered.append(s)
-                ids_.append("doc-" + hashlib.sha256(t.encode()).hexdigest())
-                shs.append(ordered)
+                ids_.append(doc_id)
+                shs.append(_ordered_shingles(toks))
             yield pd.DataFrame({"kg_doc_id": ids_, "shingles": shs})
 
-    return docs.select(F.col(text_col).alias("_text")).mapInPandas(
+    return _doc_text(docs, text_col).mapInPandas(
         gen, schema="kg_doc_id string, shingles array<string>"
     )
+
+
+_JACCARD_PERSISTED: list[DataFrame] = []
 
 
 def ngram_jaccard_pairs(
@@ -340,12 +454,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs (verify step of MinHash).
 
-    Candidate generation is the LSH join above; this stage re-joins the
-    shingle sets for candidates only and computes exact Jaccard — the
-    standard two-phase near-dup at scale.
+    The candidate join and the verify join share ONE upstream: a persisted
+    :func:`minhash_shingles` frame (signature + shingle set from a single
+    scan/kernel pass).  The banding self-join reads its mh columns, the
+    Jaccard joins read its shingles — the text column is scanned and
+    shingled exactly once per action (previously 3x: signatures for banding
+    plus two independent shingle scans).
     """
-    sh = shingle_sets(docs, text_col)
-    pairs = lsh_candidate_pairs(docs, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    both = minhash_shingles(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # one cached upstream at a time: repeated calls (bench reps, sessions
+    # issuing the query more than once) drop the previous frame's cache
+    # instead of accumulating MEMORY_AND_DISK RDDs for the session lifetime.
+    prev = _JACCARD_PERSISTED.pop(0) if _JACCARD_PERSISTED else None
+    if prev is not None:
+        prev.unpersist()
+    _JACCARD_PERSISTED.append(both)
+    pairs = lsh_candidate_pairs(docs, text_col, signatures=both)
+    sh = both.select("kg_doc_id", "shingles")
     j = (
         pairs.join(sh.withColumnRenamed("kg_doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("kg_doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
@@ -363,25 +490,20 @@ def ngram_jaccard_pairs(
 
 
 def simhash_row_py(text: str, bits: int = 32) -> int | None:
-    """Kernel: one document's simhash (None for empty text).
+    """Reference kernel: one document's simhash (None for empty text) — the
+    scalar unit-test spec of the vectorized batch kernel below.
 
     Engine-portable arithmetic shared with the DuckDB oracle: per distinct
     token h = int(md5[:15],16); bit b votes +1 if (h>>b)&1 else -1; the
-    fingerprint sets bit b where the vote is positive.
+    fingerprint sets bit b where the vote is positive.  ``text`` is expected
+    pre-trimmed (ASCII spaces) by the Catalyst side.
     """
-    import hashlib
-    import re
-
-    t = (text or "").strip()
-    if not t:
+    if not text:
         return None
-    toks = re.split(r"\s+", t, flags=re.ASCII)
-    # list (not set) over first-occurrence-distinct tokens: mirrors the
-    # oracle's list_transform(list_distinct(toks), ...) exactly
-    hs = [
-        int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-        for tok in dict.fromkeys(toks)
-    ]
+    toks = _split_ascii_ws(text)
+    # first-occurrence-distinct tokens: mirrors the oracle's
+    # list_transform(list_distinct(toks), ...) exactly
+    hs = [_md5_60(tok) for tok in dict.fromkeys(toks)]
     sim = 0
     for b in range(bits):
         vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
@@ -394,26 +516,40 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """SimHash fingerprint from per-token 60-bit hashes (default 32 bits).
 
     Arrow-batched kernel (the pure-Catalyst bit-vote fold runs 32 interpreted
-    ``aggregate`` lambdas per row — measured ~8x slower).  Hamming-distance
-    bucketing downstream can reuse the same banding trick as MinHash.
+    ``aggregate`` lambdas per row — measured ~8x slower).  The bit votes run
+    as one numpy broadcast per batch (segment sums via ``np.add.reduceat``);
+    the md5 of each *unique* token (cached) is the only per-item Python.
+    Hamming-distance bucketing downstream can reuse the same banding trick
+    as MinHash.  Identity is Catalyst-derived (see :func:`_doc_text`).
     """
+    import numpy as np
     import pandas as pd
 
-    def gen(batches):
-        import hashlib
+    bit_idx = np.arange(bits, dtype=np.int64)
+    weights = (1 << bit_idx).astype(np.int64)
 
+    def gen(batches):
         for pdf in batches:
-            ids_, sims = [], []
-            for text in pdf["_text"]:
-                s = simhash_row_py(text, bits)
-                if s is None:
+            ids_: list[str] = []
+            flat: list[int] = []
+            offsets: list[int] = []
+            for doc_id, text in zip(pdf["kg_doc_id"], pdf["_text"]):
+                if not text:
                     continue
-                ids_.append(
-                    "doc-" + hashlib.sha256(text.strip().encode()).hexdigest()
-                )
-                sims.append(s)
+                toks = _split_ascii_ws(text)
+                ids_.append(doc_id)
+                offsets.append(len(flat))
+                flat.extend(_md5_60(t) for t in dict.fromkeys(toks))
+            if ids_:
+                hs = np.asarray(flat, dtype=np.int64)
+                # (n_hashes, bits) ±1 votes, summed per document segment
+                votes = ((hs[:, None] >> bit_idx[None, :]) & 1) * 2 - 1
+                seg = np.add.reduceat(votes, np.asarray(offsets), axis=0)
+                sims = ((seg > 0) * weights[None, :]).sum(axis=1)
+            else:
+                sims = np.empty(0, dtype=np.int64)
             yield pd.DataFrame({"kg_doc_id": ids_, "simhash": sims})
 
-    return docs.select(F.col(text_col).alias("_text")).mapInPandas(
+    return _doc_text(docs, text_col).mapInPandas(
         gen, schema="kg_doc_id string, simhash long"
     )
