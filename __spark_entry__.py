@@ -110,6 +110,36 @@ def _q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.token_window_chunks(_t(spark, sf_dir, "documents"))
 
 
+def _q_kg_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with the reference-default sliding shape (utils.rs:102-125):
+    windows stepping size-overlap, emission-order chunk_order_index."""
+    from kgspark import spec
+
+    return chunking.token_window_chunks(
+        _t(spark, sf_dir, "documents"),
+        size=spec.CHUNK_TOKENS,
+        overlap=spec.CHUNK_WINDOW_OVERLAP,
+    )
+
+
+def _q_kg_chunks_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (utils.rs:65-101): delimiter pre-split + re-window of oversized
+    pieces, global emission-order chunk_order_index."""
+    from kgspark import spec
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.length(F.trim("text")) > 0).select(
+        kgids.doc_id(F.trim("text")).alias("doc_id"),
+        F.trim("text").alias("text"),
+    )
+    return chunking.delimiter_chunks(
+        base,
+        delimiter=spec.DELIM_CHUNK_DELIMITER,
+        max_tokens=spec.DELIM_CHUNK_MAX_TOKENS,
+        overlap=spec.DELIM_CHUNK_OVERLAP,
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -357,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_type_counts": _q_kg_entity_type_counts,
         "kg_entity_links": _q_kg_entity_links,
         "kg_chunks": _q_kg_chunks,
+        "kg_chunks_overlap": _q_kg_chunks_overlap,
+        "kg_chunks_delim": _q_kg_chunks_delim,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,

@@ -6,9 +6,10 @@ with ``chunk_order_index`` = emission order and ``chunk-<sha256(text)>`` ids
 (pipeline/chunker.rs:72).  The chunk window is *within one row's text*, so a
 Spark ``Window`` does not apply; instead:
 
-  * :func:`token_window_chunks` — non-overlapping whitespace-token windows as
-    a pure narrow array projection (``transform``+``slice``+``posexplode``).
-    Zero shuffles, zero Python; this is the oracle-checkable path.
+  * :func:`token_window_chunks` — sliding whitespace-token windows (size /
+    overlap, the reference's default 500/50 shape) as a pure narrow array
+    projection (``transform``+``slice``+``posexplode``).  Zero shuffles,
+    zero Python; this is the oracle-checkable path.
   * :func:`sentence_chunks` — the north-star sentence-segmented chunker as a
     vectorized pandas UDF (sentences grouped N-at-a-time, optional sentence
     overlap), used on the web_pages pipeline.
@@ -47,18 +48,33 @@ _CHUNK_STRUCT = ArrayType(
 
 
 def token_window_chunks(
-    docs: DataFrame, text_col: str = "text", size: int = spec.CHUNK_TOKENS
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = spec.CHUNK_TOKENS,
+    overlap: int = 0,
 ) -> DataFrame:
-    """Non-overlapping token windows of ``size`` tokens — Catalyst-only.
+    """Sliding token windows of ``size`` tokens stepping ``size - overlap`` —
+    Catalyst-only (W1, the reference's DEFAULT chunking: 500-token windows
+    stepping 450, utils.rs:102-125, defaults pipeline/pipeline.rs:55-64).
 
-    Window c covers tokens [c*size, (c+1)*size); content is the tokens
-    re-joined with single spaces (the whitespace-normalized contract).
+    Exact reference emission semantics: window c starts at ``c*step`` and
+    covers ``[start, min(start+size, n))``; the loop breaks after the window
+    that reaches the end, so the window count is
+    ``1 + ceil(max(0, n - size) / step)`` (which reduces to ``ceil(n/size)``
+    at overlap=0).  ``chunk_order_index`` = emission order; content is the
+    tokens re-joined with single spaces (the whitespace-normalized
+    contract).  Raises when overlap >= size (utils.rs:57-61 parity).
     """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than chunk size")
+    step = size - overlap
     t = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(t) / F.lit(size)).cast("int")
+    n_chunks = (
+        F.lit(1) + F.ceil(F.greatest(F.size(t) - size, F.lit(0)) / F.lit(step))
+    ).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.array_join(F.slice(t, c * size + 1, size), " "),
+        lambda c: F.array_join(F.slice(t, c * step + 1, size), " "),
     )
     base = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)

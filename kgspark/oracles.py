@@ -236,6 +236,70 @@ SELECT 'chunk-' || sha256(content) AS chunk_id,
 FROM ct
 """.strip()
 
+    step = spec.CHUNK_TOKENS - spec.CHUNK_WINDOW_OVERLAP
+    q["kg_chunks_overlap"] = f"""
+WITH {TOK},
+ch AS (
+  SELECT kg_doc_id AS doc_id,
+         unnest(range(1 + CAST(ceil(greatest(len(toks) - {spec.CHUNK_TOKENS}, 0) / {step}.0) AS BIGINT))) AS chunk_order_index,
+         toks
+  FROM tok
+),
+ct AS (
+  SELECT doc_id, chunk_order_index,
+         array_to_string(toks[chunk_order_index * {step} + 1 :
+                              chunk_order_index * {step} + {spec.CHUNK_TOKENS}], ' ') AS content
+  FROM ch
+)
+SELECT 'chunk-' || sha256(content) AS chunk_id,
+       doc_id, chunk_order_index, content,
+       len(string_split(content, ' ')) AS n_tokens
+FROM ct
+""".strip()
+
+    dmax, dstep = spec.DELIM_CHUNK_MAX_TOKENS, (
+        spec.DELIM_CHUNK_MAX_TOKENS - spec.DELIM_CHUNK_OVERLAP
+    )
+    q["kg_chunks_delim"] = f"""
+WITH {TOK},
+pieces AS (
+  SELECT kg_doc_id,
+         unnest(string_split(ttext, '{spec.DELIM_CHUNK_DELIMITER}')) AS piece,
+         unnest(range(len(string_split(ttext, '{spec.DELIM_CHUNK_DELIMITER}')))) AS pidx
+  FROM tok
+),
+pt AS (
+  SELECT kg_doc_id, pidx, trim(piece) AS piece,
+         string_split_regex(trim(piece), '\\s+') AS ptoks
+  FROM pieces
+  WHERE length(trim(piece)) > 0
+),
+wins AS (
+  SELECT kg_doc_id, pidx,
+         CASE WHEN len(ptoks) <= {dmax} THEN [piece]
+              ELSE list_transform(
+                     range(1 + CAST(ceil((len(ptoks) - {dmax}) / {dstep}.0) AS BIGINT)),
+                     c -> array_to_string(ptoks[c * {dstep} + 1 : c * {dstep} + {dmax}], ' '))
+         END AS contents
+  FROM pt
+),
+flat AS (
+  SELECT kg_doc_id, pidx,
+         unnest(contents) AS content,
+         unnest(range(len(contents))) AS widx
+  FROM wins
+),
+ordered AS (
+  SELECT kg_doc_id AS doc_id, content,
+         row_number() OVER (PARTITION BY kg_doc_id ORDER BY pidx, widx) - 1 AS chunk_order_index
+  FROM flat
+)
+SELECT 'chunk-' || sha256(content) AS chunk_id,
+       doc_id, chunk_order_index, content,
+       len(string_split_regex(content, '\\s+')) AS n_tokens
+FROM ordered
+""".strip()
+
     q["dedup_exact"] = """
 SELECT sha256(trim(text)) AS content_sha256,
        min(doc_id) AS keep_key,

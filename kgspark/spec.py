@@ -59,10 +59,18 @@ MAX_GAP = 4
 NEAR_PREDICATE = "near"
 
 # Chunking defaults.  The reference windows 500 tokens with 50 overlap
-# (pipeline/pipeline.rs:55-64); we default to non-overlapping windows so the
-# chunk set is SQL-expressible (an overlapping variant is exposed by the UDF).
+# (pipeline/pipeline.rs:55-64); both the non-overlapping and the sliding
+# (reference-default) window shapes are Catalyst-expressible and oracled.
 CHUNK_TOKENS = 50
 CHUNK_OVERLAP = 0
+# Sliding-window overlap mirroring the reference's 500/50 ratio at our size.
+CHUNK_WINDOW_OVERLAP = 5
+
+# Delimiter-chunking (W2, utils.rs:65-101) driver-query parameters: split on
+# a literal token delimiter, re-window oversized pieces with overlap.
+DELIM_CHUNK_DELIMITER = " the "
+DELIM_CHUNK_MAX_TOKENS = 16
+DELIM_CHUNK_OVERLAP = 4
 
 # Sentence-segmented chunking for web_pages: consecutive sentences grouped
 # N-at-a-time (north-star "sentence-segmented chunking").
