@@ -16,7 +16,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
@@ -178,13 +177,22 @@ def _q_lang_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 full parity (json_doc_status.rs:301-355): two sort fields, both
+    directions, page-size clamp exercised (5→10, 300→200).  The documents
+    table has no timestamps, so the whitelist maps id→doc_id and
+    file_path→source (lowercased per :131-137)."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    return (
-        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("row_num"))
-        .filter((F.col("row_num") >= 51) & (F.col("row_num") <= 100))
-        .withColumn("row_num", F.col("row_num").cast("long"))
-    )
+    fmap = {"id": "doc_id", "file_path": "source",
+            "created_at": "doc_id", "updated_at": "doc_id"}
+    proj = ["doc_id", "source", "n_chars", "row_num"]
+    a = materialize.docs_paginated(
+        d, page=2, page_size=5, sort_field="id", descending=False, field_map=fmap
+    ).select(F.lit("by_id_asc_p2").alias("page_spec"), *proj)
+    b = materialize.docs_paginated(
+        d, page=1, page_size=300, sort_field="file_path", descending=True,
+        field_map=fmap,
+    ).select(F.lit("by_path_desc_p1").alias("page_spec"), *proj)
+    return a.unionByName(b)
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

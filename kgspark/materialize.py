@@ -32,6 +32,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import canon, pipeline
 
@@ -188,6 +189,66 @@ def document_summaries(status_table: DataFrame) -> DataFrame:
         "status",
         F.col("content_length").cast("long").alias("content_length"),
         F.size("chunks_list").cast("long").alias("n_chunks"),
+    )
+
+
+PAGE_SIZE_MIN, PAGE_SIZE_MAX = 10, 200  # json_doc_status.rs:310 clamp
+DOC_SORT_FIELDS = ("created_at", "updated_at", "id", "file_path")
+
+# whitelist name -> column of the doc_status layout (json_doc_status.rs:128-140)
+_DOC_STATUS_FIELD_MAP = {
+    "created_at": "created_at",
+    "updated_at": "updated_at",
+    "id": "doc_id",
+    "file_path": "url",
+}
+
+
+def docs_paginated(
+    df: DataFrame,
+    *,
+    page: int = 1,
+    page_size: int = 200,
+    sort_field: str = "updated_at",
+    descending: bool = True,
+    status: str | None = None,
+    field_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """W3 (json_doc_status.rs:301-355): filter → whitelisted sort → page slice.
+
+    Reference parity: ``page`` floors at 1 (:309); ``page_size`` clamps to
+    10..200 (:310); a ``sort_field`` outside the whitelist
+    created_at/updated_at/id/file_path falls back to updated_at (:311-315,
+    :128-140); ``file_path`` sorts by its LOWERCASED value with missing →
+    'no-file-path' (:131-137); default direction is the caller's
+    ``descending`` (the HTTP layer defaults to updated_at desc).  Documented
+    deviation: the reference's equal-key order is HashMap insertion order
+    (nondeterministic); we tiebreak by id ascending.
+
+    Scale: ``orderBy(...).limit(page*page_size)`` compiles to
+    TakeOrderedAndProject — per-partition top-k then a driver-side merge of
+    k-row heaps, never a global single-task sort; the row_number window that
+    assigns ranks then runs over at most page*page_size rows.
+    """
+    fmap = field_map or _DOC_STATUS_FIELD_MAP
+    page = max(1, page)
+    page_size = min(PAGE_SIZE_MAX, max(PAGE_SIZE_MIN, page_size))
+    if sort_field not in DOC_SORT_FIELDS or sort_field not in fmap:
+        sort_field = "updated_at"
+    if status is not None:
+        df = df.filter(F.col("status") == status)
+
+    key = F.col(fmap[sort_field])
+    if sort_field == "file_path":
+        key = F.lower(F.coalesce(key, F.lit("no-file-path")))
+    id_col = F.col(fmap["id"])
+    order = [key.desc() if descending else key.asc(), id_col.asc()]
+
+    top = df.orderBy(*order).limit(page * page_size)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("row_num", F.row_number().over(w).cast("long"))
+        .filter(F.col("row_num") > (page - 1) * page_size)
     )
 
 

@@ -374,12 +374,22 @@ SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs
 FROM documents GROUP BY ROLLUP(lang)
 """.strip()
 
+    # W3 parity: sort-field whitelist, page-size clamp (5→10, 300→200),
+    # file_path lowercased with missing → 'no-file-path', id-asc tiebreak.
     q["docs_paginated"] = """
-SELECT doc_id, lang, n_chars, row_num FROM (
-  SELECT doc_id, lang, n_chars,
-         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS row_num
+SELECT 'by_id_asc_p2' AS page_spec, doc_id, source, n_chars, row_num FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY doc_id ASC) AS row_num
   FROM documents
-) WHERE row_num BETWEEN 51 AND 100
+) WHERE row_num BETWEEN 11 AND 20
+UNION ALL
+SELECT 'by_path_desc_p1' AS page_spec, doc_id, source, n_chars, row_num FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           ORDER BY lower(coalesce(source, 'no-file-path')) DESC, doc_id ASC
+         ) AS row_num
+  FROM documents
+) WHERE row_num BETWEEN 1 AND 200
 """.strip()
 
     q["events_sessionize"] = """

@@ -58,6 +58,46 @@ def test_rerun_is_noop(spark, web120, tmp_path):
     assert wh.read("triples").count() == before
 
 
+def test_docs_paginated_parity_semantics(spark):
+    # doc_status-shaped frame exercising the reference whitelist semantics
+    # (json_doc_status.rs:301-355): clamp, fallback field, lowercased
+    # file_path with missing -> 'no-file-path', status filter.
+    rows = [
+        (f"doc-{i:03d}", "PROCESSED" if i % 2 else "PENDING",
+         None if i == 0 else f"B{i}" if i % 3 else f"a{i}",
+         f"2026-01-{i + 1:02d}T00:00:00Z", f"2026-02-{i + 1:02d}T00:00:00Z")
+        for i in range(30)
+    ]
+    st = spark.createDataFrame(
+        rows, "doc_id string, status string, url string, "
+              "created_at string, updated_at string"
+    )
+    # default: updated_at desc, page 1, size clamped up from 3 to 10
+    out = materialize.docs_paginated(st, page=1, page_size=3).collect()
+    assert len(out) == 10
+    assert out[0]["doc_id"] == "doc-029"  # newest updated_at first
+    assert [r["row_num"] for r in out] == list(range(1, 11))
+
+    # unknown sort field falls back to updated_at
+    fb = materialize.docs_paginated(st, sort_field="nope").collect()
+    assert fb[0]["doc_id"] == "doc-029"
+
+    # file_path asc: None sorts as 'no-file-path' (after lowercased a*/b*)
+    fp = materialize.docs_paginated(
+        st, sort_field="file_path", descending=False
+    ).collect()
+    assert fp[-1]["doc_id"] == "doc-000"
+
+    # status filter + id sort + page 2
+    p2 = materialize.docs_paginated(
+        st, status="PROCESSED", sort_field="id", descending=False, page=2,
+        page_size=10,
+    ).collect()
+    assert len(p2) == 5  # 15 PROCESSED rows total
+    assert all(r["status"] == "PROCESSED" for r in p2)
+    assert [r["row_num"] for r in p2] == list(range(11, 16))
+
+
 def test_doc_status_and_counts(spark, web120, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     materialize.run_pipeline(spark, web120, wh, run_id="s")
