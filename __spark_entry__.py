@@ -36,6 +36,7 @@ from kgspark import (  # noqa: E402
     oracles,
     pipeline,
     textops,
+    vec_oracles,
     vecops,
     web_oracles,
 )
@@ -249,9 +250,31 @@ def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup (recall<1 by design): rows-only, no SQL oracle."""
+    """LSH-bucketed near-dup, fully value-checked: the seeded hyperplanes are
+    deterministic, so the oracle re-derives the sign buckets in SQL and takes
+    pairs within Hamming<=1 (home + multiprobe-1 flips) at the same
+    left-fold cosine."""
     return vecops.cosine_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+def _q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-floor gate for the LSH dedup path on PLANTED near-duplicates
+    (the shared embeddings table has no pairs above cosine ~0.5, so recall
+    there is vacuous).  One row: true pairs >= 0.9, LSH-found pairs, recall.
+    Oracle: independent driver-side imperative restatement
+    (kgspark.vec_oracles).  sf_dir deliberately unused (fixed corpus)."""
+    emb = datagen.planted_embeddings(spark)
+    exact = vecops.cosine_pairs(emb, threshold=0.9)
+    lsh = vecops.cosine_pairs_lsh(emb, dim=64, threshold=0.9)
+    hit = lsh.select("vec_a", "vec_b").withColumn("hit", F.lit(1))
+    return exact.join(hit, ["vec_a", "vec_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_found"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
     )
 
 
@@ -403,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_pairs_lsh": _q_dedup_embedding_pairs_lsh,
+        "dedup_embedding_recall": _q_dedup_embedding_recall,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_token_counts": _q_text_bpe_token_counts,
         "media_metadata": _q_media_metadata,
@@ -437,4 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**oracles.build(), **web_oracles.build(), **media_oracles.build()}
+    return {
+        **oracles.build(),
+        **web_oracles.build(),
+        **media_oracles.build(),
+        **vec_oracles.build(),
+    }

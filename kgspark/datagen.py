@@ -200,3 +200,51 @@ def web_pages_distributed(
         spark.range(lo, hi, numPartitions=partitions)
         .mapInPandas(gen, schema=SCHEMA)
     )
+
+
+# ------------------------------------------------ planted-duplicate embeddings
+
+PLANTED_N_BASE = 240
+PLANTED_N_DUP = 60
+PLANTED_DIM = 64
+PLANTED_SEED = 7
+
+
+def planted_embeddings_rows(
+    n_base: int = PLANTED_N_BASE,
+    n_dup: int = PLANTED_N_DUP,
+    dim: int = PLANTED_DIM,
+    seed: int = PLANTED_SEED,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic embedding corpus with PLANTED near-duplicates.
+
+    Base vectors are iid gaussian; duplicate j perturbs base ``j % n_base``
+    with gaussian noise at one of three amplitudes, landing pair cosines
+    ~0.93..0.99 — all above the 0.9 near-dup threshold.  This is the
+    recall-gate fixture for the LSH dedup operator (the driver's shared
+    embeddings table has no pairs above cosine ~0.5, so recall there is
+    vacuous).  Doubles end-to-end: the same Python floats feed the Spark
+    frame and the independent oracle, so there is no float32 truncation step
+    to diverge on.
+    """
+    rows: list[tuple[int, list[float]]] = []
+    base: list[list[float]] = []
+    for i in range(n_base):
+        r = _rng(seed, "base", i)
+        v = [r.gauss(0.0, 1.0) for _ in range(dim)]
+        base.append(v)
+        rows.append((i, v))
+    for j in range(n_dup):
+        r = _rng(seed, "dup", j)
+        eps = (0.2, 0.3, 0.4)[j % 3]
+        v = base[j % n_base]
+        rows.append(
+            (n_base + j, [x + eps * r.gauss(0.0, 1.0) for x in v])
+        )
+    return rows
+
+
+def planted_embeddings(spark: SparkSession, **kw) -> DataFrame:
+    return spark.createDataFrame(
+        planted_embeddings_rows(**kw), "vec_id long, embedding array<double>"
+    )

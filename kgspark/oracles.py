@@ -495,6 +495,81 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos} >= 0.4
 """.strip()
 
+    # ---- LSH oracles: the random-hyperplane buckets are DETERMINISTIC
+    # (seeded md5-derived planes, vecops.make_planes), so the "approximate"
+    # operators are exactly SQL-expressible: re-derive every vector's sign
+    # bucket from the same plane literals, take pairs within Hamming<=1
+    # (home bucket + the multiprobe-1 bit flips), score with the same
+    # left-fold cosine.  This upgrades both LSH queries from rows-only to
+    # fully value-checked.
+
+    def _planes_cte(n_planes: int, dim: int = 64) -> str:
+        from .vecops import make_planes
+
+        cols = ", ".join(
+            "[" + ", ".join(repr(v) for v in p) + f"] AS p{i}"
+            for i, p in enumerate(make_planes(dim, n_planes))
+        )
+        return f"planes AS (SELECT {cols})"
+
+    def _bucket_expr(n_planes: int) -> str:
+        terms = []
+        for i in range(n_planes):
+            dot = (
+                "list_aggregate(list_transform(range(len(embedding)), "
+                f"i -> CAST(embedding[i + 1] AS DOUBLE) * p{i}[i + 1]), 'sum')"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({2 ** i} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
+
+    _nrm = (
+        "sqrt(list_aggregate(list_transform(range(len(embedding)), "
+        "i -> CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE)), 'sum'))"
+    )
+    q["dedup_embedding_pairs_lsh"] = f"""
+WITH {_planes_cte(6)},
+n AS (
+  SELECT vec_id, embedding, {_nrm} AS nrm, {_bucket_expr(6)} AS bucket
+  FROM embeddings CROSS JOIN planes
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_aggregate(list_transform(range(len(a.embedding)),
+               i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE)), 'sum')
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+) WHERE cosine >= 0.4
+""".strip()
+
+    q["ann_lsh_topk"] = f"""
+WITH {_planes_cte(8)},
+n AS (
+  SELECT vec_id, embedding, {_nrm} AS nrm, {_bucket_expr(8)} AS bucket
+  FROM embeddings CROSS JOIN planes
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm, bucket AS q_bucket
+  FROM n WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(range(len(c.embedding)),
+               i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)), 'sum')
+               / (q.q_nrm * c.nrm), 6) AS cosine
+  FROM n c JOIN q
+    ON bit_count(xor(q.q_bucket, c.bucket)) <= 1 AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""".strip()
+
     q["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

@@ -125,55 +125,36 @@ def cosine_pairs(
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >= t.
 
     The exact baseline of embedding near-dup (the commented-out intent of
-    reference examples/deduplication.rs:109-163, distance<0.5 there), run as
-    a broadcast block-nested-loop: the corpus matrix is broadcast once, each
-    partition matmuls its row block against it (numpy float64 fast-path,
-    error <1e-12), and only pairs at/above threshold-1e-6 are re-scored with
-    the oracle's exact sequential left-fold arithmetic, so emitted values
-    hash-match the SQL oracle while the O(n²·d) multiply-adds stay SIMD.
-    (A pure-Catalyst ``aggregate(zip_with(...))`` pair join measured ~20x
-    slower — higher-order lambdas are interpreted per element — and an
-    Arrow-shipped pair join ~8x slower on transfer volume alone.)  Exact
-    all-pairs is inherently a small-corpus baseline; the LSH-bucketed
-    variant below is the distributed scale path.
+    reference examples/deduplication.rs:109-163, distance<0.5 there), run
+    fully distributed: a BroadcastNestedLoopJoin on ``vec_a < vec_b`` —
+    the build side is broadcast by the JVM (nothing is collected to the
+    Python driver), each executor scores its row block against it, and the
+    per-side norm is computed once before the join.  The cosine is the same
+    sequential left-fold arithmetic as the SQL oracle, so emitted values
+    hash-match exactly.  Exact all-pairs is inherently O(n²·d) — the
+    small-corpus correctness baseline; :func:`cosine_pairs_lsh` below is the
+    distributed scale path (bucketed candidates, same verify arithmetic).
     """
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    ids_arr = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
-    vec_by_id = {int(r[0]): r[1] for r in rows}
-    bc = spark.sparkContext.broadcast((ids_arr, mat, vec_by_id))
-
-    def score(batches):
-        b_ids, b_mat, b_vecs = bc.value
-        norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["va"]]
-            )
-            a_ids = pdf["vec_a"].to_numpy()
-            a_norms = np.sqrt((A * A).sum(axis=1))
-            fast = (A @ b_mat.T) / np.outer(a_norms, norms)
-            out = []
-            for i, j in zip(*np.nonzero(fast >= threshold - 1e-6)):
-                ai, bi = int(a_ids[i]), int(b_ids[j])
-                if ai >= bi:
-                    continue  # unordered pairs once, no self-pairs
-                exact = round(cosine_exact_py(pdf["va"].iat[i], b_vecs[bi]), 6)
-                if exact >= threshold:
-                    out.append((ai, bi, exact))
-            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"])
-
-    pruned = corpus.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    a = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
     )
-    return pruned.mapInPandas(
-        score, schema="vec_a long, vec_b long, cosine double"
+    b = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -77,3 +77,23 @@ def test_topk_deterministic_and_self_excluded(planted):
     for r in a:
         per_q.setdefault(r[0], []).append(r)
     assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_lsh_recall_floor_on_planted_duplicates(spark):
+    """The LSH scale path must recover >=85% of planted near-dup pairs
+    (cosine >= 0.9) — the quality gate behind making it the oracled
+    operator (multiprobe-1 over 6 planes; driver-verified value 0.9153)."""
+    from kgspark import datagen
+
+    emb = datagen.planted_embeddings(spark)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs(emb, threshold=0.9).collect()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs_lsh(emb, dim=64, threshold=0.9).collect()
+    }
+    assert exact, "fixture must plant near-dup pairs"
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.85, recall
