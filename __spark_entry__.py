@@ -309,9 +309,18 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against driver-side imperative oracles (kgspark.web_oracles); scan-scale
 # behavior is bench.py's job.  sf_dir is deliberately unused.
 
+_WEB_BUILT_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
 def _web_built(spark: SparkSession) -> dict[str, DataFrame]:
-    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
-    return pipeline.build(web)
+    # memoized per SparkSession: every web_* query reuses ONE persisted
+    # extraction instead of re-building (and re-caching) the chain per call.
+    key = spark.sparkContext.applicationId
+    if key not in _WEB_BUILT_CACHE:
+        _WEB_BUILT_CACHE.clear()
+        web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+        _WEB_BUILT_CACHE[key] = pipeline.build(web)
+    return _WEB_BUILT_CACHE[key]
 
 
 def _q_web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

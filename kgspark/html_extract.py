@@ -34,7 +34,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 EXTRACT_VERSION = 1
 
@@ -75,32 +75,59 @@ class _TextExtractor(HTMLParser):
             self._buf.append(data)
 
 
-def extract_text_py(html_bytes: bytes | str | None) -> str:
-    """The UDF kernel: bytes/str html → extracted text (unit-testable)."""
+def extract_text_err_py(html_bytes: bytes | str | None) -> tuple[str, str | None]:
+    """The UDF kernel: bytes/str html → (extracted text, error-or-None).
+
+    Failure classes mirror the reference's extractor rejections
+    (extractor.rs:33-58: empty, non-UTF-8, whitespace-only) plus parser
+    faults; every class becomes a per-doc error RECORD downstream
+    (error_reporter.rs:50 analog) instead of a silent empty extraction.
+    """
     if html_bytes is None:
-        return ""
+        return "", "empty_input"
     if isinstance(html_bytes, (bytes, bytearray)):
         try:
             raw = bytes(html_bytes).decode("utf-8")
         except UnicodeDecodeError:
-            # Reference rejects non-UTF-8 documents (extractor.rs:44-50);
-            # we map them to empty text and they fall out at the P4 filter.
-            return ""
+            # Reference rejects non-UTF-8 documents (extractor.rs:44-50).
+            return "", "utf8_decode_error"
     else:
         raw = html_bytes
+    if not raw.strip():
+        return "", "empty_input"
     parser = _TextExtractor()
     try:
         parser.feed(raw)
         parser.close()
-    except Exception:
-        return ""
-    return "\n".join(parser.blocks)
+    except Exception as e:  # html.parser rarely throws; record if it does
+        return "", f"parse_error: {type(e).__name__}"
+    text = "\n".join(parser.blocks)
+    if not text.strip():
+        # non-empty html yielding no content: the whitespace-only rejection
+        return "", "empty_extraction"
+    return text, None
 
 
-@F.pandas_udf(StringType())
-def _extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def extract_text_py(html_bytes: bytes | str | None) -> str:
+    """Text-only view of the kernel (back-compat; unit-test surface)."""
+    return extract_text_err_py(html_bytes)[0]
+
+
+_EXTRACT_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_STRUCT)
+def _extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for batch in batches:
-        yield batch.map(extract_text_py)
+        pairs = [extract_text_err_py(h) for h in batch]
+        yield pd.DataFrame(
+            {"text": [p[0] for p in pairs], "error": [p[1] for p in pairs]}
+        )
 
 
 # The kernel IS deterministic; the flag is an optimizer fence.  Without it
@@ -110,14 +137,19 @@ extract_text_udf = _extract_text_udf.asNondeterministic()
 
 
 def extract_stage(web_pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """web_pages → + extracted_text + text_sha256 digest columns.
+    """web_pages → + extracted_text + extract_error + text_sha256 digest.
 
     The digest column is what the byte-identity gate compares against the
-    table's golden ``text`` column (or the reference's digests).
+    table's golden ``text`` column (or the reference's digests);
+    ``extract_error`` feeds the per-doc error-record table.
     """
-    return web_pages.withColumn(
-        "extracted_text", extract_text_udf(F.col(html_col))
-    ).withColumn("text_sha256", F.sha2(F.col("extracted_text"), 256))
+    return (
+        web_pages.withColumn("_ex", extract_text_udf(F.col(html_col)))
+        .withColumn("extracted_text", F.col("_ex.text"))
+        .withColumn("extract_error", F.col("_ex.error"))
+        .drop("_ex")
+        .withColumn("text_sha256", F.sha2(F.col("extracted_text"), 256))
+    )
 
 
 def digest_check(extracted: DataFrame) -> DataFrame:

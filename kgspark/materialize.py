@@ -16,8 +16,10 @@ Resume model (the reference's two recovery surfaces re-expressed):
     storage/json_kv.rs:260-264, call site pipeline/pipeline.rs:482-488);
   * stage-level: content-addressed ids make every stage append-only and
     idempotent — re-processing a doc produces byte-identical rows, so a
-    crash between stages is healed by re-running the batch: new rows are
-    unioned, duplicates collapse on the id.
+    crash between stages is healed by re-running the batch.  Stage writes
+    are run-partitioned parquet APPENDS (``run_id=`` hive partitions, the
+    Iceberg-commit analog): per-batch I/O is proportional to the new rows,
+    never to accumulated table size.
 
 Lineage/metrics: every committed stage records per-partition row counts
 (spark_partition_id groupBy) plus totals in the manifest — the per-partition
@@ -83,9 +85,41 @@ class Warehouse:
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> dict:
         """Write a stage table and return its lineage metrics (uncommitted)."""
         df.write.mode(mode).parquet(self.table_path(name))
-        out = self.read(name)
+        return self._metrics(name, self.read(name))
+
+    def append(self, name: str, df: DataFrame, run_id: str) -> dict:
+        """Append one run's rows as a ``run_id=`` partition (incremental).
+
+        The Iceberg-append analog: per-batch write cost is proportional to
+        the NEW rows, never to table size (the previous read+union+rewrite
+        was O(corpus) I/O per increment — the 100 TB scale-killer).  Lineage
+        metrics are computed by reading back ONLY this run's partition
+        (partition pruning: just the new files are scanned).
+        """
+        out = df.withColumn("run_id", F.lit(run_id))
+        out.write.mode("append").partitionBy("run_id").parquet(
+            self.table_path(name)
+        )
+        try:
+            batch = self.read(name).filter(F.col("run_id") == run_id)
+            m = self._metrics(name, batch)
+        except Exception:
+            # zero-row append into a not-yet-existing table leaves only a
+            # _SUCCESS marker — nothing to read, nothing appended.
+            m = {
+                "table": name,
+                "path": self.table_path(name),
+                "n_rows": 0,
+                "n_partitions": 0,
+                "partitions": {},
+            }
+        m["mode"] = "append"
+        m["run_id"] = run_id
+        return m
+
+    def _metrics(self, name: str, df: DataFrame) -> dict:
         per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .collect()
         )
@@ -111,7 +145,12 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
     n_before = before.count()
     doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
     kept = before.join(doomed, id_col, "left_anti")
-    wh.write(name + ".tmpnew", kept)
+    writer = kept.write.mode("overwrite")
+    if "run_id" in kept.columns:
+        # preserve the run_id partition layout so later incremental appends
+        # keep landing as hive partitions (mixed layouts break reads)
+        writer = writer.partitionBy("run_id")
+    writer.parquet(wh.table_path(name + ".tmpnew"))
     _swap(wh, name)
     return n_before - wh.read(name).count()
 
@@ -279,24 +318,46 @@ def run_pipeline(
     run_id: str,
     check_digest: bool = False,
 ) -> dict:
-    """One resumable batch: process docs not yet in doc_status, append stages,
-    rebuild global canonicalization, commit the manifest.
+    """One resumable batch: process docs not yet in doc_status, append each
+    stage as a ``run_id=`` partition, record per-doc extraction failures in
+    the ``errors`` table, rebuild global canonicalization, commit the
+    manifest.  Returns the manifest entry (stage metrics + skip/error counts).
 
-    Returns the manifest entry for this run (stage metrics + skip counts).
+    Incremental by construction: stage writes are run-partitioned parquet
+    APPENDS (Iceberg-commit analog), so per-batch I/O is proportional to the
+    new docs, never to accumulated table size.  Content-addressed ids keep
+    appends idempotent: the doc_status anti-join admits new doc_ids only, and
+    a crash-rerun re-derives byte-identical rows.  The extraction diamond
+    (docs feeds chunks/status; extracted feeds entities/relations/triples)
+    is persisted once per batch instead of recomputed per stage write.
     """
+    from pyspark.storagelevel import StorageLevel
+
     t0 = time.perf_counter()
-    d_new = pipeline.docs(web_pages, check_digest=check_digest)
+    ex = pipeline.extract_docs(web_pages)
+    if check_digest:
+        bad = pipeline.digest_violations(ex).limit(1).collect()
+        if bad:
+            raise AssertionError(f"digest violation for url={bad[0]['url']}")
+    ex = ex.select(
+        "url", "warc_ts", "lang", "extracted_text", "extract_error"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    errors = pipeline.extract_errors(ex, run_id)
+    d_new = pipeline.docs_from_extracted(ex)
 
     n_input = d_new.count()
     if wh.exists("doc_status"):
         existing = wh.read("doc_status").select("doc_id")
         d_new = d_new.join(existing, "doc_id", "left_anti")  # J1 resume
+    d_new = d_new.persist(StorageLevel.MEMORY_AND_DISK)
     n_todo = d_new.count()
 
     stage_metrics: dict[str, dict] = {}
+    x = None
     if n_todo > 0:
         c = pipeline.chunks(d_new)
-        x = pipeline.extracted_chunks(c)
+        x = pipeline.extracted_chunks(c).persist(StorageLevel.MEMORY_AND_DISK)
         e = pipeline.entities(x)
         r = pipeline.relations(x, e)
         t = pipeline.triples(r)
@@ -310,17 +371,14 @@ def run_pipeline(
             ("triples", t),
             ("doc_status", new_status),
         ):
-            if wh.exists(name):
-                merged = wh.read(name).unionByName(df)
-                # content-addressed ids: append + write is idempotent because
-                # the anti-join guarantees new doc_ids only; a re-run after a
-                # crash re-derives identical rows, never divergent ones.
-                stage_metrics[name] = wh.write(name + ".tmpnew", merged)
-                _swap(wh, name)
-            else:
-                stage_metrics[name] = wh.write(name, df)
-            stage_metrics[name]["table"] = name
-            stage_metrics[name]["path"] = wh.table_path(name)
+            stage_metrics[name] = wh.append(name, df, run_id)
+
+    # per-doc failure records (reference error_reporter.rs:50): failed pages
+    # never enter doc_status (they fold to empty text), so each run that
+    # re-reads them re-reports — the same behavior as re-enqueueing a bad
+    # file in the reference.
+    stage_metrics["errors"] = wh.append("errors", errors, run_id)
+    n_errors = stage_metrics["errors"]["n_rows"]
 
     # global canonicalization is always rebuilt over the full entity table
     # (names-only input — cheap relative to the corpus).
@@ -330,11 +388,17 @@ def run_pipeline(
         ct = canon.canonical_triples(wh.read("triples"), wh.read("canonical_map"))
         stage_metrics["canonical_triples"] = wh.write("canonical_triples", ct)
 
+    if x is not None:
+        x.unpersist()
+    d_new.unpersist()
+    ex.unpersist()
+
     entry = {
         "run_id": run_id,
         "input_docs": int(n_input),
         "processed_docs": int(n_todo),
         "skipped_docs": int(n_input - n_todo),
+        "error_docs": int(n_errors),
         "wall_s": round(time.perf_counter() - t0, 3),
         "stages": stage_metrics,
     }

@@ -53,6 +53,23 @@ def digest_violations(extracted: DataFrame) -> DataFrame:
     return html_extract.digest_check(extracted)
 
 
+def extract_errors(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-doc failure records (error_reporter.rs:50 analog).
+
+    One row per input page the extractor rejected (non-UTF-8, empty,
+    whitespace-only, parser fault): ``error-<run_id>-<url>`` ids mirroring
+    the reference's ``error-{track_id}-{filename}``.  These land in the
+    warehouse ``errors`` table so a 100 TB run can answer "which docs
+    failed and why" from a table instead of from logs.
+    """
+    return extracted.filter(F.col("extract_error").isNotNull()).select(
+        F.concat(F.lit(f"error-{run_id}-"), F.col("url")).alias("error_id"),
+        "url",
+        F.lit("extract").alias("stage"),
+        F.col("extract_error").alias("error"),
+    )
+
+
 def docs(web_pages: DataFrame, check_digest: bool = False) -> DataFrame:
     """Deduplicated document table keyed by content-addressed doc_id.
 
@@ -65,6 +82,12 @@ def docs(web_pages: DataFrame, check_digest: bool = False) -> DataFrame:
         bad = digest_violations(ex).limit(1).collect()
         if bad:
             raise AssertionError(f"digest violation for url={bad[0]['url']}")
+    return docs_from_extracted(ex)
+
+
+def docs_from_extracted(ex: DataFrame) -> DataFrame:
+    """The doc fold over a pre-extracted frame (lets callers run extraction
+    ONCE, persist it, and feed both this fold and the error-record table)."""
     sanitized = F.trim(F.regexp_replace("extracted_text", "\r", ""))
     base = (
         ex.select(
@@ -293,6 +316,9 @@ def triples(relation_table: DataFrame) -> DataFrame:
     ).distinct()
 
 
+_BUILD_PERSISTED: list[DataFrame] = []
+
+
 def build(
     web_pages: DataFrame, check_digest: bool = False, reuse: bool = True
 ) -> dict[str, DataFrame]:
@@ -304,7 +330,10 @@ def build(
     per branch.  ``reuse=True`` persists the extraction (memory, spill to
     disk), so it is computed exactly once per action — the in-memory analog
     of the stage tables ``materialize.run_pipeline`` writes between stages at
-    warehouse scale.
+    warehouse scale.  One cached extraction at a time: a repeated ``build``
+    unpersists the previous call's frame instead of accumulating cached RDDs
+    for the session lifetime (callers wanting cross-call reuse should
+    memoize the returned dict, as ``__spark_entry__`` does).
     """
     d = docs(web_pages, check_digest=check_digest)
     c = chunks(d)
@@ -313,6 +342,10 @@ def build(
         from pyspark.storagelevel import StorageLevel
 
         x = x.persist(StorageLevel.MEMORY_AND_DISK)
+        prev = _BUILD_PERSISTED.pop(0) if _BUILD_PERSISTED else None
+        if prev is not None:
+            prev.unpersist()
+        _BUILD_PERSISTED.append(x)
     e = entities(x)
     r = relations(x, e)
     t = triples(r)

@@ -102,14 +102,16 @@ def dedup_stream(
             for _ in pdfs:
                 pass
             return
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
-                first = pdf.iloc[[0]][["url", "warc_ts", "text_sha256"]]
+        # concatenate ALL Arrow chunks of the key's micro-batch before
+        # selecting — picking from the first non-empty chunk alone would make
+        # the emitted (url, warc_ts) chunk-order-dependent when one key spans
+        # multiple chunks, breaking the deterministic first-wins contract.
+        parts = [pdf for pdf in pdfs if len(pdf)]
         state.update((True,))
-        if first is not None:
-            yield first
+        if parts:
+            all_rows = pd.concat(parts, ignore_index=True)
+            all_rows = all_rows.sort_values(["url", "warc_ts"], kind="mergesort")
+            yield all_rows.iloc[[0]][["url", "warc_ts", "text_sha256"]]
 
     return hashed.groupBy("text_sha256").applyInPandasWithState(
         fn,

@@ -19,7 +19,7 @@ def test_full_run_commits_all_stages(spark, web120, tmp_path):
     entry = materialize.run_pipeline(spark, web120, wh, run_id="run-1")
     for name in (
         "docs", "chunks", "entities", "relations", "triples",
-        "doc_status", "canonical_map", "canonical_triples",
+        "doc_status", "errors", "canonical_map", "canonical_triples",
     ):
         assert wh.exists(name), name
         m = entry["stages"][name]
@@ -44,8 +44,13 @@ def test_resume_skips_processed_and_converges(spark, tmp_path):
     materialize.run_pipeline(spark, full, wh_full, run_id="r0")
 
     for name in ("triples", "entities", "relations", "canonical_triples"):
-        inc = sorted(map(tuple, wh_inc.read(name).drop("track_id").collect()))
-        ful = sorted(map(tuple, wh_full.read(name).drop("track_id").collect()))
+        # run_id/track_id are lineage metadata — the semantic rows must match
+        inc = sorted(
+            map(tuple, wh_inc.read(name).drop("track_id", "run_id").collect())
+        )
+        ful = sorted(
+            map(tuple, wh_full.read(name).drop("track_id", "run_id").collect())
+        )
         assert inc == ful, f"resume divergence in {name}"
 
 
@@ -126,3 +131,58 @@ def test_doc_status_and_counts(spark, web120, tmp_path):
     }
     assert counts["PROCESSED"] == st.count()
     assert counts["ALL"] == st.count()
+
+
+def test_extract_failures_land_in_errors_table(spark, tmp_path):
+    """Poisoned docs produce per-doc error RECORDS (error_reporter.rs:50
+    analog) while the batch completes normally."""
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://ok.test/1", ts,
+         b"<html><p>Ada Lovelace works at Acme Corp.</p></html>",
+         "Ada Lovelace works at Acme Corp.", "en"),
+        ("https://poison.test/utf8", ts, b"\xff\xfe broken", "", "en"),
+        ("https://poison.test/empty", ts,
+         b"<html><body><p>  </p></body></html>", "", "en"),
+    ]
+    web = spark.createDataFrame(rows, datagen.SCHEMA)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    entry = materialize.run_pipeline(spark, web, wh, run_id="poison")
+
+    errs = {r["url"]: r for r in wh.read("errors").collect()}
+    assert errs["https://poison.test/utf8"]["error"] == "utf8_decode_error"
+    assert errs["https://poison.test/empty"]["error"] == "empty_extraction"
+    assert errs["https://poison.test/utf8"]["error_id"] == (
+        "error-poison-https://poison.test/utf8"
+    )
+    assert all(r["stage"] == "extract" for r in errs.values())
+    assert entry["error_docs"] == 2
+    assert entry["processed_docs"] == 1  # the good doc still landed
+    assert wh.read("docs").count() == 1
+
+
+def test_append_cost_is_batch_proportional(spark, tmp_path):
+    """Incremental appends write only the new run's partition: after two
+    runs every stage table holds one run_id partition per run and the
+    second run's files never rewrote the first run's."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 60, 42), wh, run_id="r1")
+    tri = wh.table_path("triples")
+    first_files = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(os.path.join(tri, "run_id=r1")) for f in fs
+    }
+    mtimes = {p: os.path.getmtime(p) for p in first_files}
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 120, 42), wh, run_id="r2")
+    assert os.path.isdir(os.path.join(tri, "run_id=r2"))
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, f"run r2 rewrote {p}"
+    # the union of both partitions is the full resumable table
+    assert wh.read("triples").count() == (
+        wh.read("triples").filter(F.col("run_id") == "r1").count()
+        + wh.read("triples").filter(F.col("run_id") == "r2").count()
+    )
