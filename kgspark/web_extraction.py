@@ -41,17 +41,31 @@ from . import datagen
 # ---- compiled once per process -------------------------------------------
 
 _VOCAB = {name.lower(): (name, etype) for name, etype in datagen.WEB_ENTITIES}
+# Case-insensitive with word-boundary lookarounds: surface variants
+# ("ada lovelace", "ACME CORP") resolve through _VOCAB to the canonical
+# cased name — the deterministic analog of the reference's naming contract
+# (ai/schemas.rs:132-135: the LLM is told to emit canonical-cased names for
+# any surface form it reads); the lookarounds stop matches inside words
+# ("Parisian" is not Paris) while still allowing "I.B.M." (dot-final names
+# have no trailing word character to collide with).
 _ENTITY_RE = re.compile(
-    "|".join(
+    "(?<![A-Za-z])(?:"
+    + "|".join(
         re.escape(n)
         for n, _ in sorted(datagen.WEB_ENTITIES, key=lambda x: -len(x[0]))
     )
+    + ")(?![A-Za-z])",
+    re.IGNORECASE,
 )
 _PRED_ALT = "|".join(
     re.escape(p) for p in sorted(datagen.PREDICATES, key=len, reverse=True)
 )
-# "<subj> <predicate phrase> <obj>." within one sentence
-_REL_RE = re.compile(rf"(?P<subj>[^.!?]+?)\s+(?P<pred>{_PRED_ALT})\s+(?P<obj>[^.!?]+?)[.!?]")
+# "<subj> <predicate phrase> <obj>." within one sentence; predicates match
+# case-insensitively and are normalized to lowercase keywords on emission.
+_REL_RE = re.compile(
+    rf"(?P<subj>[^.!?]+?)\s+(?P<pred>{_PRED_ALT})\s+(?P<obj>[^.!?]+?)[.!?]",
+    re.IGNORECASE,
+)
 
 EXTRACTION_SCHEMA = StructType(
     [
@@ -119,7 +133,7 @@ def extract_chunk_py(text: str) -> dict:
     rels = []
     for m in _REL_RE.finditer(text):
         subj = _resolve_name(m.group("subj"), last=True)
-        pred = m.group("pred")
+        pred = m.group("pred").lower()
         obj = _resolve_name(m.group("obj"), last=False)
         rels.append(
             {
