@@ -380,13 +380,45 @@ def run_pipeline(
     stage_metrics["errors"] = wh.append("errors", errors, run_id)
     n_errors = stage_metrics["errors"]["n_rows"]
 
-    # global canonicalization is always rebuilt over the full entity table
-    # (names-only input — cheap relative to the corpus).
+    # Canonicalization: the MAP is always recomputed over the full entity
+    # table (names-only input — tiny relative to the corpus), but the
+    # canonical TRIPLE rewrite is incremental: if the map is unchanged vs
+    # the stored one, only this batch's new triples are canonicalized and
+    # appended (cross-batch duplicates are impossible — doc_ids are new by
+    # the anti-join).  A full O(corpus) rebuild happens only when the map
+    # actually changed (a new alias can remap OLD triples) — the stable-map
+    # steady state costs O(new docs) per batch.
     if wh.exists("entities"):
         cmap = canon.canonical_map(spark, wh.read("entities"))
-        stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
-        ct = canon.canonical_triples(wh.read("triples"), wh.read("canonical_map"))
-        stage_metrics["canonical_triples"] = wh.write("canonical_triples", ct)
+        if wh.exists("canonical_map"):
+            old = wh.read("canonical_map")
+            map_changed = (
+                cmap.exceptAll(old).limit(1).count() > 0
+                or old.exceptAll(cmap).limit(1).count() > 0
+            )
+        else:
+            map_changed = True
+        if map_changed:
+            stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
+        # a crash between truncate and append leaves the table missing; the
+        # next run detects that and re-runs the full rebuild (idempotent).
+        if map_changed or not wh.exists("canonical_triples"):
+            truncate(wh, "canonical_triples")
+            ct = canon.canonical_triples(wh.read("triples"), cmap)
+            stage_metrics["canonical_triples"] = wh.append(
+                "canonical_triples", ct, run_id
+            )
+        elif n_todo > 0:
+            # canonicalize this batch from its WRITTEN partition (pruned
+            # read), not the lazy lineage: re-evaluating the batch plan here
+            # would re-run the doc_status anti-join against the table that
+            # now contains this very run's status rows and see zero docs.
+            batch_t = wh.read("triples").filter(
+                F.col("run_id") == run_id
+            ).drop("run_id")
+            stage_metrics["canonical_triples"] = wh.append(
+                "canonical_triples", canon.canonical_triples(batch_t, cmap), run_id
+            )
 
     if x is not None:
         x.unpersist()
