@@ -305,9 +305,9 @@ def main() -> None:
                 "value": round(efficiency, 3),
                 "unit": "ratio",
                 "queries": {
-                    "n_1x8_triples_per_sec": tput_n,
-                    "n4_4x8_triples_per_sec": tput_4n,
-                    "fat_local32_triples_per_sec": fat["triples_per_sec"],
+                    f"n_1x{EXEC_CORES}_triples_per_sec": tput_n,
+                    f"n4_4x{EXEC_CORES}_triples_per_sec": tput_4n,
+                    f"fat_local{4 * EXEC_CORES}_triples_per_sec": fat["triples_per_sec"],
                 },
                 "sf": N_DOCS,
             }
