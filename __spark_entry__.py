@@ -212,6 +212,11 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(_t(spark, sf_dir, "events"))
 
 
+def _q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (streaming-capable plan)."""
+    return events.session_windows(_t(spark, sf_dir, "events"))
+
+
 def _q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.props_extract(_t(spark, sf_dir, "events"))
 
@@ -449,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paginated": _q_docs_paginated,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_session_windows": _q_events_session_windows,
         "events_props_extract": _q_events_props_extract,
         "events_topk_by_type": _q_events_topk_by_type,
         "ann_cosine_topk": _q_ann_cosine_topk,

@@ -65,6 +65,40 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+def session_windows(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions via the NATIVE ``F.session_window`` operator — the
+    Structured-Streaming-capable form of :func:`sessionize` (the same plan
+    runs under ``readStream`` with a watermark; the lag/cumsum formulation
+    cannot).  Spark merges events whose gap is < ``gap_minutes`` into one
+    session per user; window end = last event + gap, so ``session_last`` is
+    reported as ``window.end - gap`` to stay oracle-comparable.
+
+    One shuffle on (user_id); the session merge happens inside the
+    aggregation — no window-function sort pass at all, which also makes
+    this the cheaper batch plan at scale.
+    """
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end") - gap, "yyyy-MM-dd HH:mm:ss").alias(
+                "session_last"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
     from the free-form ``props`` JSON column — codegen, no UDF."""

@@ -413,6 +413,31 @@ FROM sid
 GROUP BY user_id, session_idx
 """.strip()
 
+    # Native session_window semantics: a NEW session starts when the gap is
+    # >= 30 min (Spark's window end is exclusive: an event landing exactly
+    # at prev_ts + gap does NOT merge) — one strictness notch different
+    # from the lag/cumsum sessionize above (>).
+    q["events_session_windows"] = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 30 * 60 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, event_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM gapped
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS total_value
+FROM sid
+GROUP BY user_id, session_idx
+""".strip()
+
     q["events_props_extract"] = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events
 """.strip()

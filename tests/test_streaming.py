@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from kgspark import datagen, materialize, pipeline, streaming
+from kgspark import events as events_mod
 
 N = 60
 SEED = 11
@@ -128,3 +129,33 @@ def test_stateful_dedup_stream(spark, tmp_path):
         for _, _, _, t, _ in datagen.web_pages_rows(N, SEED)
     }
     assert set(hashes2) == expected
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    """events.session_windows is streaming-capable: the identical plan runs
+    under readStream (native session_window merge, complete mode) and
+    produces exactly the batch result set."""
+    import shutil
+
+    from .conftest import SF_UNIT
+
+    path = os.path.join(SF_UNIT, "events.parquet")
+    static = spark.read.parquet(path)
+    batch = {tuple(r) for r in events_mod.session_windows(static).collect()}
+
+    # the file-stream source wants a directory of drops
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    shutil.copy(path, os.path.join(stream_dir, "drop-0.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    q = (
+        events_mod.session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table("sess_win").collect()}
+    assert streamed == batch
