@@ -361,6 +361,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH
     )
 
 
+_BANDS_PERSISTED: list[DataFrame] = []
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -399,11 +402,22 @@ def lsh_candidate_pairs(
     exploded = sig.select("kg_doc_id", F.explode(bands).alias("b")).select(
         "kg_doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     )
-    # Explicit shuffle on the band key: the self-join's two branches then
-    # share ONE identical exchange (ReuseExchange), so the signature pipeline
-    # is computed once instead of once per side — measured ~2x on the full
-    # operator — and the join itself needs no further shuffle.
-    exploded = exploded.repartition("band", "band_hash")
+    # Explicit shuffle on the band key so the join itself needs no further
+    # shuffle; the bands frame (4 narrow rows per doc — id + two hash
+    # columns, no text) is persisted so the self-join's two branches run
+    # the signature kernel ONCE (exchange reuse across PythonUDF subtrees
+    # is not guaranteed — measured a full duplicate kernel pass without
+    # the cache).  One cached frame at a time (same registry discipline
+    # as ngram_jaccard_pairs).
+    from pyspark.storagelevel import StorageLevel
+
+    exploded = exploded.repartition("band", "band_hash").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prev = _BANDS_PERSISTED.pop(0) if _BANDS_PERSISTED else None
+    if prev is not None:
+        prev.unpersist()
+    _BANDS_PERSISTED.append(exploded)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
