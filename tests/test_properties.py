@@ -77,3 +77,27 @@ def test_canon_skewed_head_entity(spark):
     # singletons untouched, one row per distinct name (no blowup from skew)
     assert got[tail_names[7]] == tail_names[7]
     assert cmap.count() == len(got) == 203
+
+
+def test_operator_partition_invariance(spark):
+    """The round-2 operators are partition-count invariant: vectorized
+    minhash (block boundaries shift with batch shape), decimal-summed
+    session windows, and sliding token chunks produce identical result sets
+    at any parallelism — the determinism half of the scaling criterion."""
+    from kgspark import chunking, events, textops
+
+    docs = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+    ev = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "events.parquet"))
+
+    for build in (
+        lambda d: textops.minhash_signatures(d),
+        lambda d: textops.simhash(d),
+        lambda d: chunking.token_window_chunks(d, size=50, overlap=5),
+    ):
+        a = {tuple(r) for r in build(docs.repartition(13)).collect()}
+        b = {tuple(r) for r in build(docs.coalesce(1)).collect()}
+        assert a == b and len(a) > 0
+
+    sa = {tuple(r) for r in events.session_windows(ev.repartition(13)).collect()}
+    sb = {tuple(r) for r in events.session_windows(ev.coalesce(1)).collect()}
+    assert sa == sb and len(sa) > 0
