@@ -238,6 +238,14 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (deterministic coarse quantizer): the
+    oracle re-derives centroids, cell assignment, and probes in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = vecops.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
@@ -459,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_by_type": _q_events_topk_by_type,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "web_docs": _q_web_docs,
         "web_chunks": _q_web_chunks,
         "web_entities": _q_web_entities,

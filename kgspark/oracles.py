@@ -595,6 +595,56 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 5
 """.strip()
 
+    # IVF oracle: same deterministic coarse quantizer re-derived in SQL —
+    # centroids are the n_cells smallest-id corpus vectors, assignment is
+    # argmax cosine (ties -> smallest centroid id), queries probe their
+    # nprobe best cells, exact scoring within probed cells.
+    _ccos = """
+list_aggregate(list_transform(range(len(e.embedding)),
+    i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cvec[i + 1] AS DOUBLE)), 'sum')
+/ (sqrt(list_aggregate(list_transform(range(len(e.embedding)),
+      i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE)), 'sum'))
+ * sqrt(list_aggregate(list_transform(range(len(c.cvec)),
+      i -> CAST(c.cvec[i + 1] AS DOUBLE) * CAST(c.cvec[i + 1] AS DOUBLE)), 'sum')))
+""".strip()
+    _qcos = """
+round(
+  list_aggregate(list_transform(range(len(q.q_vec)),
+      i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE)), 'sum')
+  / (sqrt(list_aggregate(list_transform(range(len(q.q_vec)),
+        i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(q.q_vec[i + 1] AS DOUBLE)), 'sum'))
+   * sqrt(list_aggregate(list_transform(range(len(a.embedding)),
+        i -> CAST(a.embedding[i + 1] AS DOUBLE) * CAST(a.embedding[i + 1] AS DOUBLE)), 'sum'))),
+6)
+""".strip()
+    q["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_ccos} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell
+  FROM ranked WHERE vec_id < 10 AND rn <= 4
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, {_qcos} AS cosine
+  FROM qprobe q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""".strip()
+
     q["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

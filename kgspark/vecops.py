@@ -264,3 +264,85 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` cells, probe each query's ``nprobe`` nearest cells, score
+    exactly within them.
+
+    The coarse quantizer is DETERMINISTIC: the ``n_cells`` corpus vectors
+    with the smallest ids act as centroids (production would k-means a
+    sample; seed vectors keep the operator exactly oracle-checkable — the
+    SQL oracle re-derives the same centroids, assignments, and probes).
+    Each vector lands in the cell whose centroid has the highest cosine
+    (ties: smallest centroid id); a query probes its ``nprobe`` best cells.
+
+    Scale shape: centroids are metadata (n_cells rows collected once, like
+    the LSH plane constants); assignment is a narrow per-row projection; the
+    probe join shuffles on the cell id only — at warehouse scale the cell
+    is the table's partition key, so each query's probes become partition
+    pruning instead of a scan.  Recall < 1 by design (neighbors outside
+    probed cells are missed) — the IVF sibling of :func:`lsh_topk`.
+    """
+    cents = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cent = [(int(r[0]), [float(x) for x in r[1]]) for r in cents]
+
+    def _cell_cols(vec: Column) -> tuple[Column, Column]:
+        """(best cell id, ordered probe-cell id array) for a vector."""
+        coss = [
+            cosine(vec, F.array(*[F.lit(x) for x in cvec])) for _, cvec in cent
+        ]
+        cos_arr = F.array(*coss)
+        cid_arr = F.array(*[F.lit(cid) for cid, _ in cent])
+        best = F.element_at(
+            cid_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
+        )
+        ordered = F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct((-c).alias("nc"), F.lit(cid).alias("cid"))
+                        for c, (cid, _) in zip(coss, cent)
+                    ]
+                )
+            ),
+            lambda s: s["cid"],
+        )
+        return best, F.slice(ordered, 1, nprobe)
+
+    assign_cell, _ = _cell_cols(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign_cell.alias("cell"),
+    )
+    _, probe_cells = _cell_cols(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -97,3 +97,24 @@ def test_lsh_recall_floor_on_planted_duplicates(spark):
     assert exact, "fixture must plant near-dup pairs"
     recall = len(exact & found) / len(exact)
     assert recall >= 0.85, recall
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF probes must recover most exact top-5 neighbors at nprobe=4/16
+    cells, and results are deterministic under repartitioning."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vecops.cosine_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vecops.ivf_topk(emb, q, k=5).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.5  # nprobe=4/16 recall floor
+    ivf2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vecops.ivf_topk(emb.repartition(7), q, k=5).collect()
+    }
+    assert ivf == ivf2
