@@ -217,6 +217,11 @@ def _q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.session_windows(_t(spark, sf_dir, "events"))
 
 
+def _q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.window sliding event-time aggregation (1h / 30min)."""
+    return events.sliding_window_counts(_t(spark, sf_dir, "events"))
+
+
 def _q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.props_extract(_t(spark, sf_dir, "events"))
 
@@ -463,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_session_windows": _q_events_session_windows,
+        "events_sliding_windows": _q_events_sliding_windows,
         "events_props_extract": _q_events_props_extract,
         "events_topk_by_type": _q_events_topk_by_type,
         "ann_cosine_topk": _q_ann_cosine_topk,

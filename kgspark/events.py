@@ -99,6 +99,27 @@ def session_windows(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> Da
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time windows via native ``F.window`` — each event lands
+    in window/slide overlapping windows (epoch-aligned, exactly the
+    semantics a watermarked stream would compute); counts per
+    (window, event_type).  One shuffle on the (window, type) key.
+    """
+    w = F.window("ts", window, slide)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
     from the free-form ``props`` JSON column — codegen, no UDF."""

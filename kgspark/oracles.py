@@ -438,6 +438,23 @@ FROM sid
 GROUP BY user_id, session_idx
 """.strip()
 
+    # Sliding windows (1h window / 30min slide): every event belongs to the
+    # two epoch-aligned windows [start, start+1h) with start = hour-aligned
+    # or half-hour-aligned — exactly Spark's F.window assignment.
+    q["events_sliding_windows"] = """
+WITH slid AS (
+  SELECT event_type, ts,
+         to_timestamp(CAST(floor((epoch(ts) - 1800 * k) / 3600) AS BIGINT) * 3600 + 1800 * k) AS ws
+  FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM slid
+GROUP BY ws, event_type
+""".strip()
+
     q["events_props_extract"] = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events
 """.strip()
