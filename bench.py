@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "text_language_id",
     "text_bpe_token_counts",
+    "dedup_embedding_pairs",
     "dedup_embedding_pairs_lsh",
     "ann_cosine_topk",
     "events_hourly",

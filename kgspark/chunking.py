@@ -92,6 +92,8 @@ def token_window_chunks(
     )
 
 
+_ASCII_WS = " \t\n\r\f\v"
+
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
@@ -147,16 +149,23 @@ def chunk_by_delimiter_py(
     ``split_by_delimiter_only`` (the reference's ``split_by_character_only``),
     which keeps oversized pieces whole.  ``chunk_order_index`` = emission
     order; raises when overlap >= max_tokens (utils.rs:57-61 parity).
+
+    Whitespace discipline: pieces are trimmed/tokenized by ASCII whitespace
+    only — the engine-portable convention every operator in this repo uses
+    (Spark ``F.trim``/ASCII ``\\s``, DuckDB ``trim``/RE2 ``\\s``).  The
+    reference's Rust ``str::trim`` strips unicode whitespace (documented
+    deviation; unicode-only-whitespace pieces survive here on all engines
+    identically instead of diverging between Python and SQL).
     """
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than chunk size")
     out: list[tuple[int, str, int]] = []
     idx = 0
     for piece in (text or "").split(delimiter):
-        piece = piece.strip()
+        piece = piece.strip(_ASCII_WS)
         if not piece:
             continue
-        toks = piece.split()
+        toks = [t for t in re.split(r"\s+", piece, flags=re.ASCII) if t]
         if split_by_delimiter_only or len(toks) <= max_tokens:
             out.append((idx, piece, len(toks)))
             idx += 1

@@ -14,12 +14,13 @@ Resume model (the reference's two recovery surfaces re-expressed):
   * doc-level: the ``doc_status`` table + a LEFT ANTI join keeps already
     PROCESSED documents out of the new batch (J1 ``filter_keys``,
     storage/json_kv.rs:260-264, call site pipeline/pipeline.rs:482-488);
-  * stage-level: content-addressed ids make every stage append-only and
-    idempotent — re-processing a doc produces byte-identical rows, so a
-    crash between stages is healed by re-running the batch.  Stage writes
-    are run-partitioned parquet APPENDS (``run_id=`` hive partitions, the
-    Iceberg-commit analog): per-batch I/O is proportional to the new rows,
-    never to accumulated table size.
+  * stage-level: stage writes are run-partitioned parquet APPENDS
+    (``run_id=`` hive partitions, the Iceberg-commit analog): per-batch
+    I/O is proportional to the new rows, never to accumulated table size.
+    The manifest is the commit log — partitions from runs that never
+    reached it are swept at the next batch start, so a crash anywhere
+    between stage appends and the manifest commit heals to exactly-once
+    (re-derived rows are byte-identical by content-addressed ids).
 
 Lineage/metrics: every committed stage records per-partition row counts
 (spark_partition_id groupBy) plus totals in the manifest — the per-partition
@@ -104,8 +105,13 @@ class Warehouse:
             batch = self.read(name).filter(F.col("run_id") == run_id)
             m = self._metrics(name, batch)
         except Exception:
-            # zero-row append into a not-yet-existing table leaves only a
-            # _SUCCESS marker — nothing to read, nothing appended.
+            # zero-row append into a not-yet-existing table writes only a
+            # _SUCCESS marker — materialize the SCHEMA as an empty file
+            # inside this run's partition dir so the table is readable (and
+            # wh.exists() stops lying about an unreadable table).
+            df.limit(0).coalesce(1).write.mode("append").parquet(
+                os.path.join(self.table_path(name), f"run_id={run_id}")
+            )
             m = {
                 "table": name,
                 "path": self.table_path(name),
@@ -311,6 +317,33 @@ def status_counts(status_table: DataFrame) -> DataFrame:
 STAGES = ("docs", "chunks", "entities", "relations", "triples")
 
 
+def _cleanup_uncommitted(wh: Warehouse) -> None:
+    """Remove run_id= partitions whose run never reached the manifest.
+
+    The manifest is the commit log: stage appends land first, the manifest
+    entry last.  A crash in between leaves orphan partitions whose docs are
+    NOT in doc_status — a rerun would pass the anti-join and append the
+    same rows a second time.  Sweeping uncommitted partitions at batch
+    start restores exactly-once semantics (the Iceberg analog: an aborted
+    commit's data files are never referenced by a snapshot).  Single-writer
+    assumption, same as the reference's storage layer.
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    committed = {r["run_id"] for r in wh.manifest()["runs"]}
+    for name in os.listdir(wh.root):
+        tdir = wh.table_path(name)
+        if not os.path.isdir(tdir):
+            continue
+        for sub in os.listdir(tdir):
+            if not sub.startswith("run_id="):
+                continue
+            rid = unquote(sub[len("run_id="):])
+            if rid not in committed:
+                shutil.rmtree(os.path.join(tdir, sub))
+
+
 def run_pipeline(
     spark: SparkSession,
     web_pages: DataFrame,
@@ -325,23 +358,35 @@ def run_pipeline(
 
     Incremental by construction: stage writes are run-partitioned parquet
     APPENDS (Iceberg-commit analog), so per-batch I/O is proportional to the
-    new docs, never to accumulated table size.  Content-addressed ids keep
-    appends idempotent: the doc_status anti-join admits new doc_ids only, and
-    a crash-rerun re-derives byte-identical rows.  The extraction diamond
+    new docs, never to accumulated table size.  Crash-rerun safety is
+    two-layer: the doc_status anti-join admits new doc_ids only, and
+    partitions from runs that never reached the manifest (crash between
+    stage appends and the manifest commit) are swept at batch start
+    (:func:`_cleanup_uncommitted`) — without the sweep a rerun would pass
+    the anti-join and append byte-identical rows a second time.  The
+    extraction diamond
     (docs feeds chunks/status; extracted feeds entities/relations/triples)
     is persisted once per batch instead of recomputed per stage write.
     """
     from pyspark.storagelevel import StorageLevel
 
     t0 = time.perf_counter()
-    ex = pipeline.extract_docs(web_pages)
+    _cleanup_uncommitted(wh)
+    cols = ["url", "warc_ts", "lang", "extracted_text", "extract_error"]
+    if check_digest:
+        cols += ["text", "text_sha256"]  # golden columns for the digest gate
+    # persist BEFORE the digest gate: the gate's collect() is an action, and
+    # an unpersisted frame would run the extraction UDF over the whole
+    # corpus twice (once for the gate, again for the first fold action).
+    ex = (
+        pipeline.extract_docs(web_pages)
+        .select(*cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if check_digest:
         bad = pipeline.digest_violations(ex).limit(1).collect()
         if bad:
             raise AssertionError(f"digest violation for url={bad[0]['url']}")
-    ex = ex.select(
-        "url", "warc_ts", "lang", "extracted_text", "extract_error"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     errors = pipeline.extract_errors(ex, run_id)
     d_new = pipeline.docs_from_extracted(ex)
@@ -398,8 +443,6 @@ def run_pipeline(
             )
         else:
             map_changed = True
-        if map_changed:
-            stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
         # a crash between truncate and append leaves the table missing; the
         # next run detects that and re-runs the full rebuild (idempotent).
         if map_changed or not wh.exists("canonical_triples"):
@@ -419,6 +462,12 @@ def run_pipeline(
             stage_metrics["canonical_triples"] = wh.append(
                 "canonical_triples", canon.canonical_triples(batch_t, cmap), run_id
             )
+        if map_changed:
+            # committed AFTER the triple rewrite: a crash in between leaves
+            # the OLD map on disk, so the next run re-detects the change and
+            # re-runs the full rebuild — committing the map first would make
+            # the crash window look converged and strand the lost triples.
+            stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
 
     if x is not None:
         x.unpersist()

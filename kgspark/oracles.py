@@ -269,10 +269,13 @@ pieces AS (
   FROM tok
 ),
 pt AS (
-  SELECT kg_doc_id, pidx, trim(piece) AS piece,
-         string_split_regex(trim(piece), '\\s+') AS ptoks
+  SELECT kg_doc_id, pidx,
+         trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11))) AS piece,
+         list_filter(string_split_regex(
+           trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11))), '\\s+'),
+           x -> length(x) > 0) AS ptoks
   FROM pieces
-  WHERE length(trim(piece)) > 0
+  WHERE length(trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11)))) > 0
 ),
 wins AS (
   SELECT kg_doc_id, pidx,

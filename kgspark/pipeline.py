@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from . import chunking, html_extract, ids, web_extraction
+from . import cache, chunking, html_extract, ids, web_extraction
 
 
 def _norm_name(c: Column) -> Column:
@@ -339,13 +339,7 @@ def build(
     c = chunks(d)
     x = extracted_chunks(c)
     if reuse:
-        from pyspark.storagelevel import StorageLevel
-
-        x = x.persist(StorageLevel.MEMORY_AND_DISK)
-        prev = _BUILD_PERSISTED.pop(0) if _BUILD_PERSISTED else None
-        if prev is not None:
-            prev.unpersist()
-        _BUILD_PERSISTED.append(x)
+        x = cache.swap_persisted(_BUILD_PERSISTED, x)
     e = entities(x)
     r = relations(x, e)
     t = triples(r)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from . import ids
+from . import cache, ids
 
 # English function words used by the n-gram/stopword language heuristic.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -407,17 +407,10 @@ def lsh_candidate_pairs(
     # columns, no text) is persisted so the self-join's two branches run
     # the signature kernel ONCE (exchange reuse across PythonUDF subtrees
     # is not guaranteed — measured a full duplicate kernel pass without
-    # the cache).  One cached frame at a time (same registry discipline
-    # as ngram_jaccard_pairs).
-    from pyspark.storagelevel import StorageLevel
-
-    exploded = exploded.repartition("band", "band_hash").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the cache).
+    exploded = cache.swap_persisted(
+        _BANDS_PERSISTED, exploded.repartition("band", "band_hash")
     )
-    prev = _BANDS_PERSISTED.pop(0) if _BANDS_PERSISTED else None
-    if prev is not None:
-        prev.unpersist()
-    _BANDS_PERSISTED.append(exploded)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -475,16 +468,7 @@ def ngram_jaccard_pairs(
     shingled exactly once per action (previously 3x: signatures for banding
     plus two independent shingle scans).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    both = minhash_shingles(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    # one cached upstream at a time: repeated calls (bench reps, sessions
-    # issuing the query more than once) drop the previous frame's cache
-    # instead of accumulating MEMORY_AND_DISK RDDs for the session lifetime.
-    prev = _JACCARD_PERSISTED.pop(0) if _JACCARD_PERSISTED else None
-    if prev is not None:
-        prev.unpersist()
-    _JACCARD_PERSISTED.append(both)
+    both = cache.swap_persisted(_JACCARD_PERSISTED, minhash_shingles(docs, text_col))
     pairs = lsh_candidate_pairs(docs, text_col, signatures=both)
     sh = both.select("kg_doc_id", "shingles")
     j = (

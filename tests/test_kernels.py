@@ -156,3 +156,15 @@ def test_delimiter_chunks_overlap_ge_max_raises():
 
     with pytest.raises(ValueError):
         chunk_by_delimiter_py("a b", max_tokens=3, overlap=3)
+
+
+def test_delimiter_chunks_ascii_whitespace_discipline():
+    from kgspark.chunking import chunk_by_delimiter_py
+
+    # tabs/newlines around pieces: ASCII-trimmed, tokenized by ASCII \s+
+    out = chunk_by_delimiter_py("\ta b\n\nSEP\n c\td \n", delimiter="SEP",
+                                max_tokens=10)
+    assert out == [(0, "a b", 2), (1, "c\td", 2)]
+    # whitespace-only piece is dropped
+    assert chunk_by_delimiter_py("x SEP \t\n SEP y", delimiter="SEP",
+                                 max_tokens=10) == [(0, "x", 1), (1, "y", 1)]

@@ -186,3 +186,63 @@ def test_append_cost_is_batch_proportional(spark, tmp_path):
         wh.read("triples").filter(F.col("run_id") == "r1").count()
         + wh.read("triples").filter(F.col("run_id") == "r2").count()
     )
+
+
+def test_crash_rerun_heals_to_exactly_once(spark, tmp_path):
+    """Partitions from a run that never reached the manifest (crash between
+    stage appends and the manifest commit) are swept at the next batch
+    start — a rerun cannot double-append its rows."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    web = datagen.web_pages(spark, 60, 42)
+    materialize.run_pipeline(spark, web, wh, run_id="r1")
+    clean = wh.read("triples").drop("run_id").count()
+
+    # simulate the crash: stage rows appended under an uncommitted run_id
+    # (doc_status included — the anti-join alone would NOT catch this,
+    # because a crash can also land before the doc_status append)
+    ghost = pipeline.build(datagen.web_pages(spark, 90, 42), reuse=False)
+    new_docs = ghost["docs"].join(
+        wh.read("doc_status").select("doc_id"), "doc_id", "left_anti"
+    )
+    wh.append("docs", new_docs, "ghost-run")
+    wh.append("triples", ghost["triples"].join(
+        new_docs.select("doc_id"), "doc_id", "left_semi"), "ghost-run")
+    assert wh.read("triples").count() > clean  # partial rows landed
+
+    # the next batch sweeps the orphan partition, then processes normally
+    entry = materialize.run_pipeline(
+        spark, datagen.web_pages(spark, 90, 42), wh, run_id="r2"
+    )
+    assert entry["processed_docs"] > 0
+    full = {
+        tuple(r)
+        for r in pipeline.build(
+            datagen.web_pages(spark, 90, 42), reuse=False
+        )["triples"].collect()
+    }
+    got = [tuple(r) for r in wh.read("triples").drop("run_id").collect()]
+    assert len(got) == len(set(got)) == len(full)  # no duplicates, no loss
+    assert set(got) == full
+    assert not any(
+        "ghost-run" in d for d in __import__("os").listdir(wh.table_path("triples"))
+    )
+
+
+def test_zero_row_stage_append_keeps_table_readable(spark, tmp_path):
+    """A batch that produces entities but no relations must still commit:
+    empty stage appends materialize the schema (readable 0-row table)."""
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    # one vocabulary mention, no predicate sentence -> no relations/triples
+    rows = [("https://one.test/a", ts,
+             b"<html><p>London has pleasant weather this week</p></html>",
+             "London has pleasant weather this week", "en")]
+    web = spark.createDataFrame(rows, datagen.SCHEMA)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    entry = materialize.run_pipeline(spark, web, wh, run_id="lone")
+    assert entry["processed_docs"] == 1
+    assert wh.read("triples").count() == 0  # readable, zero rows
+    assert wh.read("relations").count() == 0
+    assert wh.read("entities").count() == 1
+    assert wh.read("canonical_triples").count() == 0
