@@ -277,6 +277,22 @@ def _q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-BPE token counts (F12): corpus-trained merge table,
+    greedy lowest-rank application in an Arrow kernel; the oracle replays
+    the merge list in training order (provably-equivalent independent
+    formulation).  Fixed web corpus — sf_dir deliberately unused."""
+    from kgspark import bpe, bpe_oracle
+
+    _, merges = bpe_oracle.corpus_and_merges()
+    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    nonempty = web.filter(F.length(F.trim("text")) > 0)
+    return (
+        bpe.bpe_token_counts(nonempty, merges, text_col="text", id_col="url")
+        .withColumnRenamed("doc_key", "url")
+    )
+
+
 def _q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-floor gate for the LSH dedup path on PLANTED near-duplicates
     (the shared embeddings table has no pairs above cosine ~0.5, so recall
@@ -456,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_recall": _q_dedup_embedding_recall,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_token_counts": _q_text_bpe_token_counts,
+        "web_bpe_token_counts": _q_web_bpe_token_counts,
         "media_metadata": _q_media_metadata,
         "media_decode": _q_media_decode,
         "media_frame_samples": _q_media_frame_samples,
@@ -491,9 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgspark import bpe_oracle
+
     return {
         **oracles.build(),
         **web_oracles.build(),
         **media_oracles.build(),
         **vec_oracles.build(),
+        **bpe_oracle.build(),
     }

@@ -1,0 +1,159 @@
+"""Real byte-pair encoding: deterministic trainer + distributed applier.
+
+The reference tokenizes with tiktoken's pretrained ``o200k_base`` vocabulary
+(runtime/src/pipeline/utils.rs:21-40).  That vocabulary is a binary asset we
+neither ship nor depend on; instead this module implements the BPE
+*algorithm* itself — train a merge table on a corpus (deterministically:
+highest pair count, ties broken lexicographically), broadcast the ranks,
+apply per row in an Arrow-batched kernel.  Token counts therefore come from
+a genuine learned subword vocabulary rather than the regex pre-tokenizer of
+:func:`kgspark.textops.bpe_token_counts` (kept — it is the cheap
+pure-Catalyst screening variant).  Documented deviation: the *vocabulary*
+differs from o200k_base (by construction — it is corpus-trained), the
+*mechanism* is the real one.
+
+Two provably-equivalent application formulations exist and we exploit that
+for verification: the distributed kernel merges greedily by lowest rank
+(what fast tokenizers do), while the driver-side oracle replays the merge
+list in training order (the textbook formulation).  Agreement between them
+is a genuine cross-check, not a shared-code tautology.
+
+Scale: training runs once on a bounded driver-side sample (the vocabulary
+is metadata, like the LSH planes); application is embarrassingly parallel
+mapInPandas with a per-executor word→length memo (Zipf reuse makes the
+memo hit rate ~99% on natural text).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker so merges never cross word boundaries
+
+_WS_RE = re.compile(r"\s+", flags=re.ASCII)
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
+
+
+def train_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from ``texts`` — fully deterministic:
+    each round merges the pair with the highest count, ties broken by the
+    lexicographically smallest pair."""
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in _words(t):
+            vocab[tuple(w) + (END,)] += 1
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # deterministic: highest count, ties -> lexicographically smallest pair
+        pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: Counter[tuple[str, ...]] = Counter()
+        for sym, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe_greedy(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one word by repeatedly merging its LOWEST-RANK pair — the
+    fast-tokenizer formulation (provably equivalent to replaying the merge
+    list in training order, which the oracle uses)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def apply_bpe_replay(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Textbook formulation: replay every merge in training order (the
+    independent oracle path)."""
+    sym = list(word) + [END]
+    for pair in merges:
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary.
+
+    Arrow-batched kernel; the merge table rides in the closure (metadata,
+    like the LSH plane constants); per-executor word→length memo.
+    """
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def gen(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, n_tok, n_words = [], [], []
+            for key, text in zip(pdf["_id"], pdf["_text"]):
+                ws = _words(text or "")
+                total = 0
+                for w in ws:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(apply_bpe_greedy(w, ranks))
+                        if len(memo) > 1_000_000:
+                            memo.clear()
+                        memo[w] = n
+                    total += n
+                ids.append(key)
+                n_tok.append(total)
+                n_words.append(len(ws))
+            yield pd.DataFrame(
+                {"doc_key": ids, "n_bpe_tokens": n_tok, "n_words": n_words}
+            )
+
+    pruned = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    return pruned.mapInPandas(
+        gen, schema="doc_key string, n_bpe_tokens long, n_words long"
+    )

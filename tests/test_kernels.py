@@ -168,3 +168,30 @@ def test_delimiter_chunks_ascii_whitespace_discipline():
     # whitespace-only piece is dropped
     assert chunk_by_delimiter_py("x SEP \t\n SEP y", delimiter="SEP",
                                  max_tokens=10) == [(0, "x", 1), (1, "y", 1)]
+
+
+# ------------------------------------------------------------ learned BPE (F12)
+
+def test_bpe_trainer_deterministic_and_formulations_agree():
+    from kgspark.bpe import apply_bpe_greedy, apply_bpe_replay, train_bpe
+
+    texts = ["low low lower lowest", "new newer newest new", "aaa aab aaab"]
+    m1 = train_bpe(texts, 12)
+    m2 = train_bpe(list(texts), 12)
+    assert m1 == m2  # deterministic incl. tie-breaks
+
+    ranks = {p: i for i, p in enumerate(m1)}
+    # adversarial words: unseen, overlapping-merge ('aaa'), empty-ish
+    for w in ["lowest", "newest", "aaaa", "zzz", "l", "aaab", "xlowx"]:
+        assert apply_bpe_greedy(w, ranks) == apply_bpe_replay(w, m1), w
+
+
+def test_bpe_counts_compress_seen_words():
+    from kgspark.bpe import apply_bpe_greedy, train_bpe
+
+    m = train_bpe(["hello hello hello world"], 16)
+    ranks = {p: i for i, p in enumerate(m)}
+    # a fully-merged training word collapses to one token (+ marker merge)
+    assert len(apply_bpe_greedy("hello", ranks)) == 1
+    # unseen vocabulary stays character-level-ish (no spurious merges)
+    assert len(apply_bpe_greedy("qqq", ranks)) == 4
