@@ -222,6 +222,20 @@ def _q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sliding_window_counts(_t(spark, sf_dir, "events"))
 
 
+def _q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling surface: deterministic salted join (hot keys spread
+    over n_salts reducers, cold keys joined plainly) must produce EXACTLY
+    the plain inner join — the oracle is that plain join."""
+    from kgspark import skew
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type_events")
+    )
+    out = skew.salted_join(e, dim, "event_type", n_salts=8, threshold=100)
+    return out.select("event_id", "event_type", "value", "n_type_events")
+
+
 def _q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.props_extract(_t(spark, sf_dir, "events"))
 
@@ -486,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_session_windows": _q_events_session_windows,
         "events_sliding_windows": _q_events_sliding_windows,
+        "events_salted_join": _q_events_salted_join,
         "events_props_extract": _q_events_props_extract,
         "events_topk_by_type": _q_events_topk_by_type,
         "ann_cosine_topk": _q_ann_cosine_topk,

@@ -458,6 +458,15 @@ FROM slid
 GROUP BY ws, event_type
 """.strip()
 
+    # the salted two-path join must be EXACTLY the plain inner join
+    q["events_salted_join"] = """
+WITH dim AS (
+  SELECT event_type, count(*) AS n_type_events FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, d.n_type_events
+FROM events e JOIN dim d USING (event_type)
+""".strip()
+
     q["events_props_extract"] = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k FROM events
 """.strip()
