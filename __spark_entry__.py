@@ -232,7 +232,13 @@ def _q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_type_events")
     )
-    out = skew.salted_join(e, dim, "event_type", n_salts=8, threshold=100)
+    # median count as the hot threshold: roughly half the types take the
+    # salted path and half the plain path at ANY scale factor, so BOTH
+    # branches of the two-path union are live in the value gate (a fixed
+    # threshold degenerates to all-hot or all-cold as sf changes).
+    cnts = sorted(r["n_type_events"] for r in dim.collect())
+    thr = cnts[len(cnts) // 2]
+    out = skew.salted_join(e, dim, "event_type", n_salts=8, threshold=thr)
     return out.select("event_id", "event_type", "value", "n_type_events")
 
 

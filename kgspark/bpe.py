@@ -4,7 +4,8 @@ The reference tokenizes with tiktoken's pretrained ``o200k_base`` vocabulary
 (runtime/src/pipeline/utils.rs:21-40).  That vocabulary is a binary asset we
 neither ship nor depend on; instead this module implements the BPE
 *algorithm* itself — train a merge table on a corpus (deterministically:
-highest pair count, ties broken lexicographically), broadcast the ranks,
+highest pair count, ties broken lexicographically), ship the ranks to
+executors in the task closure (metadata-sized, like the LSH planes), and
 apply per row in an Arrow-batched kernel.  Token counts therefore come from
 a genuine learned subword vocabulary rather than the regex pre-tokenizer of
 :func:`kgspark.textops.bpe_token_counts` (kept — it is the cheap
@@ -20,8 +21,9 @@ is a genuine cross-check, not a shared-code tautology.
 
 Scale: training runs once on a bounded driver-side sample (the vocabulary
 is metadata, like the LSH planes); application is embarrassingly parallel
-mapInPandas with a per-executor word→length memo (Zipf reuse makes the
-memo hit rate ~99% on natural text).
+mapInPandas with a per-task word→length memo — it lives for one
+partition's iterator, which on natural text still captures most of the
+Zipf head within each partition.
 """
 
 from __future__ import annotations
@@ -123,7 +125,7 @@ def bpe_token_counts(
     """Per-document token counts under the learned BPE vocabulary.
 
     Arrow-batched kernel; the merge table rides in the closure (metadata,
-    like the LSH plane constants); per-executor word→length memo.
+    like the LSH plane constants); per-task word→length memo.
     """
     import pandas as pd
 

@@ -32,6 +32,7 @@ def corpus_and_merges() -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     return kept, merges
 
 
+@lru_cache(maxsize=1)
 def build() -> dict[str, str]:
     kept, merges = corpus_and_merges()
     values = []
