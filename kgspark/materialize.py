@@ -140,6 +140,37 @@ class Warehouse:
         }
 
 
+def compact(wh: "Warehouse", name: str, target_partitions: int | None = None) -> dict:
+    """Collapse a stage table's accumulated run partitions into ONE base
+    partition — the Iceberg ``rewrite_data_files`` analog.
+
+    Incremental appends pay the small-file tax: after many batches a table
+    holds one partition (and >=1 file) per run, degrading scan planning and
+    open-file overhead.  Compaction rewrites the whole table into a single
+    ``run_id=compact-N`` partition with ``target_partitions`` right-sized
+    files, registers that run id in the manifest BEFORE the atomic swap (so
+    the uncommitted-partition sweep never mistakes the base for a crashed
+    run), then swaps.  Crash windows: before the manifest commit → a stale
+    ``.tmpnew`` dir is overwritten by the next compaction; after the commit
+    but before the swap → a manifest entry with no partitions, harmless.
+    Resume semantics are untouched — doc ids don't change, only file layout.
+    """
+    df = wh.read(name).drop("run_id")
+    n = target_partitions or wh.spark.sparkContext.defaultParallelism
+    m = wh.manifest()
+    base_rid = f"compact-{sum(1 for r in m['runs'] if str(r.get('run_id', '')).startswith('compact-'))}-{name}"
+    staged = df.repartition(n).withColumn("run_id", F.lit(base_rid))
+    staged.write.mode("overwrite").partitionBy("run_id").parquet(
+        wh.table_path(name + ".tmpnew")
+    )
+    m["runs"].append({"run_id": base_rid, "compaction": name})
+    wh._commit_manifest(m)
+    _swap(wh, name)
+    out = wh._metrics(name, wh.read(name))
+    out["compacted_to"] = base_rid
+    return out
+
+
 def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> int:
     """S7 (storage/json_kv.rs:209-237): delete by id list — anti-join rewrite.
 

@@ -246,3 +246,43 @@ def test_zero_row_stage_append_keeps_table_readable(spark, tmp_path):
     assert wh.read("relations").count() == 0
     assert wh.read("entities").count() == 1
     assert wh.read("canonical_triples").count() == 0
+
+
+def test_compaction_collapses_partitions_and_preserves_resume(spark, tmp_path):
+    """compact() rewrites many run partitions into one base partition
+    (small-file healing) without changing semantics: row sets identical,
+    the recovery sweep keeps the base, and resume still skips docs."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for k, n in enumerate((40, 80, 120)):
+        materialize.run_pipeline(
+            spark, datagen.web_pages(spark, n, 42), wh, run_id=f"r{k}"
+        )
+    tri = wh.table_path("triples")
+    before = sorted(map(tuple, wh.read("triples").drop("run_id").collect()))
+    n_parts_before = len([d for d in os.listdir(tri) if d.startswith("run_id=")])
+    assert n_parts_before == 3
+
+    m = materialize.compact(wh, "triples", target_partitions=2)
+    parts = [d for d in os.listdir(tri) if d.startswith("run_id=")]
+    assert parts == [f"run_id={m['compacted_to']}"]
+    after = sorted(map(tuple, wh.read("triples").drop("run_id").collect()))
+    assert after == before
+
+    # a subsequent batch sweeps nothing (base run id is committed) and
+    # resumes normally on top of the compacted layout
+    e = materialize.run_pipeline(
+        spark, datagen.web_pages(spark, 160, 42), wh, run_id="r3"
+    )
+    assert e["skipped_docs"] > 0 and e["processed_docs"] > 0
+    assert os.path.isdir(os.path.join(tri, f"run_id={m['compacted_to']}"))
+    full = sorted(
+        map(
+            tuple,
+            pipeline.build(datagen.web_pages(spark, 160, 42), reuse=False)[
+                "triples"
+            ].collect(),
+        )
+    )
+    assert sorted(map(tuple, wh.read("triples").drop("run_id").collect())) == full
