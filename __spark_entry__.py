@@ -356,6 +356,12 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(_media(spark))
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail resize of image payloads (real geometry,
+    digest stand-in for pixels — sandbox ships no Pillow)."""
+    return multimodal.resize_media(_media(spark))
+
+
 # ------------------------------------------------- web_pages pipeline queries
 #
 # The web corpus is synthesized deterministically (kgspark.datagen) at a FIXED
@@ -496,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_decode": _q_media_decode,
         "media_frame_samples": _q_media_frame_samples,
+        "media_resize": _q_media_resize,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,

@@ -54,7 +54,24 @@ def build() -> dict[str, str]:
         for fi in multimodal.frame_sample_py(payload):
             frame_rows.append((media_id, fi))
 
+    resize_rows = []
+    for media_id, kind, payload in rows:
+        r = multimodal.resize_py(payload, 64, 64)
+        if r is not None:
+            resize_rows.append(
+                (
+                    media_id, r["kind"], r["src_width"], r["src_height"],
+                    r["out_width"], r["out_height"], r["resized_sha256"],
+                )
+            )
+
     return {
+        "media_resize": _values(
+            resize_rows,
+            ["media_id", "kind", "src_width", "src_height",
+             "out_width", "out_height", "resized_sha256"],
+            ["s", "s", "i", "i", "i", "i", "s"],
+        ),
         "media_metadata": _values(
             meta_rows,
             ["media_id", "kind", "n_bytes", "payload_sha256"],

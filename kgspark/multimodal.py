@@ -201,3 +201,79 @@ def sample_frames(df: DataFrame, id_col: str = "media_id", binary_col: str = "pa
             yield pd.DataFrame({"media_id": out_ids, "frame_index": out_idx})
 
     return pruned.mapInPandas(_sample, schema=schema)
+
+
+def fit_within(src_w: int, src_h: int, tw: int, th: int) -> tuple[int, int]:
+    """Aspect-preserving thumbnail fit (no upscale), integer-exact."""
+    if src_w <= tw and src_h <= th:
+        return src_w, src_h
+    if src_w * th >= src_h * tw:  # width is the binding constraint
+        return tw, max(1, (src_h * tw) // src_w)
+    return max(1, (src_w * th) // src_h), th
+
+
+def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
+    """DETERMINISTIC RESIZE STAND-IN — real geometry, fake pixels.
+
+    The output DIMENSIONS are the real aspect-preserving fit-within
+    arithmetic any thumbnailer computes; the resized BYTES are a
+    deterministic digest stand-in (sha256 of payload + target box) because
+    the sandbox ships no Pillow — a production build swaps only the digest
+    line for the actual encoder.  Non-image payloads return None.
+    """
+    d = decode_header_py(payload)
+    if d["kind"] not in ("jpeg", "png", "gif") or d["width"] is None:
+        return None
+    out_w, out_h = fit_within(d["width"], d["height"], tw, th)
+    digest = hashlib.sha256(
+        payload + f":resize:{out_w}x{out_h}".encode()
+    ).hexdigest()
+    return {
+        "kind": d["kind"],
+        "src_width": d["width"],
+        "src_height": d["height"],
+        "out_width": out_w,
+        "out_height": out_h,
+        "resized_sha256": digest,
+    }
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_sha256", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "media_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas resize: one row per IMAGE payload with source/output dims
+    and the resized-bytes digest.  Column pruning: only (id, payload) cross
+    into Python; non-image rows drop out inside the kernel."""
+    pruned = df.select(
+        F.col(id_col).alias("media_id"), F.col(binary_col).alias("payload")
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                r = resize_py(bytes(p), target_w, target_h)
+                if r is not None:
+                    rows.append({"media_id": mid, **r})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+            )
+
+    return pruned.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
