@@ -43,7 +43,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "text_simhash",
     "text_quality",
-    "text_language_id",
+    "graph_bfs_paths",
     "text_bpe_token_counts",
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_lsh",

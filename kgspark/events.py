@@ -34,11 +34,15 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
         "event_id",
         "ts",
         "value",
-        # unix_timestamp handles TIMESTAMP_NTZ parquet columns; the gap is a
-        # difference, so any timezone interpretation cancels.
+        # Compare the gap as a day-time INTERVAL, never via epoch seconds:
+        # Spark's unix_timestamp() truncates to whole seconds while DuckDB's
+        # epoch() keeps fractional-second DOUBLEs, and the events data has a
+        # real 1800-1801s boundary gap — epoch arithmetic flips is_new under
+        # engine/version drift.  Timestamp subtraction is microsecond-exact
+        # and timezone-free on both engines.
         F.when(
-            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-            > gap_minutes * 60,
+            F.col("ts") - F.lag("ts").over(w)
+            > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES"),
             1,
         )
         .otherwise(0)

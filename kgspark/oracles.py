@@ -318,7 +318,8 @@ SELECT kg_doc_id,
        raw_chars AS n_chars,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
-       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fingerprint
 FROM tok
 """.strip()
 
@@ -334,7 +335,9 @@ WITH {TOK}, d AS (
 SELECT kg_doc_id, n_tokens,
        round(trim_chars * 1.0 / n_tokens, 6) AS mean_token_len,
        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05) AS passes_quality
+       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05) AS passes_quality,
+       CASE WHEN round(n_stop * 1.0 / n_tokens, 6) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
 FROM d
 """.strip()
 
@@ -398,7 +401,7 @@ SELECT 'by_path_desc_p1' AS page_spec, doc_id, source, n_chars, row_num FROM (
     q["events_sessionize"] = """
 WITH gapped AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 30 * 60 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -423,7 +426,7 @@ GROUP BY user_id, session_idx
     q["events_session_windows"] = """
 WITH gapped AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 30 * 60 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),

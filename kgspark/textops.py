@@ -57,7 +57,10 @@ def with_doc_identity(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting + type-token ratio per document (narrow, no shuffle)."""
+    """Token counting + type-token ratio + vocab fingerprint per document
+    (narrow, no shuffle).  Carries the :func:`fingerprint` column too — both
+    projections read the same token array, so one frame covers the token-
+    counting and document-fingerprint operator families in a single scan."""
     t = _toks(text_col)
     return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
@@ -67,6 +70,9 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.size(F.array_distinct(t)) / F.size(t), 6
         ).alias("type_token_ratio"),
+        F.sha2(F.array_join(F.array_sort(F.array_distinct(t)), " "), 256).alias(
+            "vocab_fingerprint"
+        ),
     )
 
 
@@ -79,6 +85,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = _toks(text_col)
     stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    # language-ID rides along: same stopword ratio drives the en/unknown
+    # heuristic (language_id()'s en_score == stopword_ratio), so the merged
+    # frame covers quality-scoring AND language-ID in one scan.
     return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
         F.size(t).cast("long").alias("n_tokens"),
@@ -90,6 +99,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.size(t) >= 10)
             & (n_stop / F.size(t) >= 0.05)
         ).alias("passes_quality"),
+        F.when(F.round(n_stop / F.size(t), 6) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
     )
 
 
