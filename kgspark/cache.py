@@ -1,27 +1,69 @@
-"""One-slot persist registry shared by the operators that cache an upstream.
+"""Session- and plan-keyed persist registry for operators that cache an
+upstream frame.
 
-``swap_persisted(registry, df)`` persists ``df`` (MEMORY_AND_DISK) and
-unpersists the registry's previous occupant, so repeated operator calls in
-one session keep exactly ONE cached upstream alive instead of accumulating
-cached RDDs for the session lifetime.  The unpersist is best-effort: a
-frame from an already-stopped SparkSession (multi-session drivers) is
-simply dropped.
+``keyed_persist(df, name)`` persists ``df`` (MEMORY_AND_DISK) under the key
+``(applicationId, name, df.semanticHash())`` and returns the registered frame.
+A later call with a semantically-equal plan returns the SAME persisted frame
+instead of re-persisting a duplicate — and, unlike the earlier one-slot
+registry, a call with a DIFFERENT plan (e.g. interleaved
+``ngram_jaccard_pairs`` / ``lsh_candidate_pairs`` over different corpora)
+gets its own slot rather than silently evicting a frame that previously
+returned DataFrames still reference lazily (correct results, but the cached
+kernel pass the registry exists to avoid would re-run).
+
+Bounded: an LRU of ``_CAP`` entries per process; evicted frames are
+unpersisted best-effort (a frame from an already-stopped SparkSession is
+simply dropped).  If an external ``spark.catalog.clearCache()`` wiped the
+cache entry (bench reps do exactly that), the frame is re-persisted on the
+next request instead of silently recomputing per downstream branch.
+Thread-safe via a module lock.
 """
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 
+_CAP = 8
+_LOCK = threading.Lock()
+_REG: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
-def swap_persisted(registry: list[DataFrame], df: DataFrame) -> DataFrame:
+
+def _is_cached(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        return False
+
+
+def keyed_persist(df: DataFrame, name: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    prev = registry.pop(0) if registry else None
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # previous frame's session is gone — nothing to release
-    registry.append(df)
-    return df
+    try:
+        app_id = df.sparkSession.sparkContext.applicationId
+        key = (app_id, name, df.semanticHash())
+    except Exception:
+        # analysis failure or dead session — fall back to an uncached frame
+        return df
+
+    with _LOCK:
+        cached = _REG.get(key)
+        if cached is not None:
+            if not _is_cached(cached):
+                # cache cleared externally (spark.catalog.clearCache());
+                # re-register so downstream diamond branches share one pass
+                cached.persist(StorageLevel.MEMORY_AND_DISK)
+            _REG.move_to_end(key)
+            return cached
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        _REG[key] = df
+        while len(_REG) > _CAP:
+            _, victim = _REG.popitem(last=False)
+            try:
+                victim.unpersist()
+            except Exception:
+                pass  # victim's session is gone — nothing to release
+        return df

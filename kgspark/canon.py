@@ -94,23 +94,17 @@ def exact_key_pairs(names: DataFrame) -> DataFrame:
     )
 
 
-def lsh_pairs(
-    names: DataFrame,
-    k: int = LSH_K,
-    band_rows: int = LSH_BAND_ROWS,
-    threshold: float = JACCARD_THRESHOLD,
+def _with_bands(
+    names: DataFrame, k: int = LSH_K, band_rows: int = LSH_BAND_ROWS
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs over char-shingles, Jaccard-verified.
+    """(name, shingles, band_key) — one row per LSH band of each name.
 
-    Narrow signature computation → explode band keys → bucket self-join
-    (shuffle on band hash only) → exact Jaccard on the candidate pairs.
+    hash each shingle ONCE into the 31-bit universe, then k cheap affine
+    permutations (a_j*h + b_j) mod 2^31-1 — k md5 calls per shingle -> 1
+    (same universal-hashing scheme as textops.minhash_signatures; the
+    driver-side mirror in web_oracles._band_keys uses identical constants).
     """
     sh = names.withColumn("shingles", _shingle_expr(F.col("nkey")))
-
-    # hash each shingle ONCE into the 31-bit universe, then k cheap affine
-    # permutations (a_j*h + b_j) mod 2^31-1 — k md5 calls per shingle -> 1
-    # (same universal-hashing scheme as textops.minhash_signatures; the
-    # driver-side mirror in web_oracles._band_keys uses identical constants).
     sh = sh.withColumn(
         "_hs", F.transform("shingles", lambda s: _hash60(s) % F.lit(MINHASH_P))
     )
@@ -135,7 +129,28 @@ def lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("name", "shingles", F.explode(bands).alias("band_key"))
+    return sig.select("name", "shingles", F.explode(bands).alias("band_key"))
+
+
+def name_bands(names: DataFrame) -> DataFrame:
+    """(name, band_key) — the persistable LSH-bucket state that lets later
+    batches probe NEW names into existing buckets without re-shingling the
+    whole corpus (see :func:`incremental_update`)."""
+    return _with_bands(names).select("name", "band_key")
+
+
+def lsh_pairs(
+    names: DataFrame,
+    k: int = LSH_K,
+    band_rows: int = LSH_BAND_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over char-shingles, Jaccard-verified.
+
+    Narrow signature computation → explode band keys → bucket self-join
+    (shuffle on band hash only) → exact Jaccard on the candidate pairs.
+    """
+    banded = _with_bands(names, k, band_rows)
     # One shared exchange for both self-join branches (ReuseExchange): the
     # shingle/signature pipeline computes once, and the bucket join is
     # co-partitioned on the band key.
@@ -223,6 +238,33 @@ def connected_components(
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
+def _rep_map(spark: SparkSession, comp: DataFrame, names: DataFrame) -> DataFrame:
+    """(entity_name → canonical_name) for every CC node: the alias
+    dictionary's canonical name when a member has one, else the
+    lexicographically smallest member.  ``names`` supplies (name, nkey) for
+    corpus names; non-corpus nodes (alias display names) join as members
+    with no alias key — exactly the full-recompute semantics."""
+    alias_df = spark.createDataFrame(
+        spec.web_alias_rows(), schema="alias string, canonical_name string"
+    )
+    member_canon = (
+        comp.join(names, comp["node"] == names["name"], "left")
+        .join(F.broadcast(alias_df), names["nkey"] == alias_df["alias"], "left")
+        .groupBy("comp")
+        .agg(
+            F.min(F.col("canonical_name")).alias("alias_canon"),
+            F.min("node").alias("min_member"),
+        )
+        .select(
+            "comp",
+            F.coalesce("alias_canon", "min_member").alias("canonical_name"),
+        )
+    )
+    return comp.join(member_canon, "comp").select(
+        F.col("node").alias("entity_name"), "canonical_name"
+    )
+
+
 def canonical_map(
     spark: SparkSession, entity_table: DataFrame, name_col: str = "entity_name"
 ) -> DataFrame:
@@ -240,26 +282,7 @@ def canonical_map(
         .distinct()
     )
     comp = connected_components(pairs)
-
-    alias_df = spark.createDataFrame(
-        spec.web_alias_rows(), schema="alias string, canonical_name string"
-    )
-    member_canon = (
-        comp.join(names, comp["node"] == names["name"], "left")
-        .join(F.broadcast(alias_df), names["nkey"] == alias_df["alias"], "left")
-        .groupBy("comp")
-        .agg(
-            F.min(F.col("canonical_name")).alias("alias_canon"),
-            F.min("node").alias("min_member"),
-        )
-        .select(
-            "comp",
-            F.coalesce("alias_canon", "min_member").alias("canonical_name"),
-        )
-    )
-    mapped = comp.join(member_canon, "comp").select(
-        F.col("node").alias("entity_name"), "canonical_name"
-    )
+    mapped = _rep_map(spark, comp, names)
     # Singletons: names not in any component map to themselves.
     singles = names.join(
         comp, names["name"] == comp["node"], "left_anti"
@@ -271,6 +294,166 @@ def canonical_map(
     return out.withColumn(
         "canonical_id", ids.canonical_id(F.col("canonical_name"))
     )
+
+
+def _jaccard_verified(cand: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact char-shingle Jaccard over (name_a, name_b) candidates —
+    shingles re-derived narrowly per side (no corpus scan)."""
+    sh_a = _shingle_expr(norm_key(F.col("name_a")))
+    sh_b = _shingle_expr(norm_key(F.col("name_b")))
+    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    return cand.filter(jac >= threshold).select("name_a", "name_b")
+
+
+def incremental_update(
+    spark: SparkSession,
+    batch_entity_table: DataFrame,
+    old_map: DataFrame,
+    old_names: DataFrame,
+    old_bands: DataFrame,
+    name_col: str = "entity_name",
+) -> dict:
+    """Delta canonicalization: pair edges are generated ONLY for names the
+    stored state has never seen, and connected components runs over those
+    delta edges plus star edges of the affected old components — per-batch
+    cost tracks NEW-name count, not total corpus names.
+
+    Inputs: ``old_map`` (entity_name, canonical_name[, canonical_id]) — the
+    committed map; ``old_names`` (name, nkey) — every corpus name previous
+    batches canonicalized; ``old_bands`` (name, band_key) — their LSH
+    buckets.  Old names can never gain new pairs among themselves (the pair
+    generators are deterministic functions of the name set), so the full
+    pair space splits as pairs(old×old) [already folded into ``old_map``]
+    ∪ pairs(new×all) [generated here].  Old components enter CC as stars
+    around their canonical label — connectivity-equivalent to their original
+    edge sets — so bridges through new names merge them exactly as a full
+    recompute would, and representative selection re-runs over the complete
+    affected membership (a new lexicographically-smaller member can take
+    over as canonical rep).
+
+    Returns ``{"map": full updated map, "new_names": (name, nkey) delta,
+    "bands_new": (name, band_key) delta, "changed": bool (any OLD member
+    relabeled — old triples need a canonical rewrite only then),
+    "n_new": int}``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    new_names = (
+        distinct_names(batch_entity_table, name_col)
+        .join(old_names.select("name"), "name", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_new = new_names.count()
+    old_map = old_map.select("entity_name", "canonical_name")
+    if n_new == 0:
+        new_names.unpersist()
+        out = old_map.withColumn(
+            "canonical_id", ids.canonical_id(F.col("canonical_name"))
+        )
+        return {
+            "map": out,
+            "new_names": new_names.limit(0),
+            "bands_new": new_names.limit(0).select(
+                "name", F.lit("").alias("band_key")
+            ),
+            "changed": False,
+            "n_new": 0,
+        }
+
+    all_names = old_names.select("name", "nkey").union(
+        new_names.select("name", "nkey")
+    )
+    bands_new = name_bands(new_names).persist(StorageLevel.MEMORY_AND_DISK)
+    all_bands = old_bands.select("name", "band_key").union(bands_new)
+
+    # LSH: probe new names into every bucket (old state + this delta) —
+    # the join shuffles the tiny new side; the stored bucket table is a
+    # narrow names-only scan, never re-shingled.
+    lsh_cand = (
+        bands_new.alias("n")
+        .join(all_bands.alias("o"), "band_key")
+        .filter(F.col("n.name") != F.col("o.name"))
+        .select(
+            F.least(F.col("n.name"), F.col("o.name")).alias("name_a"),
+            F.greatest(F.col("n.name"), F.col("o.name")).alias("name_b"),
+        )
+        .distinct()
+    )
+    lsh_edges = _jaccard_verified(lsh_cand)
+
+    ek = (
+        new_names.alias("n")
+        .join(all_names.alias("a"), "nkey")
+        .filter(F.col("n.name") != F.col("a.name"))
+        .select(
+            F.least(F.col("n.name"), F.col("a.name")).alias("name_a"),
+            F.greatest(F.col("n.name"), F.col("a.name")).alias("name_b"),
+        )
+        .distinct()
+    )
+    edges = ek.union(lsh_edges).union(alias_edges(spark, new_names)).distinct()
+
+    # Affected old components: any old node touched by a delta edge pulls in
+    # its WHOLE component (the rep can change) as a star around its label.
+    # A new corpus name that already exists in the map as a non-corpus node
+    # (an alias display name) also touches its component: as a corpus name
+    # it now joins the alias dictionary during rep selection.
+    touched = (
+        edges.select(F.col("name_a").alias("node"))
+        .union(edges.select(F.col("name_b").alias("node")))
+        .union(new_names.select(F.col("name").alias("node")))
+        .distinct()
+    )
+    affected_labels = (
+        old_map.join(touched, old_map["entity_name"] == touched["node"], "left_semi")
+        .select("canonical_name")
+        .distinct()
+    )
+    affected = old_map.join(affected_labels, "canonical_name", "left_semi")
+    star = affected.filter(F.col("entity_name") != F.col("canonical_name")).select(
+        F.least("entity_name", "canonical_name").alias("name_a"),
+        F.greatest("entity_name", "canonical_name").alias("name_b"),
+    )
+    comp = connected_components(edges.union(star).distinct())
+
+    relabeled = _rep_map(spark, comp, all_names)
+    # New singletons map to themselves — minus names the old map already
+    # carries as display nodes (their committed row survives in unaffected;
+    # a second self-row would duplicate the key).
+    singles = (
+        new_names.join(comp, new_names["name"] == comp["node"], "left_anti")
+        .join(
+            old_map,
+            new_names["name"] == old_map["entity_name"],
+            "left_anti",
+        )
+        .select(
+            F.col("name").alias("entity_name"),
+            F.col("name").alias("canonical_name"),
+        )
+    )
+    unaffected = old_map.join(
+        comp, old_map["entity_name"] == comp["node"], "left_anti"
+    )
+    updated = unaffected.union(relabeled).union(singles).withColumn(
+        "canonical_id", ids.canonical_id(F.col("canonical_name"))
+    )
+
+    changed = (
+        relabeled.alias("r")
+        .join(old_map.alias("o"), "entity_name")
+        .filter(F.col("r.canonical_name") != F.col("o.canonical_name"))
+        .limit(1)
+        .count()
+        > 0
+    )
+    return {
+        "map": updated,
+        "new_names": new_names,
+        "bands_new": bands_new,
+        "changed": changed,
+        "n_new": int(n_new),
+    }
 
 
 def canonical_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:

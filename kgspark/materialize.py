@@ -80,6 +80,16 @@ class Warehouse:
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self.table_path(name), "_SUCCESS"))
 
+    def _has_data_files(self, name: str) -> bool:
+        """True if the table dir holds at least one parquet data file.
+
+        Local-FS walk — fine for this parquet-fallback backend (the Iceberg
+        backend would consult the snapshot manifest instead)."""
+        for _root, _dirs, files in os.walk(self.table_path(name)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
@@ -101,10 +111,13 @@ class Warehouse:
         out.write.mode("append").partitionBy("run_id").parquet(
             self.table_path(name)
         )
-        try:
+        if self._has_data_files(name):
+            # any read/metrics failure here is REAL (corrupt files, schema
+            # drift) and must propagate — a blanket handler used to misreport
+            # it as a 0-row append and commit n_rows=0 lineage.
             batch = self.read(name).filter(F.col("run_id") == run_id)
             m = self._metrics(name, batch)
-        except Exception:
+        else:
             # zero-row append into a not-yet-existing table writes only a
             # _SUCCESS marker — materialize the SCHEMA as an empty file
             # inside this run's partition dir so the table is readable (and
@@ -409,115 +422,217 @@ def run_pipeline(
     # persist BEFORE the digest gate: the gate's collect() is an action, and
     # an unpersisted frame would run the extraction UDF over the whole
     # corpus twice (once for the gate, again for the first fold action).
+    # Every persisted frame is released in the finally block — a digest-gate
+    # AssertionError (or any stage failure) must not leak MEMORY_AND_DISK
+    # caches for the session lifetime.
+    persisted: list[DataFrame] = []
     ex = (
         pipeline.extract_docs(web_pages)
         .select(*cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if check_digest:
-        bad = pipeline.digest_violations(ex).limit(1).collect()
-        if bad:
-            raise AssertionError(f"digest violation for url={bad[0]['url']}")
+    persisted.append(ex)
+    try:
+        if check_digest:
+            bad = pipeline.digest_violations(ex).limit(1).collect()
+            if bad:
+                raise AssertionError(f"digest violation for url={bad[0]['url']}")
 
-    errors = pipeline.extract_errors(ex, run_id)
-    d_new = pipeline.docs_from_extracted(ex)
+        errors = pipeline.extract_errors(ex, run_id)
+        d_new = pipeline.docs_from_extracted(ex)
 
-    n_input = d_new.count()
-    if wh.exists("doc_status"):
-        existing = wh.read("doc_status").select("doc_id")
-        d_new = d_new.join(existing, "doc_id", "left_anti")  # J1 resume
-    d_new = d_new.persist(StorageLevel.MEMORY_AND_DISK)
-    n_todo = d_new.count()
+        n_input = d_new.count()
+        if wh.exists("doc_status"):
+            existing = wh.read("doc_status").select("doc_id")
+            d_new = d_new.join(existing, "doc_id", "left_anti")  # J1 resume
+        d_new = d_new.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(d_new)
+        n_todo = d_new.count()
 
-    stage_metrics: dict[str, dict] = {}
-    x = None
-    if n_todo > 0:
-        c = pipeline.chunks(d_new)
-        x = pipeline.extracted_chunks(c).persist(StorageLevel.MEMORY_AND_DISK)
-        e = pipeline.entities(x)
-        r = pipeline.relations(x, e)
-        t = pipeline.triples(r)
-        new_status = doc_status(d_new, c, run_id)
+        stage_metrics: dict[str, dict] = {}
+        if n_todo > 0:
+            c = pipeline.chunks(d_new)
+            x = pipeline.extracted_chunks(c).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(x)
+            e = pipeline.entities(x)
+            r = pipeline.relations(x, e)
+            t = pipeline.triples(r)
+            new_status = doc_status(d_new, c, run_id)
 
-        for name, df in (
-            ("docs", d_new),
-            ("chunks", c),
-            ("entities", e),
-            ("relations", r),
-            ("triples", t),
-            ("doc_status", new_status),
-        ):
-            stage_metrics[name] = wh.append(name, df, run_id)
+            for name, df in (
+                ("docs", d_new),
+                ("chunks", c),
+                ("entities", e),
+                ("relations", r),
+                ("triples", t),
+                ("doc_status", new_status),
+            ):
+                stage_metrics[name] = wh.append(name, df, run_id)
 
-    # per-doc failure records (reference error_reporter.rs:50): failed pages
-    # never enter doc_status (they fold to empty text), so each run that
-    # re-reads them re-reports — the same behavior as re-enqueueing a bad
-    # file in the reference.
-    stage_metrics["errors"] = wh.append("errors", errors, run_id)
-    n_errors = stage_metrics["errors"]["n_rows"]
+        # per-doc failure records (reference error_reporter.rs:50): failed
+        # pages never enter doc_status (they fold to empty text), so each run
+        # that re-reads them re-reports — the same behavior as re-enqueueing
+        # a bad file in the reference.
+        stage_metrics["errors"] = wh.append("errors", errors, run_id)
+        n_errors = stage_metrics["errors"]["n_rows"]
 
-    # Canonicalization: the MAP is always recomputed over the full entity
-    # table (names-only input — tiny relative to the corpus), but the
-    # canonical TRIPLE rewrite is incremental: if the map is unchanged vs
-    # the stored one, only this batch's new triples are canonicalized and
-    # appended (cross-batch duplicates are impossible — doc_ids are new by
-    # the anti-join).  A full O(corpus) rebuild happens only when the map
-    # actually changed (a new alias can remap OLD triples) — the stable-map
-    # steady state costs O(new docs) per batch.
-    if wh.exists("entities"):
-        cmap = canon.canonical_map(spark, wh.read("entities"))
-        if wh.exists("canonical_map"):
-            old = wh.read("canonical_map")
-            map_changed = (
-                cmap.exceptAll(old).limit(1).count() > 0
-                or old.exceptAll(cmap).limit(1).count() > 0
-            )
-        else:
-            map_changed = True
-        # a crash between truncate and append leaves the table missing; the
-        # next run detects that and re-runs the full rebuild (idempotent).
-        if map_changed or not wh.exists("canonical_triples"):
+        map_fp = _run_canonicalization(
+            spark, wh, run_id, n_todo, stage_metrics, persisted
+        )
+
+        entry = {
+            "run_id": run_id,
+            "input_docs": int(n_input),
+            "processed_docs": int(n_todo),
+            "skipped_docs": int(n_input - n_todo),
+            "error_docs": int(n_errors),
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "stages": stage_metrics,
+        }
+        m = wh.manifest()
+        m["runs"].append(entry)
+        if map_fp is not None:
+            m["canonical_map_fp"] = map_fp
+        wh._commit_manifest(m)
+        return entry
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+
+def _run_canonicalization(
+    spark: SparkSession,
+    wh: Warehouse,
+    run_id: str,
+    n_todo: int,
+    stage_metrics: dict,
+    persisted: list,
+) -> str | None:
+    """Canonicalization stage of :func:`run_pipeline` — incremental by delta,
+    crash-safe by manifest fingerprint.
+
+    Steady state: pair edges are generated only for names this batch
+    introduces (``canon.incremental_update`` probes them into the persisted
+    ``canon_names``/``canon_bands`` state), CC runs over the delta + affected
+    components, and canonical_triples gets an append of just this batch —
+    per-batch cost tracks NEW-name count, not corpus size.  The full rebuild
+    runs only on the first batch, when an old member's canonical label
+    actually changed, or when the committed state is unusable.
+
+    Crash safety: the map-change decision compares the STORED map's
+    fingerprint against the fingerprint in the manifest (committed atomically
+    with the run) — never table-vs-recompute.  Any crash window (map swapped
+    but manifest not committed; canonical_triples truncated/swept; state
+    appends swept) surfaces as a fingerprint/state mismatch and heals via the
+    full rebuild.  Returns the fingerprint to commit, or None if the entities
+    table doesn't exist yet.
+    """
+    if not wh.exists("entities"):
+        return None
+    manifest_fp = wh.manifest().get("canonical_map_fp")
+    state_ok = (
+        manifest_fp is not None
+        and wh.exists("canonical_map")
+        and wh.exists("canon_names")
+        and wh.exists("canon_bands")
+        and wh._has_data_files("canonical_triples")
+        and map_fingerprint(wh.read("canonical_map")) == manifest_fp
+    )
+    if state_ok and n_todo == 0:
+        return manifest_fp  # no new docs → map provably unchanged
+
+    if state_ok:
+        # Delta path.  Batch entities come from the WRITTEN partition (pruned
+        # read), never the lazy batch plan — re-evaluating that plan here
+        # would re-run the doc_status anti-join against a table that now
+        # contains this very run's rows and see zero docs.
+        batch_e = (
+            wh.read("entities").filter(F.col("run_id") == run_id).drop("run_id")
+        )
+        res = canon.incremental_update(
+            spark,
+            batch_e,
+            wh.read("canonical_map"),
+            wh.read("canon_names").select("name", "nkey"),
+            wh.read("canon_bands").select("name", "band_key"),
+        )
+        persisted.extend([res["new_names"], res["bands_new"]])
+        if res["n_new"] == 0:
+            # nothing new under canonicalization: keep the stored map and
+            # append just this batch's canonical triples
+            if n_todo > 0:
+                batch_t = (
+                    wh.read("triples")
+                    .filter(F.col("run_id") == run_id)
+                    .drop("run_id")
+                )
+                stage_metrics["canonical_triples"] = wh.append(
+                    "canonical_triples",
+                    canon.canonical_triples(batch_t, wh.read("canonical_map")),
+                    run_id,
+                )
+            stage_metrics["canonical_map"] = {
+                "table": "canonical_map",
+                "incremental": True,
+                "n_new_names": 0,
+                "unchanged": True,
+            }
+            return manifest_fp
+        # ORDER MATTERS (lazy-read-after-write): the updated map reads the
+        # stored map + state tables, so it is staged and swapped BEFORE any
+        # state append mutates its inputs; everything downstream reads the
+        # swapped table, not the lineage.
+        stage_metrics["canonical_map"] = _write_map_staged(wh, res["map"])
+        cmap = wh.read("canonical_map")
+        if res["changed"] or not wh._has_data_files("canonical_triples"):
             truncate(wh, "canonical_triples")
             ct = canon.canonical_triples(wh.read("triples"), cmap)
             stage_metrics["canonical_triples"] = wh.append(
                 "canonical_triples", ct, run_id
             )
         elif n_todo > 0:
-            # canonicalize this batch from its WRITTEN partition (pruned
-            # read), not the lazy lineage: re-evaluating the batch plan here
-            # would re-run the doc_status anti-join against the table that
-            # now contains this very run's status rows and see zero docs.
-            batch_t = wh.read("triples").filter(
-                F.col("run_id") == run_id
-            ).drop("run_id")
+            batch_t = (
+                wh.read("triples").filter(F.col("run_id") == run_id).drop("run_id")
+            )
             stage_metrics["canonical_triples"] = wh.append(
                 "canonical_triples", canon.canonical_triples(batch_t, cmap), run_id
             )
-        if map_changed:
-            # committed AFTER the triple rewrite: a crash in between leaves
-            # the OLD map on disk, so the next run re-detects the change and
-            # re-runs the full rebuild — committing the map first would make
-            # the crash window look converged and strand the lost triples.
-            stage_metrics["canonical_map"] = wh.write("canonical_map", cmap)
+        if res["n_new"] > 0:
+            # bands BEFORE names: the bands delta derives from new_names,
+            # whose lineage anti-joins canon_names — appending names first
+            # would make that read see its own output and go empty.
+            stage_metrics["canon_bands"] = wh.append(
+                "canon_bands", res["bands_new"], run_id
+            )
+            stage_metrics["canon_names"] = wh.append(
+                "canon_names", res["new_names"], run_id
+            )
+        stage_metrics["canonical_map"]["n_new_names"] = res["n_new"]
+        stage_metrics["canonical_map"]["incremental"] = True
+        return map_fingerprint(cmap)
 
-    if x is not None:
-        x.unpersist()
-    d_new.unpersist()
-    ex.unpersist()
-
-    entry = {
-        "run_id": run_id,
-        "input_docs": int(n_input),
-        "processed_docs": int(n_todo),
-        "skipped_docs": int(n_input - n_todo),
-        "error_docs": int(n_errors),
-        "wall_s": round(time.perf_counter() - t0, 3),
-        "stages": stage_metrics,
-    }
-    m = wh.manifest()
-    m["runs"].append(entry)
-    wh._commit_manifest(m)
-    return entry
+    # Full (re)build: first batch, or committed state unusable after a crash.
+    cmap_full = canon.canonical_map(spark, wh.read("entities"))
+    stage_metrics["canonical_map"] = _write_map_staged(wh, cmap_full)
+    cmap = wh.read("canonical_map")
+    truncate(wh, "canonical_triples")
+    stage_metrics["canonical_triples"] = wh.append(
+        "canonical_triples", canon.canonical_triples(wh.read("triples"), cmap), run_id
+    )
+    names_all = canon.distinct_names(wh.read("entities"))
+    truncate(wh, "canon_names")
+    stage_metrics["canon_names"] = wh.append("canon_names", names_all, run_id)
+    # bands derive from entities (not from canon_names), so this ordering has
+    # no read-after-write hazard.
+    truncate(wh, "canon_bands")
+    stage_metrics["canon_bands"] = wh.append(
+        "canon_bands", canon.name_bands(names_all), run_id
+    )
+    stage_metrics["canonical_map"]["incremental"] = False
+    return map_fingerprint(cmap)
 
 
 def _swap(wh: Warehouse, name: str) -> None:
@@ -528,6 +643,49 @@ def _swap(wh: Warehouse, name: str) -> None:
     old = final + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
-    os.replace(final, old)
+    if os.path.exists(final):
+        os.replace(final, old)
     os.replace(tmp, final)
-    shutil.rmtree(old)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def map_fingerprint(cmap: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a canonical map: row count +
+    bit-XOR of per-row 60-bit hashes.  Stored in the manifest so the
+    map-change decision never trusts an on-disk table a crash may have left
+    ahead of the commit log (the old compare-against-the-table scheme lost
+    canonical_triples permanently in exactly that window)."""
+    row = (
+        cmap.select(
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat_ws("\x1f", "entity_name", "canonical_name"),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]
+    )
+    return f"{int(row['n'])}:{int(row['x'] or 0)}"
+
+
+def _write_map_staged(wh: Warehouse, cmap: DataFrame) -> dict:
+    """Stage-write + atomic-swap the canonical map.
+
+    The incremental map's lineage READS the stored canonical_map — a direct
+    ``mode('overwrite')`` on the same path would delete its own input before
+    evaluating it.  Staging to ``.tmpnew`` evaluates against the old table,
+    then the swap is pure file ops."""
+    cmap.write.mode("overwrite").parquet(wh.table_path("canonical_map.tmpnew"))
+    _swap(wh, "canonical_map")
+    return wh._metrics("canonical_map", wh.read("canonical_map"))

@@ -316,9 +316,6 @@ def triples(relation_table: DataFrame) -> DataFrame:
     ).distinct()
 
 
-_BUILD_PERSISTED: list[DataFrame] = []
-
-
 def build(
     web_pages: DataFrame, check_digest: bool = False, reuse: bool = True
 ) -> dict[str, DataFrame]:
@@ -339,7 +336,7 @@ def build(
     c = chunks(d)
     x = extracted_chunks(c)
     if reuse:
-        x = cache.swap_persisted(_BUILD_PERSISTED, x)
+        x = cache.keyed_persist(x, "extraction")
     e = entities(x)
     r = relations(x, e)
     t = triples(r)

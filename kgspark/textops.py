@@ -373,9 +373,6 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH
     )
 
 
-_BANDS_PERSISTED: list[DataFrame] = []
-
-
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -420,8 +417,8 @@ def lsh_candidate_pairs(
     # the signature kernel ONCE (exchange reuse across PythonUDF subtrees
     # is not guaranteed — measured a full duplicate kernel pass without
     # the cache).
-    exploded = cache.swap_persisted(
-        _BANDS_PERSISTED, exploded.repartition("band", "band_hash")
+    exploded = cache.keyed_persist(
+        exploded.repartition("band", "band_hash"), "lsh_bands"
     )
     left = exploded.alias("l")
     right = exploded.alias("r")
@@ -465,9 +462,6 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_JACCARD_PERSISTED: list[DataFrame] = []
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:
@@ -480,7 +474,7 @@ def ngram_jaccard_pairs(
     shingled exactly once per action (previously 3x: signatures for banding
     plus two independent shingle scans).
     """
-    both = cache.swap_persisted(_JACCARD_PERSISTED, minhash_shingles(docs, text_col))
+    both = cache.keyed_persist(minhash_shingles(docs, text_col), "minhash_shingles")
     pairs = lsh_candidate_pairs(docs, text_col, signatures=both)
     sh = both.select("kg_doc_id", "shingles")
     j = (

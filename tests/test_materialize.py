@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kgspark import datagen, materialize, pipeline
+from kgspark import canon, datagen, materialize, pipeline
 from kgspark.materialize import Warehouse
 
 
@@ -286,3 +286,77 @@ def test_compaction_collapses_partitions_and_preserves_resume(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, wh.read("triples").drop("run_id").collect())) == full
+
+
+def test_crash_before_manifest_commit_preserves_canonical_triples(spark, tmp_path):
+    """The ADVICE-high window: a map-changing run crashes AFTER the
+    canonical_map swap (and all stage appends) but BEFORE the manifest
+    commit.  The sweep removes the run's partitions; the fingerprint in the
+    manifest no longer matches the on-disk map, so the next batch must take
+    the full-rebuild path — the old scheme compared map-vs-recompute, saw
+    'unchanged', appended only the new batch, and silently lost every prior
+    run's canonical_triples rows."""
+    import json
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 5, 42), wh, run_id="r1")
+    pre_crash_manifest = wh._manifest_path() + ".saved"
+    shutil.copy(wh._manifest_path(), pre_crash_manifest)
+
+    # map-changing second run (new corpus names), then "crash" by restoring
+    # the pre-run manifest — byte-exact simulation of dying inside
+    # _commit_manifest's window.
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 120, 42), wh, run_id="r2")
+    shutil.copy(pre_crash_manifest, wh._manifest_path())
+
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 120, 42), wh, run_id="r3")
+    want = sorted(
+        map(
+            tuple,
+            canon.canonical_triples(
+                pipeline.build(datagen.web_pages(spark, 120, 42), reuse=False)["triples"],
+                canon.canonical_map(
+                    spark,
+                    pipeline.build(datagen.web_pages(spark, 120, 42), reuse=False)["entities"],
+                ),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, wh.read("canonical_triples").drop("run_id").collect())
+    )
+    assert got == want  # nothing lost, nothing duplicated
+    # and the healed state is consistent: manifest fp matches the table
+    m = json.load(open(wh._manifest_path()))
+    assert m["canonical_map_fp"] == materialize.map_fingerprint(
+        wh.read("canonical_map")
+    )
+
+
+def test_incremental_canonicalization_matches_full(spark, tmp_path):
+    """Three growing batches: batches 2-3 must take the DELTA path (pair
+    edges only for new names) yet produce byte-identical canonical state to
+    a from-scratch recompute after every batch."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sizes = (40, 80, 120)
+    for k, n in enumerate(sizes):
+        e = materialize.run_pipeline(
+            spark, datagen.web_pages(spark, n, 42), wh, run_id=f"r{k}"
+        )
+        cm_metrics = e["stages"]["canonical_map"]
+        if k == 0:
+            assert cm_metrics["incremental"] is False
+        else:
+            assert cm_metrics["incremental"] is True
+        got = sorted(map(tuple, wh.read("canonical_map").collect()))
+        want = sorted(
+            map(
+                tuple,
+                canon.canonical_map(spark, wh.read("entities")).collect(),
+            )
+        )
+        assert got == want, f"map divergence after batch {k}"
+    # state tables track the corpus name set exactly
+    n_names = wh.read("canon_names").select("name").distinct().count()
+    assert n_names == canon.distinct_names(wh.read("entities")).count()
