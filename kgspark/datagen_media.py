@@ -1,16 +1,21 @@
 """Deterministic synthetic media corpus (binary payloads with real magics).
 
-Pairs with :mod:`kgspark.multimodal`: payloads carry genuine container magic
-bytes (JPEG/PNG/GIF/RIFF/Matroska) followed by a fixed synthetic header layout
-— bytes [8:16] hold two big-endian u32s (dims / sample count / frame count) —
-and sha-derived filler bytes.  Everything is seeded, so driver-side expected
-rows for VALUES oracles are exact.
+Pairs with :mod:`kgspark.multimodal`.  PNG payloads are REAL files — PNG
+signature, IHDR with correct dimensions and CRC32, one zlib-compressed IDAT
+of filter-0 RGB scanlines, IEND — decodable by any standards-conforming
+reader (pixels are a seeded deterministic pattern).  The other kinds carry
+genuine container magic bytes (JPEG/GIF/RIFF/Matroska) followed by a fixed
+synthetic header layout — bytes [8:16] hold two big-endian u32s (dims /
+sample count / frame count) — and sha-derived filler bytes (documented
+stand-ins; the sandbox ships no JPEG codec).  Everything is seeded, so
+driver-side expected rows for VALUES oracles are exact.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -38,10 +43,50 @@ _MAGICS = {
 _KINDS = list(_MAGICS)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def png_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
+    """Seeded deterministic RGB pattern — shared with the independent
+    oracle restatement so resize digests are checkable end-to-end."""
+    return (
+        (x * 3 + y * 5 + h[2]) % 256,
+        (x * 7 + y * 11 + h[3]) % 256,
+        (x * 13 + y * 17 + h[4]) % 256,
+    )
+
+
+def make_png(w: int, h_px: int, h: bytes) -> bytes:
+    """A VALID minimal PNG: signature, IHDR (8-bit RGB, CRC-correct), one
+    IDAT of zlib-compressed filter-0 scanlines, IEND."""
+    ihdr = struct.pack(">IIBBBBB", w, h_px, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(h_px):
+        raw.append(0)  # filter type 0 (None)
+        for x in range(w):
+            raw.extend(png_pixel(x, y, h))
+    return (
+        _MAGICS["png"]
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     kind = _KINDS[i % len(_KINDS)]
     h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
-    if kind in ("jpeg", "png", "gif"):
+    if kind == "png":
+        # real decodable file; dims kept <=127 so pixel data stays small
+        payload = make_png(24 + h[0] % 104, 24 + h[1] % 104, h)
+        return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
+    if kind in ("jpeg", "gif"):
         a, b = 64 + (h[0] % 64) * 16, 64 + (h[1] % 64) * 16  # width, height
     elif kind == "riff":
         a, b = 8000 + h[0] * 256, 0  # n_samples

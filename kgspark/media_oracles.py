@@ -33,6 +33,69 @@ def _values(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
 
 
+def _png_dims_independent(payload: bytes) -> tuple[int, int]:
+    """Independent restatement of the TRUE PNG header layout: u32 width and
+    height at byte offsets 16 and 20, inside the IHDR chunk that follows the
+    8-byte signature.  Deliberately NOT a call into kgspark.multimodal."""
+    import struct
+
+    assert payload[12:16] == b"IHDR", "oracle: payload is not a valid PNG"
+    return struct.unpack(">II", payload[16:24])
+
+
+def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
+    """Independent PNG thumbnail restatement: inflate IDAT, slice filter-0
+    scanlines, nearest-neighbour sample, re-encode, digest — written against
+    the PNG spec, not against the kernel (row-slicing formulation vs the
+    kernel's chunk-walk + flat-offset sampling)."""
+    import struct
+    import zlib
+
+    w, h = _png_dims_independent(payload)
+    # collect IDAT payloads by scanning chunk headers
+    idat, pos = b"", 8
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = [
+        raw[y * (1 + 3 * w) + 1 : (y + 1) * (1 + 3 * w)] for y in range(h)
+    ]
+    assert all(raw[y * (1 + 3 * w)] == 0 for y in range(h)), "filter != 0"
+    # fit-within box (no upscale), then nearest-neighbour by row slices
+    if w <= tw and h <= th:
+        ow, oh = w, h
+    elif w * th >= h * tw:
+        ow, oh = tw, max(1, (h * tw) // w)
+    else:
+        ow, oh = max(1, (w * th) // h), th
+    pix = b"".join(
+        rows[j * h // oh][(i * w // ow) * 3 : (i * w // ow) * 3 + 3]
+        for j in range(oh)
+        for i in range(ow)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    scan = b"".join(b"\x00" + pix[j * 3 * ow : (j + 1) * 3 * ow] for j in range(oh))
+    png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", ow, oh, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    return w, h, ow, oh, hashlib.sha256(png).hexdigest()
+
+
 @lru_cache(maxsize=1)
 def build() -> dict[str, str]:
     rows = datagen_media.media_rows(MEDIA_N, MEDIA_SEED)
@@ -44,18 +107,26 @@ def build() -> dict[str, str]:
         meta_rows.append(
             (media_id, kind, len(payload), hashlib.sha256(payload).hexdigest())
         )
-        d = multimodal.decode_header_py(payload)
-        decode_rows.append(
-            (
-                media_id, d["kind"], d["width"], d["height"],
-                d["n_samples"], d["n_frames"],
+        if kind == "png":
+            w, h = _png_dims_independent(payload)
+            decode_rows.append((media_id, "png", w, h, None, None))
+        else:
+            d = multimodal.decode_header_py(payload)
+            decode_rows.append(
+                (
+                    media_id, d["kind"], d["width"], d["height"],
+                    d["n_samples"], d["n_frames"],
+                )
             )
-        )
         for fi in multimodal.frame_sample_py(payload):
             frame_rows.append((media_id, fi))
 
     resize_rows = []
     for media_id, kind, payload in rows:
+        if kind == "png":
+            w, h, ow, oh, dig = _png_resize_independent(payload, 64, 64)
+            resize_rows.append((media_id, "png", w, h, ow, oh, dig))
+            continue
         r = multimodal.resize_py(payload, 64, 64)
         if r is not None:
             resize_rows.append(

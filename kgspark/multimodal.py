@@ -93,12 +93,15 @@ _FEATURE_SCHEMA = StructType(
 
 
 def decode_header_py(payload: bytes) -> dict:
-    """DETERMINISTIC DECODE STAND-IN — not a real media decoder.
+    """Header decode: REAL for PNG, deterministic stand-in for the rest.
 
-    Parses only the fixed header layout of the synthetic corpus
-    (:func:`kgspark.datagen_media.media_rows`): bytes [8:16] hold two
-    big-endian u32 dims.  A production build replaces this body with
-    Pillow / soundfile / pyav; everything around it stays unchanged.
+    PNG parses the genuine chunk layout — the IHDR chunk that immediately
+    follows the 8-byte signature carries big-endian u32 width/height at
+    payload[16:24] (validated against the 'IHDR' type tag at [12:16]); this
+    reads any standards-conforming PNG, not just the synthetic corpus.
+    JPEG/GIF/RIFF/Matroska still parse the fixed synthetic layout (bytes
+    [8:16], two big-endian u32s) — a production build swaps those branches
+    for Pillow / soundfile / pyav; everything around them stays unchanged.
     """
     magic = payload[:8].hex().upper()
     kind = "unknown"
@@ -107,9 +110,12 @@ def decode_header_py(payload: bytes) -> dict:
             kind = k
             break
     w = h = samples = frames = None
-    if len(payload) >= 16:
+    if kind == "png":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+    elif len(payload) >= 16:
         a, b = struct.unpack(">II", payload[8:16])
-        if kind in ("jpeg", "png", "gif"):
+        if kind in ("jpeg", "gif"):
             w, h = a, b
         elif kind == "riff":
             samples = a
@@ -123,6 +129,77 @@ def decode_header_py(payload: bytes) -> dict:
         "n_samples": samples,
         "n_frames": frames,
     }
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode (stdlib-only): walk the chunk stream, inflate the
+    concatenated IDAT data, and unfilter the scanlines.
+
+    Supports the corpus profile — 8-bit RGB (color type 2), no interlace,
+    filter types 0 (None) and 1 (Sub) — and raises on anything else rather
+    than guessing.  Returns (width, height, rgb bytes row-major)."""
+    import zlib
+
+    if payload[:8] != bytes.fromhex("89504E470D0A1A0A"):
+        raise ValueError("not a PNG signature")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG profile")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    if len(raw) != h * stride:
+        raise ValueError("PNG pixel data truncated")
+    out = bytearray()
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype, rb = row[0], bytearray(row[1:])
+        if ftype == 1:  # Sub: add left neighbour (per channel)
+            for i in range(3, len(rb)):
+                rb[i] = (rb[i] + rb[i - 3]) % 256
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out.extend(rb)
+    return w, h, bytes(out)
+
+
+def png_encode(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal valid PNG encoder (8-bit RGB, filter 0) — stdlib zlib."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(rgb[y * 3 * w : (y + 1) * 3 * w])
+    return (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
@@ -213,21 +290,35 @@ def fit_within(src_w: int, src_h: int, tw: int, th: int) -> tuple[int, int]:
 
 
 def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
-    """DETERMINISTIC RESIZE STAND-IN — real geometry, fake pixels.
+    """Thumbnail resize: REAL for PNG, digest stand-in for JPEG/GIF.
 
-    The output DIMENSIONS are the real aspect-preserving fit-within
-    arithmetic any thumbnailer computes; the resized BYTES are a
-    deterministic digest stand-in (sha256 of payload + target box) because
-    the sandbox ships no Pillow — a production build swaps only the digest
-    line for the actual encoder.  Non-image payloads return None.
+    PNG takes the genuine path any thumbnailer takes — decode pixels
+    (:func:`png_decode_pixels`), nearest-neighbour sample to the
+    aspect-preserving fit-within box, re-encode a valid PNG
+    (:func:`png_encode`) — and digests the RESIZED FILE BYTES.  JPEG/GIF
+    (no codec in the sandbox) keep the real fit-within geometry but digest
+    a deterministic stand-in of payload + target box; a production build
+    swaps only that branch for the actual encoder.  Non-image payloads
+    return None.
     """
     d = decode_header_py(payload)
     if d["kind"] not in ("jpeg", "png", "gif") or d["width"] is None:
         return None
     out_w, out_h = fit_within(d["width"], d["height"], tw, th)
-    digest = hashlib.sha256(
-        payload + f":resize:{out_w}x{out_h}".encode()
-    ).hexdigest()
+    if d["kind"] == "png":
+        src_w, src_h, rgb = png_decode_pixels(payload)
+        out = bytearray()
+        for j in range(out_h):
+            sy = j * src_h // out_h
+            for i in range(out_w):
+                sx = i * src_w // out_w
+                k = (sy * src_w + sx) * 3
+                out.extend(rgb[k : k + 3])
+        digest = hashlib.sha256(png_encode(out_w, out_h, bytes(out))).hexdigest()
+    else:
+        digest = hashlib.sha256(
+            payload + f":resize:{out_w}x{out_h}".encode()
+        ).hexdigest()
     return {
         "kind": d["kind"],
         "src_width": d["width"],

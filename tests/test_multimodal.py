@@ -70,3 +70,56 @@ def test_sample_frames_only_videos(spark):
     assert {kinds[r["media_id"]] for r in out} == {"matroska"}
     for r in out:
         assert r["frame_index"] % 10 == 0
+
+
+def test_png_payloads_are_real_decodable_files():
+    """Corpus PNGs round-trip through the real stdlib decoder: chunk walk,
+    IDAT inflate, unfilter — pixels reproduce the seeded pattern exactly."""
+    import hashlib
+
+    pngs = [
+        (mid, payload)
+        for mid, kind, payload in datagen_media.media_rows(N)
+        if kind == "png"
+    ]
+    assert pngs, "expected png payloads in the corpus"
+    for i, (mid, payload) in enumerate(pngs):
+        w, h, rgb = multimodal.png_decode_pixels(payload)
+        assert len(rgb) == w * h * 3
+        # find the generator hash for this row to check the pattern
+        seed_hash = next(
+            hashlib.sha256(f"42:media:{j}".encode()).digest()
+            for j, (m2, _, _) in enumerate(datagen_media.media_rows(N))
+            if m2 == mid
+        )
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            k = (y * w + x) * 3
+            assert tuple(rgb[k : k + 3]) == datagen_media.png_pixel(x, y, seed_hash)
+
+
+def test_png_resize_emits_valid_png_thumbnail():
+    """resize_py's PNG branch re-encodes a VALID PNG at the fit-within box:
+    the digest must equal sha256 of a file our own real decoder accepts."""
+    import hashlib
+
+    for mid, kind, payload in datagen_media.media_rows(N):
+        if kind != "png":
+            continue
+        r = multimodal.resize_py(payload, 16, 16)
+        sw, sh = r["src_width"], r["src_height"]
+        assert (r["out_width"], r["out_height"]) == multimodal.fit_within(
+            sw, sh, 16, 16
+        )
+        # rebuild the thumbnail the same way and verify digest + decodability
+        _, _, rgb = multimodal.png_decode_pixels(payload)
+        out = bytearray()
+        for j in range(r["out_height"]):
+            sy = j * sh // r["out_height"]
+            for i in range(r["out_width"]):
+                sx = i * sw // r["out_width"]
+                out.extend(rgb[(sy * sw + sx) * 3 : (sy * sw + sx) * 3 + 3])
+        thumb = multimodal.png_encode(r["out_width"], r["out_height"], bytes(out))
+        assert hashlib.sha256(thumb).hexdigest() == r["resized_sha256"]
+        tw2, th2, trgb = multimodal.png_decode_pixels(thumb)
+        assert (tw2, th2) == (r["out_width"], r["out_height"])
+        assert len(trgb) == tw2 * th2 * 3
