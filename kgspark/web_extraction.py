@@ -60,12 +60,35 @@ _ENTITY_RE = re.compile(
 _PRED_ALT = "|".join(
     re.escape(p) for p in sorted(datagen.PREDICATES, key=len, reverse=True)
 )
-# "<subj> <predicate phrase> <obj>." within one sentence; predicates match
-# case-insensitively and are normalized to lowercase keywords on emission.
-_REL_RE = re.compile(
-    rf"(?P<subj>[^.!?]+?)\s+(?P<pred>{_PRED_ALT})\s+(?P<obj>[^.!?]+?)[.!?]",
+# Relation scan is per sentence (terminated by . ! or ?): predicate phrases
+# match case-insensitively between whitespace and are normalized to lowercase
+# keywords on emission.  A sentence may carry several predicate "events"
+# (coordinated clauses) and passive-voice events; boundaries between
+# consecutive events delimit the subject/object spans.
+_SENT_RE = re.compile(r"[^.!?]*[.!?]")
+_PRED_RE = re.compile(rf"(?<=\s)(?:{_PRED_ALT})(?=\s)", re.IGNORECASE)
+# Passive voice: "<patient> was <participle> by <agent>" inverts surface
+# order vs semantic direction.  Participles map back to the active predicate
+# vocabulary; only predicates with a natural passive form participate.
+_PASSIVE_PARTICIPLES = {
+    "founded": "founded",
+    "created": "created",
+    "written": "wrote",
+    "visited": "visited",
+    "indicated": "indicates",
+}
+_PASSIVE_RE = re.compile(
+    r"(?<=\s)(?:was|were|is|are|has been|have been|had been)\s+(?P<part>"
+    + "|".join(_PASSIVE_PARTICIPLES)
+    + r")\s+by(?=\s)",
     re.IGNORECASE,
 )
+# A subject span that ends in a coordinating conjunction ("... Globex and",
+# "... London, and") marks a shared-subject coordination: the clause borrows
+# the previous event's subject ("X works at A and lives in B").
+_COORD_TAIL_RE = re.compile(r"(?:(?:^|\s)and|,)\s*$", re.IGNORECASE)
+# Gap between coordinated object entities: ",", "and", ", and" only.
+_COORD_GAP_RE = re.compile(r"\s*(?:,|,?\s*and)\s+", re.IGNORECASE)
 
 EXTRACTION_SCHEMA = StructType(
     [
@@ -116,6 +139,88 @@ def _resolve_name(span: str, last: bool) -> str:
     return _VOCAB[m.group(0).lower()][0]
 
 
+def _coordinated_objects(span: str) -> list[str]:
+    """Resolve an object span that runs to the sentence end.
+
+    Coordinated objects ("X collaborated with A and B") expand to one name
+    per entity when the text between consecutive entity mentions is purely a
+    conjunction (",", "and", ", and"); otherwise only the mention nearest the
+    predicate counts ("X visited Paris, a city of lights" → Paris).
+    """
+    matches = list(_ENTITY_RE.finditer(span))
+    if not matches:
+        return [span.strip()]
+    names = [_VOCAB[matches[0].group(0).lower()][0]]
+    for prev, cur in zip(matches, matches[1:]):
+        gap = span[prev.end() : cur.start()]
+        if not _COORD_GAP_RE.fullmatch(gap):
+            break
+        names.append(_VOCAB[cur.group(0).lower()][0])
+    return names
+
+
+def _sentence_rels(sent: str) -> list[dict]:
+    """One sentence (with trailing terminator) → relation dicts.
+
+    Events are passive-voice matches plus active predicate matches outside
+    them, scanned left to right; the span between consecutive events bounds
+    each event's subject (left) and object (right) text.  Simple active
+    sentences ("X pred Y.") take exactly the single-event path, byte-for-byte
+    identical to the pre-coordination scan — the synthetic-corpus oracle
+    contract depends on that.
+    """
+    events: list[tuple[int, int, str, str]] = []  # (start, end, kind, pred)
+    for m in _PASSIVE_RE.finditer(sent):
+        events.append(
+            (m.start(), m.end(), "passive", _PASSIVE_PARTICIPLES[m.group("part").lower()])
+        )
+    passive_spans = [(s, e) for s, e, _, _ in events]
+    for m in _PRED_RE.finditer(sent):
+        if any(s <= m.start() < e for s, e in passive_spans):
+            continue  # participle inside a passive event is not an active verb
+        events.append((m.start(), m.end(), "active", m.group(0).lower()))
+    events.sort()
+    rels: list[dict] = []
+    prev_subj: str | None = None
+    for i, (start, end, kind, pred) in enumerate(events):
+        left = sent[events[i - 1][1] : start] if i else sent[:start]
+        last_event = i + 1 == len(events)
+        # the final event's object span stops before the sentence terminator
+        right = sent[end : events[i + 1][0]] if not last_event else sent[end:-1]
+        if kind == "passive":
+            # semantic subject (agent) follows "by"; patient precedes the aux
+            subj = _resolve_name(right, last=False)
+            objs = [_resolve_name(left, last=True)]
+        else:
+            if i and prev_subj is not None and _COORD_TAIL_RE.search(left):
+                subj = prev_subj  # shared-subject coordination
+            else:
+                subj = _resolve_name(left, last=True)
+            # coordinated objects only when no further event follows — a
+            # trailing entity before the next predicate is that clause's
+            # subject, not an extra object
+            objs = _coordinated_objects(right) if last_event else [_resolve_name(right, last=False)]
+        if not subj:
+            # degenerate segment (dotted-acronym splits like "I.B.M. works
+            # at X" leave a whitespace-only subject span) — nothing to emit;
+            # matches the old single-regex scan, which required a non-empty
+            # subject token before the predicate
+            continue
+        prev_subj = subj
+        for obj in objs:
+            if not obj:
+                continue
+            rels.append(
+                {
+                    "source_entity": subj,
+                    "target_entity": obj,
+                    "relationship_keywords": pred.split(),
+                    "relationship_description": f"{subj} {'_'.join(pred.split())} {obj}",
+                }
+            )
+    return rels
+
+
 def extract_chunk_py(text: str) -> dict:
     """UDF kernel: one chunk's text → {entities, relationships} (testable)."""
     if not text or not text.strip():
@@ -131,18 +236,8 @@ def extract_chunk_py(text: str) -> dict:
                 "first_offset": m.start(),
             }
     rels = []
-    for m in _REL_RE.finditer(text):
-        subj = _resolve_name(m.group("subj"), last=True)
-        pred = m.group("pred").lower()
-        obj = _resolve_name(m.group("obj"), last=False)
-        rels.append(
-            {
-                "source_entity": subj,
-                "target_entity": obj,
-                "relationship_keywords": pred.split(),
-                "relationship_description": f"{subj} {'_'.join(pred.split())} {obj}",
-            }
-        )
+    for sm in _SENT_RE.finditer(text):
+        rels.extend(_sentence_rels(sm.group(0)))
     return {"entities": list(ents.values()), "relationships": rels}
 
 

@@ -10,15 +10,22 @@ operator's contract: the CLOSED entity vocabulary (datagen.WEB_ENTITIES,
 the analog of the reference's closed 14-type enum, ai/schemas.rs:4-21) and
 the CLOSED predicate vocabulary (datagen.PREDICATES).
 
-Known, deliberate failure modes kept in the gold (honest P/R < 1):
-  * coordinated predicates ("X works at A and lives in B") — the sentence
-    regex consumes the whole sentence on the first predicate, missing the
-    second relation (false negative);
-  * passive voice ("A was founded by B") — the surface order inverts the
-    semantic direction (false positive + false negative).
+Round-3 extractor upgrades moved two former failure modes into coverage —
+coordinated predicates ("X works at A and lives in B", shared-subject carry),
+passive voice ("A was founded by B", direction restored via a participle
+map), and coordinated objects ("X collaborated with A and B") — each now has
+fixtures below that must extract fully.
 
-Gate: precision AND recall >= 0.95 (BASELINE.json), measured end-to-end
-through the distributed pipeline fold (not just the kernel).
+Known, deliberate failure modes kept in the gold (honest P/R < 1):
+  * pronoun coreference ("X founded A. He visited B.") — the kernel has no
+    coreference resolver, the pronoun subject is unknown → dropped (false
+    negative);
+  * negation ("X never visited B.") — the scan keys on the predicate phrase
+    and does not model polarity (false positive).
+
+Gate: precision AND recall >= 0.97 (VERDICT r2 item 9; BASELINE.json floor
+is 0.95), measured end-to-end through the distributed pipeline fold (not
+just the kernel).
 """
 
 from __future__ import annotations
@@ -54,13 +61,35 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
      [("Alan Turing", "wrote", "On Computable Numbers")]),
     ("boundary-parisian", "Parisian nights inspired nobody; Alan Turing lives in London.",
      [("Alan Turing", "lives_in", "London")]),
-    # deliberate FN: second coordinated predicate is consumed
+    # covered since r3: shared-subject coordinated predicates
     ("coordination", "Ada Lovelace works at Globex and lives in Paris.",
      [("Ada Lovelace", "works_at", "Globex"),
       ("Ada Lovelace", "lives_in", "Paris")]),
-    # deliberate FP+FN: passive voice inverts direction
+    ("coordination-chain",
+     "Alan Turing visited Paris, lives in London, and works at IBM.",
+     [("Alan Turing", "visited", "Paris"),
+      ("Alan Turing", "lives_in", "London"),
+      ("Alan Turing", "works_at", "IBM")]),
+    # covered since r3: coordinated objects at sentence end
+    ("coordinated-objects", "Globex collaborated with Acme Corp and IBM.",
+     [("Globex", "collaborated_with", "Acme Corp"),
+      ("Globex", "collaborated_with", "IBM")]),
+    # covered since r3: passive voice (direction restored)
     ("passive", "Acme Corp was founded by Alan Turing.",
      [("Alan Turing", "founded", "Acme Corp")]),
+    ("passive-wrote", "On Computable Numbers was written by Alan Turing.",
+     [("Alan Turing", "wrote", "On Computable Numbers")]),
+    ("passive-is", "Influenza is indicated by Fever.",
+     [("Fever", "indicates", "Influenza")]),
+    ("passive-created", "The Analytical Engine was created by Ada Lovelace.",
+     [("Ada Lovelace", "created", "Analytical Engine")]),
+    # deliberate FN: pronoun coreference is out of scope for the kernel
+    ("pronoun-coref", "Alan Turing founded Acme Corp. He later visited Paris.",
+     [("Alan Turing", "founded", "Acme Corp"),
+      ("Alan Turing", "visited", "Paris")]),
+    # deliberate FP: negated predicate still matches the phrase scan
+    ("negation", "Ada Lovelace never visited Paris.",
+     []),
     ("mixed-4a",
      "ALAN TURING wrote On Computable Numbers. The paper impressed Ada Lovelace, "
      "who then visited London. Fatigue indicates Anemia. Globex collaborated with Acme Corp.",
@@ -149,10 +178,10 @@ def test_adversarial_precision_recall_gate(spark):
     recall = tp / len(gold)
     print(f"\nadversarial P={precision:.4f} R={recall:.4f} "
           f"(tp={tp} pred={len(predicted)} gold={len(gold)})")
-    # honest < 1.0: the documented passive/coordination failures stay in gold
+    # honest < 1.0: the documented pronoun/negation failures stay in gold
     assert precision < 1.0 or recall < 1.0
-    assert precision >= 0.95, (precision, sorted(predicted - gold))
-    assert recall >= 0.95, (recall, sorted(gold - predicted))
+    assert precision >= 0.97, (precision, sorted(predicted - gold))
+    assert recall >= 0.97, (recall, sorted(gold - predicted))
 
 
 def test_casing_variants_resolve_to_canonical_names(spark):
