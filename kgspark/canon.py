@@ -12,7 +12,9 @@ The reference's only cross-doc linking idea is a commented-out ANN prototype
        c. broadcast alias-dictionary edges (name -> canonical display name).
   2. connected components — iterative hash-min label propagation over the
      undirected pair graph (driver loop, one join+agg per round,
-     localCheckpoint to truncate lineage).  Alias graphs are star-shaped
+     truncate_lineage to truncate lineage — reliable checkpoint when a
+     checkpoint dir is configured, localCheckpoint otherwise).  Alias graphs
+     are star-shaped
      (diameter 2–4 around each canonical form), so hash-min converges in a
      handful of rounds; the O(log n)-round alternating large-star/small-star
      variant would only add shuffles here.  A hard iteration cap + residual
@@ -37,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ids, spec
+from .session import truncate_lineage
 from .textops import MINHASH_P, minhash_perm_coeffs
 
 LSH_K = 8            # minhash permutations over char 3-grams
@@ -193,7 +196,8 @@ def connected_components(
     """Hash-min label propagation: (node, comp) with comp = component min.
 
     One shuffle-join + one aggregation per round; lineage truncated with
-    localCheckpoint so the plan doesn't grow across iterations.  Converges in
+    session.truncate_lineage (reliable checkpoint when a checkpoint dir is
+    configured) so the plan doesn't grow across iterations.  Converges in
     O(diameter) rounds; raises if the cap is hit with labels still moving.
     """
     e = (
@@ -202,13 +206,13 @@ def connected_components(
             pairs.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     comp = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -224,7 +228,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         changed = (
             new_comp.alias("n")

@@ -15,7 +15,9 @@ Spark restatement:
     anti-join per level, ALL start nodes advanced simultaneously (the
     frontier carries a ``start`` column), bounded by max_depth iterations.
     At scale this is the textbook level-synchronous BFS: work per level is
-    |frontier ⋈ edges|, lineage truncated per level with localCheckpoint.
+    |frontier ⋈ edges|, lineage truncated per level with session.truncate_lineage
+    (reliable checkpoint when a checkpoint dir is configured — executor-loss
+    durability at cluster scale; localCheckpoint otherwise).
   * Determinism deviations from the reference (documented, strict
     improvements): start nodes are ordered by entity_id (the reference takes
     the first 50 in HashMap iteration order, graph.rs:227 — nondeterministic);
@@ -29,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .session import truncate_lineage
 
 DEFAULT_MAX_DEPTH = 6    # routes/graph.rs:37
 DEFAULT_MAX_PATHS = 5    # routes/graph.rs:38
@@ -125,7 +129,7 @@ def bfs_paths(
     semantics of the reference.  Level-synchronous driver loop, <= max_depth
     rounds, each one join + one anti-join + one min-aggregation.
     """
-    und = undirected(edge_table).select("src", "dst").distinct().localCheckpoint()
+    und = undirected(edge_table).select("src", "dst").distinct().transform(truncate_lineage)
     types = vertex_table.select("id", "entity_type")
 
     starts = start_nodes(vertex_table, start_type, q, max_starts).select(
@@ -135,8 +139,8 @@ def bfs_paths(
         "start",
         F.col("start").alias("node"),
         F.array("start").alias("path"),
-    ).localCheckpoint()
-    visited = frontier.select("start", "node").localCheckpoint()
+    ).transform(truncate_lineage)
+    visited = frontier.select("start", "node").transform(truncate_lineage)
 
     found: list[DataFrame] = []
     for depth in range(1, max_depth + 1):
@@ -152,7 +156,7 @@ def bfs_paths(
             expanded.join(visited, ["start", "node"], "left_anti")
             .groupBy("start", "node")
             .agg(F.min("path").alias("path"))
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         if fresh.limit(1).count() == 0:
             break
@@ -162,7 +166,7 @@ def bfs_paths(
             .select("start", "path", F.lit(depth).alias("depth"))
         )
         found.append(hits)
-        visited = visited.union(fresh.select("start", "node")).localCheckpoint()
+        visited = visited.union(fresh.select("start", "node")).transform(truncate_lineage)
         frontier = fresh
 
     if not found:

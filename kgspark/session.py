@@ -53,17 +53,37 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def truncate_lineage(df):
+    """Lineage truncation for iterative driver loops (BFS, hash-min CC).
+
+    Defaults to ``localCheckpoint()`` — cheap, but blocks stored on executors
+    are NOT replayable after executor loss, which is fine single-JVM and a
+    durability gap on a 1000-executor cluster.  When the session has a
+    reliable checkpoint directory configured (``get_spark(checkpoint_dir=…)``
+    or ``sparkContext.setCheckpointDir``, pointing at HDFS/S3 on a real
+    cluster), iterative state is checkpointed there instead and survives
+    executor loss.  Default behavior is unchanged when no dir is set.
+    """
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def get_spark(
     app_name: str = "kgspark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
     the bench harness can run the identical job at two parallelism levels for
     the N→4N scaling-efficiency measurement.
+
+    ``checkpoint_dir`` (or env ``KGSPARK_CHECKPOINT_DIR``): reliable
+    checkpoint location for iterative loops — see :func:`truncate_lineage`.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -83,4 +103,8 @@ def get_spark(
         confs.update(extra_confs)
     for k, v in confs.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ckpt = checkpoint_dir or os.environ.get("KGSPARK_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

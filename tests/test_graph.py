@@ -112,3 +112,32 @@ def test_count_by_type(spark, toy):
     v, _ = toy
     got = {r["entity_type"]: r["n_entities"] for r in graph.count_by_type(v).collect()}
     assert got == {"symptom": 2, "mechanism": 6, "disease": 4}
+
+
+def test_reliable_checkpoint_flag(spark, toy, tmp_path):
+    """VERDICT r2 item 10: with a checkpoint dir configured, the iterative
+    loops use reliable checkpoints (durable across executor loss at cluster
+    scale) and produce identical results; default stays localCheckpoint."""
+    v, e = toy
+    baseline = {
+        (r["start"], tuple(r["path"]), r["depth"])
+        for r in graph.bfs_paths(v, e, max_depth=3).collect()
+    }
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default unchanged
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        durable = {
+            (r["start"], tuple(r["path"]), r["depth"])
+            for r in graph.bfs_paths(v, e, max_depth=3).collect()
+        }
+        assert durable == baseline
+        # reliable checkpoint data actually landed in the configured dir
+        files = [p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()]
+        assert files, "expected RDD checkpoint files under the checkpoint dir"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
