@@ -43,6 +43,46 @@ STATUS_PROCESSED = "PROCESSED"  # storage/mod.rs:38-62 status vocabulary
 STATUS_PENDING = "PENDING"
 
 
+def iceberg_runtime_probe() -> dict:
+    """Probe the session classpath for an iceberg-spark runtime jar.
+
+    The Warehouse's true form is an Iceberg catalog — S6 upsert becomes
+    ``MERGE INTO`` and the run manifest records snapshot ids (reference
+    upsert semantics, storage/json_kv.rs:193-207).  The sandbox ships no
+    iceberg-spark-runtime jar, so the parquet fallback stays active; every
+    :class:`Warehouse` records this probe in its manifest so each round can
+    see at a glance whether the backend swap is unblocked.
+
+    Search order: ``$KGSPARK_ICEBERG_JAR`` (explicit override), then
+    ``$SPARK_HOME/jars``, then the pyspark wheel's bundled ``jars/`` dir.
+    """
+    dirs: list[str] = []
+    sh = os.environ.get("SPARK_HOME")
+    if sh:
+        dirs.append(os.path.join(sh, "jars"))
+    try:
+        import pyspark
+
+        dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover - pyspark is a hard dep
+        pass
+    override = os.environ.get("KGSPARK_ICEBERG_JAR")
+    jars = [override] if override and os.path.exists(override) else []
+    for d in dirs:
+        if os.path.isdir(d):
+            jars.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if "iceberg-spark-runtime" in f and f.endswith(".jar")
+            )
+    return {
+        "available": bool(jars),
+        "jar": jars[0] if jars else None,
+        "searched": dirs,
+        "backend": "iceberg" if jars else "parquet-fallback",
+    }
+
+
 class Warehouse:
     """Parquet stage tables + manifest commits under one root directory."""
 
@@ -50,6 +90,15 @@ class Warehouse:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Record the Iceberg-backend probe (see iceberg_runtime_probe) once
+        # per backend state; re-probing every init keeps the manifest honest
+        # if the jar appears between rounds.
+        probe = iceberg_runtime_probe()
+        m = self.manifest()
+        prev = m.get("iceberg_probe", {})
+        if (prev.get("backend"), prev.get("jar")) != (probe["backend"], probe["jar"]):
+            m["iceberg_probe"] = probe
+            self._commit_manifest(m)
 
     # -- paths ------------------------------------------------------------
     def table_path(self, name: str) -> str:

@@ -360,3 +360,34 @@ def test_incremental_canonicalization_matches_full(spark, tmp_path):
     # state tables track the corpus name set exactly
     n_names = wh.read("canon_names").select("name").distinct().count()
     assert n_names == canon.distinct_names(wh.read("entities")).count()
+
+
+def test_iceberg_probe_recorded_in_manifest(spark, tmp_path):
+    """VERDICT r2 item 7: every Warehouse records the iceberg-spark runtime
+    probe in its manifest; the recorded backend matches what is actually on
+    the classpath (parquet-fallback here — the sandbox ships no jar)."""
+    probe = materialize.iceberg_runtime_probe()
+    assert probe["backend"] in ("iceberg", "parquet-fallback")
+    assert probe["available"] == (probe["jar"] is not None)
+    assert probe["searched"], "probe must search at least the pyspark jars dir"
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    recorded = wh.manifest()["iceberg_probe"]
+    assert recorded["backend"] == probe["backend"]
+    assert recorded["jar"] == probe["jar"]
+
+    # explicit override unblocks the swap (simulated jar)
+    fake = tmp_path / "iceberg-spark-runtime-4.1_2.13-1.tap.jar"
+    fake.write_bytes(b"PK")
+    import os as _os
+
+    _os.environ["KGSPARK_ICEBERG_JAR"] = str(fake)
+    try:
+        assert materialize.iceberg_runtime_probe()["backend"] == "iceberg"
+        wh2 = Warehouse(spark, str(tmp_path / "wh"))
+        assert wh2.manifest()["iceberg_probe"]["backend"] == "iceberg"
+    finally:
+        del _os.environ["KGSPARK_ICEBERG_JAR"]
+    # re-init flips the manifest back once the jar disappears again
+    wh3 = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh3.manifest()["iceberg_probe"]["backend"] == probe["backend"]
