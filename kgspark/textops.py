@@ -32,6 +32,21 @@ SHINGLE_N = 3           # token-shingle width
 MINHASH_P = 2147483647  # 2^31-1: affine-permutation modulus (fits int64 math)
 
 
+def _est_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate for ``df`` (bytes, no execution)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 → never broadcast)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
 def minhash_perm_coeffs(j: int) -> tuple[int, int]:
     """Seeded (a_j, b_j) for the j-th affine permutation, a_j != 0.
 
@@ -411,15 +426,23 @@ def lsh_candidate_pairs(
     exploded = sig.select("kg_doc_id", F.explode(bands).alias("b")).select(
         "kg_doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
     )
-    # Explicit shuffle on the band key so the join itself needs no further
-    # shuffle; the bands frame (4 narrow rows per doc — id + two hash
-    # columns, no text) is persisted so the self-join's two branches run
-    # the signature kernel ONCE (exchange reuse across PythonUDF subtrees
-    # is not guaranteed — measured a full duplicate kernel pass without
-    # the cache).
-    exploded = cache.keyed_persist(
-        exploded.repartition("band", "band_hash"), "lsh_bands"
-    )
+    # The bands frame (4 narrow rows per doc — id + two hash columns, no
+    # text) is persisted so the self-join's two branches run the signature
+    # kernel ONCE (exchange reuse across PythonUDF subtrees is not
+    # guaranteed — measured a full duplicate kernel pass without the cache).
+    #
+    # Pre-partitioning on the band key is applied only when the bands frame
+    # is too big to broadcast, judged by the same optimizer size estimate
+    # Catalyst's own broadcast decision uses.  Below the threshold the join
+    # compiles to a BroadcastHashJoin, where an explicit repartition is a
+    # pure extra shuffle (measured +41% on this query at sf0.1, BENCH r2);
+    # above it, partitioning INSIDE the persisted frame leaves the
+    # sort-merge join exchange-free on both branches — one shuffle total
+    # instead of two, since ReuseExchange does not fire across the aliased
+    # self-join branches (both verified on executed plans).
+    if _est_size_bytes(exploded) > _broadcast_threshold_bytes(exploded.sparkSession):
+        exploded = exploded.repartition("band", "band_hash")
+    exploded = cache.keyed_persist(exploded, "lsh_bands")
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
