@@ -30,6 +30,7 @@ from .textops import (
 TOK = """
 tok AS (
   SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+         doc_id AS src_row,
          trim(text) AS ttext,
          length(text) AS raw_chars,
          string_split_regex(trim(text), '\\s+') AS toks
@@ -37,17 +38,23 @@ tok AS (
   WHERE length(trim(text)) > 0
 )
 """.strip()
+# src_row (the unique source key) exists so window formulations can mirror
+# Spark's PER-ROW array semantics: duplicate raw rows share a
+# content-addressed kg_doc_id, and a window partitioned on kg_doc_id alone
+# would interleave the copies' positions (caught by the sf0.1 slow gate —
+# the engines diverged exactly on the 8 duplicated docs there).  Operators
+# are per-row by contract; content-level dedup is the pipeline's A4/J1 job.
 
 # Vocabulary-matched mentions (zipped unnest gives 0-based positions).
 _M = """
 m AS (
-  SELECT kg_doc_id, toks,
+  SELECT kg_doc_id, src_row, toks,
          unnest(toks) AS surface,
          unnest(range(len(toks))) AS pos
   FROM tok
 ),
 mv AS (
-  SELECT m.kg_doc_id, m.toks, m.pos, m.surface, vocab.name, vocab.entity_type
+  SELECT m.kg_doc_id, m.src_row, m.toks, m.pos, m.surface, vocab.name, vocab.entity_type
   FROM m JOIN {vocab} ON m.surface = vocab.surface
 )
 """.strip().format(vocab=spec.vocab_values_sql())
@@ -60,7 +67,7 @@ pr AS (
          lead(name) OVER w AS obj,
          lead(entity_type) OVER w AS obj_type
   FROM mv
-  WINDOW w AS (PARTITION BY kg_doc_id ORDER BY pos)
+  WINDOW w AS (PARTITION BY src_row ORDER BY pos)
 ),
 rel AS (
   SELECT kg_doc_id, pos, name AS subj, entity_type AS subj_type,
@@ -263,13 +270,13 @@ FROM ct
     q["kg_chunks_delim"] = f"""
 WITH {TOK},
 pieces AS (
-  SELECT kg_doc_id,
+  SELECT kg_doc_id, src_row,
          unnest(string_split(ttext, '{spec.DELIM_CHUNK_DELIMITER}')) AS piece,
          unnest(range(len(string_split(ttext, '{spec.DELIM_CHUNK_DELIMITER}')))) AS pidx
   FROM tok
 ),
 pt AS (
-  SELECT kg_doc_id, pidx,
+  SELECT kg_doc_id, src_row, pidx,
          trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11))) AS piece,
          list_filter(string_split_regex(
            trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11))), '\\s+'),
@@ -278,7 +285,7 @@ pt AS (
   WHERE length(trim(piece, concat(' ', chr(9), chr(10), chr(13), chr(12), chr(11)))) > 0
 ),
 wins AS (
-  SELECT kg_doc_id, pidx,
+  SELECT kg_doc_id, src_row, pidx,
          CASE WHEN len(ptoks) <= {dmax} THEN [piece]
               ELSE list_transform(
                      range(1 + CAST(ceil((len(ptoks) - {dmax}) / {dstep}.0) AS BIGINT)),
@@ -287,14 +294,14 @@ wins AS (
   FROM pt
 ),
 flat AS (
-  SELECT kg_doc_id, pidx,
+  SELECT kg_doc_id, src_row, pidx,
          unnest(contents) AS content,
          unnest(range(len(contents))) AS widx
   FROM wins
 ),
 ordered AS (
   SELECT kg_doc_id AS doc_id, content,
-         row_number() OVER (PARTITION BY kg_doc_id ORDER BY pidx, widx) - 1 AS chunk_order_index
+         row_number() OVER (PARTITION BY src_row ORDER BY pidx, widx) - 1 AS chunk_order_index
   FROM flat
 )
 SELECT 'chunk-' || sha256(content) AS chunk_id,

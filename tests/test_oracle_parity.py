@@ -13,7 +13,7 @@ import os
 import duckdb
 import pytest
 
-from .conftest import REPO_ROOT, SF_UNIT
+from .conftest import REPO_ROOT, SF_BENCH, SF_UNIT
 
 import importlib.util
 
@@ -57,14 +57,13 @@ def _value_set(rows, cols):
 ORACLED = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 
 
-@pytest.mark.parametrize("name", ORACLED)
-def test_oracle_parity(spark, name):
+def _check_parity(spark, name: str, sf_dir: str) -> None:
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_UNIT)
+    sdf = q(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
-    con = _duck(SF_UNIT)
+    con = _duck(sf_dir)
     res = con.execute(entry_mod.oracle_sql()[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -80,3 +79,18 @@ def test_oracle_parity(spark, name):
     if sv != dv:
         diff = [(a, b) for a, b in zip(sv, dv) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, name):
+    _check_parity(spark, name, SF_UNIT)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity_sf01(spark, name):
+    """VERDICT r2 item 8: scale-tier parity gate.  Ties and boundary cases
+    (the sessionize lesson) appear only at scale — the full oracled query
+    set must also hash-match DuckDB at sf0.1, 100x the fast gate's volume.
+    Skipped unless selected with `-m slow` (see conftest)."""
+    _check_parity(spark, name, SF_BENCH)
