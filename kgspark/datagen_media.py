@@ -1,14 +1,19 @@
 """Deterministic synthetic media corpus (binary payloads with real magics).
 
-Pairs with :mod:`kgspark.multimodal`.  PNG payloads are REAL files — PNG
-signature, IHDR with correct dimensions and CRC32, one zlib-compressed IDAT
-of filter-0 RGB scanlines, IEND — decodable by any standards-conforming
-reader (pixels are a seeded deterministic pattern).  The other kinds carry
-genuine container magic bytes (JPEG/GIF/RIFF/Matroska) followed by a fixed
-synthetic header layout — bytes [8:16] hold two big-endian u32s (dims /
-sample count / frame count) — and sha-derived filler bytes (documented
-stand-ins; the sandbox ships no JPEG codec).  Everything is seeded, so
-driver-side expected rows for VALUES oracles are exact.
+Pairs with :mod:`kgspark.multimodal`.  PNG and GIF payloads are REAL files:
+
+  * PNG — signature, IHDR with correct dimensions and CRC32, one
+    zlib-compressed IDAT of filter-0 RGB scanlines, IEND;
+  * GIF — GIF89a logical screen descriptor, 256-entry global color table,
+    LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer;
+
+both decodable by any standards-conforming reader (pixels follow a seeded
+deterministic pattern shared with the oracle restatement).  The remaining
+kinds carry genuine container magic bytes (JPEG/RIFF/Matroska) followed by
+a fixed synthetic header layout — bytes [8:16] hold two big-endian u32s
+(dims / sample count / frame count) — and sha-derived filler bytes
+(documented stand-ins; the sandbox ships no JPEG codec).  Everything is
+seeded, so driver-side expected rows for VALUES oracles are exact.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
+
+from . import gifcodec
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -79,6 +86,31 @@ def make_png(w: int, h_px: int, h: bytes) -> bytes:
     )
 
 
+def gif_index(x: int, y: int, h: bytes) -> int:
+    """Seeded deterministic palette index — shared with the independent
+    oracle restatement so resize digests are checkable end-to-end."""
+    return (x * 3 + y * 7 + h[1]) % 256
+
+
+def gif_palette(h: bytes) -> bytes:
+    """Seeded deterministic 256-entry RGB palette (768 bytes)."""
+    return bytes(
+        c
+        for i in range(256)
+        for c in (
+            (i * (1 + h[5] % 7) + h[2]) % 256,
+            (i * (1 + h[6] % 11) + h[3]) % 256,
+            (i * (1 + h[7] % 13) + h[4]) % 256,
+        )
+    )
+
+
+def make_gif_file(w: int, h_px: int, h: bytes) -> bytes:
+    """A VALID single-image GIF89a with the seeded palette/index pattern."""
+    idx = bytes(gif_index(x, y, h) for y in range(h_px) for x in range(w))
+    return gifcodec.make_gif(w, h_px, gif_palette(h), idx)
+
+
 def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     kind = _KINDS[i % len(_KINDS)]
     h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
@@ -86,7 +118,10 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         # real decodable file; dims kept <=127 so pixel data stays small
         payload = make_png(24 + h[0] % 104, 24 + h[1] % 104, h)
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
-    if kind in ("jpeg", "gif"):
+    if kind == "gif":
+        payload = make_gif_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+        return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
+    if kind == "jpeg":
         a, b = 64 + (h[0] % 64) * 16, 64 + (h[1] % 64) * 16  # width, height
     elif kind == "riff":
         a, b = 8000 + h[0] * 256, 0  # n_samples

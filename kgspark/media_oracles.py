@@ -96,6 +96,45 @@ def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
     return w, h, ow, oh, hashlib.sha256(png).hexdigest()
 
 
+def _gif_dims_independent(payload: bytes) -> tuple[int, int]:
+    """Independent restatement of the TRUE GIF header layout: little-endian
+    u16 width/height at byte offsets 6 and 8 of the logical screen
+    descriptor.  Deliberately NOT a call into kgspark.multimodal/gifcodec."""
+    import struct
+
+    assert payload[:6] == b"GIF89a", "oracle: payload is not a GIF89a"
+    return struct.unpack("<HH", payload[6:10])
+
+
+def _gif_resize_independent(i: int, payload: bytes, tw: int, th: int) -> tuple:
+    """Independent GIF thumbnail restatement: the expected thumbnail is
+    reconstructed ANALYTICALLY from the seeded generative spec (palette +
+    index pattern re-derived from the corpus seed, never decoded from the
+    payload), so this checks the kernel's whole decode→sample→re-encode
+    chain end-to-end: an LZW decode bug, a sampling bug, or a palette mixup
+    each breaks digest equality.  Dims come from the independent header
+    parse above; only the final file framing reuses gifcodec.make_gif."""
+    import hashlib as _hl
+
+    from . import gifcodec
+
+    w, h = _gif_dims_independent(payload)
+    hsh = _hl.sha256(f"{MEDIA_SEED}:media:{i}".encode()).digest()
+    if w <= tw and h <= th:
+        ow, oh = w, h
+    elif w * th >= h * tw:
+        ow, oh = tw, max(1, (h * tw) // w)
+    else:
+        ow, oh = max(1, (w * th) // h), th
+    idx = bytes(
+        datagen_media.gif_index(i_ * w // ow, j * h // oh, hsh)
+        for j in range(oh)
+        for i_ in range(ow)
+    )
+    gif = gifcodec.make_gif(ow, oh, datagen_media.gif_palette(hsh), idx)
+    return w, h, ow, oh, _hl.sha256(gif).hexdigest()
+
+
 @lru_cache(maxsize=1)
 def build() -> dict[str, str]:
     rows = datagen_media.media_rows(MEDIA_N, MEDIA_SEED)
@@ -110,6 +149,9 @@ def build() -> dict[str, str]:
         if kind == "png":
             w, h = _png_dims_independent(payload)
             decode_rows.append((media_id, "png", w, h, None, None))
+        elif kind == "gif":
+            w, h = _gif_dims_independent(payload)
+            decode_rows.append((media_id, "gif", w, h, None, None))
         else:
             d = multimodal.decode_header_py(payload)
             decode_rows.append(
@@ -122,10 +164,14 @@ def build() -> dict[str, str]:
             frame_rows.append((media_id, fi))
 
     resize_rows = []
-    for media_id, kind, payload in rows:
+    for i, (media_id, kind, payload) in enumerate(rows):
         if kind == "png":
             w, h, ow, oh, dig = _png_resize_independent(payload, 64, 64)
             resize_rows.append((media_id, "png", w, h, ow, oh, dig))
+            continue
+        if kind == "gif":
+            w, h, ow, oh, dig = _gif_resize_independent(i, payload, 64, 64)
+            resize_rows.append((media_id, "gif", w, h, ow, oh, dig))
             continue
         r = multimodal.resize_py(payload, 64, 64)
         if r is not None:

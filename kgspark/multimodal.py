@@ -6,11 +6,14 @@ pure-Catalyst projection (magic-byte sniffing — stays in whole-stage codegen);
 decode / feature-extract runs through ``mapInPandas`` so each Arrow batch is
 processed vectorized with bounded memory (never a per-row Python UDF).
 
-The sandbox ships no image/audio libraries, so the *decode* step is a
-clearly-marked deterministic stand-in: headers of the synthetic payloads are
-parsed directly (width/height/sample counts), and "features" are sha-derived
-floats.  Swapping in Pillow/ffmpeg changes only the kernel body — the Spark
-plumbing (schema, batch shape, partitioning) is the real, tested part.
+The sandbox ships no image/audio libraries.  PNG and GIF are nonetheless
+REAL end-to-end — stdlib codecs (zlib inflate + scanline unfilter for PNG,
+:mod:`kgspark.gifcodec` LZW for GIF) decode any standards-conforming file
+of the supported profiles, and resize re-encodes a valid file.  The
+remaining kinds (JPEG/RIFF/Matroska) are clearly-marked deterministic
+stand-ins: synthetic headers parsed directly, "features" sha-derived
+floats.  Swapping in Pillow/ffmpeg changes only those kernel branches —
+the Spark plumbing (schema, batch shape, partitioning) is identical.
 
 The reference has no media path at all; this module is part of the
 beyond-reference training-pipeline surface the build calls for.
@@ -93,15 +96,17 @@ _FEATURE_SCHEMA = StructType(
 
 
 def decode_header_py(payload: bytes) -> dict:
-    """Header decode: REAL for PNG, deterministic stand-in for the rest.
+    """Header decode: REAL for PNG and GIF, deterministic stand-in for the rest.
 
     PNG parses the genuine chunk layout — the IHDR chunk that immediately
     follows the 8-byte signature carries big-endian u32 width/height at
-    payload[16:24] (validated against the 'IHDR' type tag at [12:16]); this
-    reads any standards-conforming PNG, not just the synthetic corpus.
-    JPEG/GIF/RIFF/Matroska still parse the fixed synthetic layout (bytes
-    [8:16], two big-endian u32s) — a production build swaps those branches
-    for Pillow / soundfile / pyav; everything around them stays unchanged.
+    payload[16:24] (validated against the 'IHDR' type tag at [12:16]).
+    GIF parses the genuine logical screen descriptor — little-endian u16
+    width/height at payload[6:10].  Both read any standards-conforming
+    file, not just the synthetic corpus.  JPEG/RIFF/Matroska still parse
+    the fixed synthetic layout (bytes [8:16], two big-endian u32s) — a
+    production build swaps those branches for Pillow / soundfile / pyav;
+    everything around them stays unchanged.
     """
     magic = payload[:8].hex().upper()
     kind = "unknown"
@@ -113,9 +118,12 @@ def decode_header_py(payload: bytes) -> dict:
     if kind == "png":
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
+    elif kind == "gif":
+        if len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
     elif len(payload) >= 16:
         a, b = struct.unpack(">II", payload[8:16])
-        if kind in ("jpeg", "gif"):
+        if kind == "jpeg":
             w, h = a, b
         elif kind == "riff":
             samples = a
@@ -290,16 +298,17 @@ def fit_within(src_w: int, src_h: int, tw: int, th: int) -> tuple[int, int]:
 
 
 def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
-    """Thumbnail resize: REAL for PNG, digest stand-in for JPEG/GIF.
+    """Thumbnail resize: REAL for PNG and GIF, digest stand-in for JPEG.
 
-    PNG takes the genuine path any thumbnailer takes — decode pixels
-    (:func:`png_decode_pixels`), nearest-neighbour sample to the
-    aspect-preserving fit-within box, re-encode a valid PNG
-    (:func:`png_encode`) — and digests the RESIZED FILE BYTES.  JPEG/GIF
-    (no codec in the sandbox) keep the real fit-within geometry but digest
-    a deterministic stand-in of payload + target box; a production build
-    swaps only that branch for the actual encoder.  Non-image payloads
-    return None.
+    PNG and GIF take the genuine path any thumbnailer takes — decode
+    pixels (:func:`png_decode_pixels` / :func:`kgspark.gifcodec.parse_gif`),
+    nearest-neighbour sample to the aspect-preserving fit-within box,
+    re-encode a valid file of the same format (:func:`png_encode` /
+    ``gifcodec.make_gif``, same palette for GIF) — and digest the RESIZED
+    FILE BYTES.  JPEG (no codec in the sandbox) keeps the real fit-within
+    geometry but digests a deterministic stand-in of payload + target box;
+    a production build swaps only that branch for the actual encoder.
+    Non-image payloads return None.
     """
     d = decode_header_py(payload)
     if d["kind"] not in ("jpeg", "png", "gif") or d["width"] is None:
@@ -315,7 +324,23 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
                 k = (sy * src_w + sx) * 3
                 out.extend(rgb[k : k + 3])
         digest = hashlib.sha256(png_encode(out_w, out_h, bytes(out))).hexdigest()
-    else:
+    elif d["kind"] == "gif":
+        from . import gifcodec
+
+        src_w, src_h, palette, idx = gifcodec.parse_gif(payload)
+        out_w, out_h = fit_within(src_w, src_h, tw, th)
+        # conforming files may carry a smaller color table; re-encode always
+        # writes the full 256-entry GCT the corpus profile uses
+        palette = palette.ljust(768, b"\x00")[:768]
+        sampled = bytes(
+            idx[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
+            for j in range(out_h)
+            for i in range(out_w)
+        )
+        digest = hashlib.sha256(
+            gifcodec.make_gif(out_w, out_h, palette, sampled)
+        ).hexdigest()
+    else:  # jpeg: no codec in the sandbox — deterministic stand-in digest
         digest = hashlib.sha256(
             payload + f":resize:{out_w}x{out_h}".encode()
         ).hexdigest()

@@ -123,3 +123,98 @@ def test_png_resize_emits_valid_png_thumbnail():
         tw2, th2, trgb = multimodal.png_decode_pixels(thumb)
         assert (tw2, th2) == (r["out_width"], r["out_height"])
         assert len(trgb) == tw2 * th2 * 3
+
+
+def test_gif_lzw_roundtrip_properties():
+    """kgspark.gifcodec LZW: round-trip across run-heavy, cycling, random,
+    and small-alphabet streams — including lengths that force the 12-bit
+    width cap and the 4096-entry dictionary reset."""
+    import random
+
+    from kgspark import gifcodec
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"\x07",
+        bytes(5000),                                      # uniform run
+        bytes([i % 256 for i in range(10000)]),           # cycling
+        bytes(rng.randrange(256) for _ in range(30000)),  # forces dict reset
+        bytes([1, 1, 1, 2, 2, 2] * 900),                  # KwKwK-rich
+    ]
+    for c in cases:
+        assert gifcodec.lzw_decode(gifcodec.lzw_encode(c)) == c
+    small = bytes(rng.randrange(4) for _ in range(6000))
+    assert gifcodec.lzw_decode(gifcodec.lzw_encode(small, 2), 2) == small
+
+
+def test_gif_payloads_are_real_decodable_files():
+    """Corpus GIFs are valid GIF89a: true little-endian LSD dims, 256-entry
+    GCT, LZW index data reproducing the seeded pattern exactly."""
+    from kgspark import gifcodec
+
+    gifs = [
+        (j, mid, payload)
+        for j, (mid, kind, payload) in enumerate(datagen_media.media_rows(N))
+        if kind == "gif"
+    ]
+    assert gifs, "expected gif payloads in the corpus"
+    for j, mid, payload in gifs:
+        w, h, palette, idx = gifcodec.parse_gif(payload)
+        seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
+        assert palette == datagen_media.gif_palette(seed_hash)
+        assert len(idx) == w * h
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            assert idx[y * w + x] == datagen_media.gif_index(x, y, seed_hash)
+        d = multimodal.decode_header_py(payload)
+        assert (d["width"], d["height"]) == (w, h)
+
+
+def test_gif_resize_emits_valid_gif_thumbnail():
+    """resize_py's GIF branch re-encodes a VALID GIF at the fit-within box;
+    the digest equals sha256 of a file our own conforming parser accepts,
+    with the source palette preserved."""
+    from kgspark import gifcodec
+
+    for mid, kind, payload in datagen_media.media_rows(N):
+        if kind != "gif":
+            continue
+        r = multimodal.resize_py(payload, 16, 16)
+        sw, sh = r["src_width"], r["src_height"]
+        assert (r["out_width"], r["out_height"]) == multimodal.fit_within(
+            sw, sh, 16, 16
+        )
+        _, _, palette, idx = gifcodec.parse_gif(payload)
+        sampled = bytes(
+            idx[(j * sh // r["out_height"]) * sw + (i * sw // r["out_width"])]
+            for j in range(r["out_height"])
+            for i in range(r["out_width"])
+        )
+        thumb = gifcodec.make_gif(
+            r["out_width"], r["out_height"], palette, sampled
+        )
+        assert hashlib.sha256(thumb).hexdigest() == r["resized_sha256"]
+        tw2, th2, tpal, tidx = gifcodec.parse_gif(thumb)
+        assert (tw2, th2) == (r["out_width"], r["out_height"])
+        assert tpal == palette and tidx == sampled
+
+
+def test_gif_parser_reads_foreign_profile():
+    """The parser is spec-conforming beyond the corpus profile: GIF87a
+    signature, 4-color table with min code size 2, and an extension block
+    to skip."""
+    import struct
+
+    from kgspark import gifcodec
+
+    pal4 = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([(x + y) % 4 for y in range(9) for x in range(7)])
+    lzw = gifcodec.lzw_encode(idx, 2)
+    foreign = (
+        b"GIF87a" + struct.pack("<HH", 7, 9) + bytes([0x81, 0, 0]) + pal4
+        + b"\x21\xfe\x03abc\x00"  # comment extension, skipped
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 7, 9) + b"\x00" + b"\x02"
+        + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    w, h, p, ix = gifcodec.parse_gif(foreign)
+    assert (w, h) == (7, 9) and p == pal4 and ix == idx
