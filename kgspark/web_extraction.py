@@ -89,6 +89,18 @@ _PASSIVE_RE = re.compile(
 _COORD_TAIL_RE = re.compile(r"(?:(?:^|\s)and|,)\s*$", re.IGNORECASE)
 # Gap between coordinated object entities: ",", "and", ", and" only.
 _COORD_GAP_RE = re.compile(r"\s*(?:,|,?\s*and)\s+", re.IGNORECASE)
+# Negation polarity: a negator adjoining the predicate on its left flips the
+# statement ("X never visited B", "X did not acquire Y", "X was not founded
+# by Y" — the broken-passive form falls through to the active scan and is
+# caught here too).  The event is dropped, not inverted: the closed relation
+# vocabulary has no negative predicates, matching the reference's schema
+# (ai/schemas.rs:77-96 carries no polarity field).
+_NEG_TAIL_RE = re.compile(
+    r"\b(?:not|never|no longer|n't|didn't|doesn't|don't|won't|wouldn't|"
+    r"cannot|can't|hasn't|hadn't|haven't|isn't|wasn't|weren't|aren't)"
+    r"(?:\s+(?:been|be|yet|ever|again))*\s*$",
+    re.IGNORECASE,
+)
 
 EXTRACTION_SCHEMA = StructType(
     [
@@ -192,6 +204,8 @@ def _sentence_rels(sent: str) -> list[dict]:
             subj = _resolve_name(right, last=False)
             objs = [_resolve_name(left, last=True)]
         else:
+            if _NEG_TAIL_RE.search(left):
+                continue  # negated statement — no triple (polarity, not span)
             if i and prev_subj is not None and _COORD_TAIL_RE.search(left):
                 subj = prev_subj  # shared-subject coordination
             else:

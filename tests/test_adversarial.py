@@ -16,12 +16,15 @@ passive voice ("A was founded by B", direction restored via a participle
 map), and coordinated objects ("X collaborated with A and B") — each now has
 fixtures below that must extract fully.
 
-Known, deliberate failure modes kept in the gold (honest P/R < 1):
+Negation polarity joined coverage later in round 3 (a negator adjoining the
+predicate — "never visited", "did not …", "was not founded by", "has not
+been visited by" — drops the statement; fixtures below must extract
+nothing).
+
+Known, deliberate failure mode kept in the gold (honest P/R < 1):
   * pronoun coreference ("X founded A. He visited B.") — the kernel has no
     coreference resolver, the pronoun subject is unknown → dropped (false
-    negative);
-  * negation ("X never visited B.") — the scan keys on the predicate phrase
-    and does not model polarity (false positive).
+    negative).
 
 Gate: precision AND recall >= 0.97 (VERDICT r2 item 9; BASELINE.json floor
 is 0.95), measured end-to-end through the distributed pipeline fold (not
@@ -87,9 +90,19 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
     ("pronoun-coref", "Alan Turing founded Acme Corp. He later visited Paris.",
      [("Alan Turing", "founded", "Acme Corp"),
       ("Alan Turing", "visited", "Paris")]),
-    # deliberate FP: negated predicate still matches the phrase scan
+    # negation polarity (covered since round 3): a negator adjoining the
+    # predicate drops the statement instead of emitting a false triple
     ("negation", "Ada Lovelace never visited Paris.",
      []),
+    ("negation-did-not", "Globex did not collaborated with Acme Corp.",
+     []),
+    ("negation-passive", "Acme Corp was not founded by Alan Turing.",
+     []),
+    ("negation-aux-chain", "The World Fair has not been visited by Ada Lovelace.",
+     []),
+    ("negation-second-clause",
+     "Alan Turing works at Acme Corp and never visited London.",
+     [("Alan Turing", "works_at", "Acme Corp")]),
     ("mixed-4a",
      "ALAN TURING wrote On Computable Numbers. The paper impressed Ada Lovelace, "
      "who then visited London. Fatigue indicates Anemia. Globex collaborated with Acme Corp.",
@@ -178,7 +191,7 @@ def test_adversarial_precision_recall_gate(spark):
     recall = tp / len(gold)
     print(f"\nadversarial P={precision:.4f} R={recall:.4f} "
           f"(tp={tp} pred={len(predicted)} gold={len(gold)})")
-    # honest < 1.0: the documented pronoun/negation failures stay in gold
+    # honest < 1.0: the documented pronoun-coreference failure stays in gold
     assert precision < 1.0 or recall < 1.0
     assert precision >= 0.97, (precision, sorted(predicted - gold))
     assert recall >= 0.97, (recall, sorted(gold - predicted))
