@@ -525,9 +525,16 @@ def run_pipeline(
         stage_metrics["errors"] = wh.append("errors", errors, run_id)
         n_errors = stage_metrics["errors"]["n_rows"]
 
+        t_canon = time.perf_counter()
         map_fp = _run_canonicalization(
             spark, wh, run_id, n_todo, stage_metrics, persisted
         )
+        if "canonical_map" in stage_metrics:
+            # stage wall time next to n_new_names: the incremental-cost
+            # evidence (cost tracks new-name count, not corpus size)
+            stage_metrics["canonical_map"]["stage_wall_s"] = round(
+                time.perf_counter() - t_canon, 3
+            )
 
         entry = {
             "run_id": run_id,
