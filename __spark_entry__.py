@@ -383,6 +383,12 @@ def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(_media(spark))
 
 
+def _q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample of WAV payloads: stdlib RIFF chunk-walk decode,
+    nearest-neighbour PCM resample, valid re-encoded file digested."""
+    return multimodal.resample_media(_media(spark))
+
+
 # ------------------------------------------------- web_pages pipeline queries
 #
 # The web corpus is synthesized deterministically (kgspark.datagen) at a FIXED
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_frame_samples": _q_media_frame_samples,
         "media_resize": _q_media_resize,
+        "media_audio_resample": _q_media_audio_resample,
         # rows-only (recall<1 by design, no value oracle) — least evidence
         # lost if a bounded driver prefix ever stops short of the end.
         "ann_lsh_topk": _q_ann_lsh_topk,

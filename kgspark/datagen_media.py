@@ -1,17 +1,21 @@
 """Deterministic synthetic media corpus (binary payloads with real magics).
 
-Pairs with :mod:`kgspark.multimodal`.  PNG and GIF payloads are REAL files:
+Pairs with :mod:`kgspark.multimodal`.  PNG, GIF, and WAV payloads are REAL
+files:
 
   * PNG — signature, IHDR with correct dimensions and CRC32, one
     zlib-compressed IDAT of filter-0 RGB scanlines, IEND;
   * GIF — GIF89a logical screen descriptor, 256-entry global color table,
     LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer;
+  * WAV — canonical RIFF/WAVE container: PCM ``fmt `` chunk (mono 16-bit,
+    seeded sample rate) followed by a ``data`` chunk of seeded int16
+    samples;
 
-both decodable by any standards-conforming reader (pixels follow a seeded
-deterministic pattern shared with the oracle restatement).  The remaining
-kinds carry genuine container magic bytes (JPEG/RIFF/Matroska) followed by
-a fixed synthetic header layout — bytes [8:16] hold two big-endian u32s
-(dims / sample count / frame count) — and sha-derived filler bytes
+all decodable by any standards-conforming reader (pixel/sample values
+follow a seeded deterministic pattern shared with the oracle restatement).
+The remaining kinds carry genuine container magic bytes (JPEG/Matroska)
+followed by a fixed synthetic header layout — bytes [8:16] hold two
+big-endian u32s (dims / frame count) — and sha-derived filler bytes
 (documented stand-ins; the sandbox ships no JPEG codec).  Everything is
 seeded, so driver-side expected rows for VALUES oracles are exact.
 """
@@ -111,6 +115,39 @@ def make_gif_file(w: int, h_px: int, h: bytes) -> bytes:
     return gifcodec.make_gif(w, h_px, gif_palette(h), idx)
 
 
+_WAV_RATES = (8000, 11025, 16000, 22050)
+
+
+def wav_sample(i: int, h: bytes) -> int:
+    """Seeded deterministic int16 PCM sample — shared with the independent
+    oracle restatement so resample digests are checkable end-to-end."""
+    return ((i * i * (1 + h[5] % 3) + i * (3 + h[2]) + h[3] * 257) % 65536) - 32768
+
+
+def make_wav(sample_rate: int, pcm: bytes) -> bytes:
+    """A VALID canonical RIFF/WAVE file: PCM mono 16-bit ``fmt `` chunk at
+    offset 12, ``data`` chunk at offset 36.  Any conforming WAV reader
+    (including stdlib :mod:`wave`) decodes it."""
+    n_bytes = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_bytes)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n_bytes)
+        + pcm
+    )
+
+
+def make_wav_file(n_samples: int, sample_rate: int, h: bytes) -> bytes:
+    pcm = b"".join(
+        struct.pack("<h", wav_sample(i, h)) for i in range(n_samples)
+    )
+    return make_wav(sample_rate, pcm)
+
+
 def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     kind = _KINDS[i % len(_KINDS)]
     h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
@@ -121,10 +158,14 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     if kind == "gif":
         payload = make_gif_file(24 + h[0] % 104, 24 + h[1] % 104, h)
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
+    if kind == "riff":
+        # real decodable WAV; seeded sample count and rate
+        payload = make_wav_file(
+            4000 + h[0] * 64, _WAV_RATES[h[1] % len(_WAV_RATES)], h
+        )
+        return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":
         a, b = 64 + (h[0] % 64) * 16, 64 + (h[1] % 64) * 16  # width, height
-    elif kind == "riff":
-        a, b = 8000 + h[0] * 256, 0  # n_samples
     else:  # matroska: frames + packed dims
         a, b = 24 * (1 + h[0] % 10), ((640 + h[1]) << 16) | (360 + h[2])
     header = _MAGICS[kind] + struct.pack(">II", a, b)

@@ -135,6 +135,52 @@ def _gif_resize_independent(i: int, payload: bytes, tw: int, th: int) -> tuple:
     return w, h, ow, oh, _hl.sha256(gif).hexdigest()
 
 
+def _wav_meta_independent(payload: bytes) -> tuple[int, int]:
+    """Independent restatement of the TRUE canonical WAV layout: the PCM
+    ``fmt `` chunk sits at byte offset 12 (sample rate LE u32 at offset 24,
+    block align LE u16 at 32) and the ``data`` chunk at offset 36 (byte
+    length LE u32 at 40).  Fixed-offset reads against the canonical-form
+    spec — deliberately NOT the kernel's chunk walk.  Returns
+    (sample_rate, n_samples)."""
+    import struct
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not WAVE"
+    assert payload[12:16] == b"fmt " and payload[36:40] == b"data", (
+        "oracle: payload is not canonical-layout WAV"
+    )
+    (rate,) = struct.unpack("<I", payload[24:28])
+    (block_align,) = struct.unpack("<H", payload[32:34])
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    return rate, data_len // block_align
+
+
+def _wav_resample_independent(i: int, payload: bytes, target_rate: int) -> tuple:
+    """Independent WAV resample restatement: the expected output is
+    reconstructed ANALYTICALLY from the seeded generative spec (samples
+    re-derived from the corpus seed via datagen_media.wav_sample, never
+    decoded from the payload), so this checks the kernel's whole
+    decode→sample→re-encode chain end-to-end: a PCM decode bug, an index
+    mapping bug, or an fmt mixup each breaks digest equality.  Rate/count
+    come from the independent fixed-offset parse above; only the final
+    file framing reuses datagen_media.make_wav."""
+    import hashlib as _hl
+    import struct
+
+    rate, n = _wav_meta_independent(payload)
+    hsh = _hl.sha256(f"{MEDIA_SEED}:media:{i}".encode()).digest()
+    if rate <= target_rate:
+        out_rate, idx = rate, range(n)
+    else:
+        out_rate = target_rate
+        out_n = max(1, (n * target_rate) // rate)
+        idx = [j * n // out_n for j in range(out_n)]
+    pcm = b"".join(
+        struct.pack("<h", datagen_media.wav_sample(j, hsh)) for j in idx
+    )
+    dig = _hl.sha256(datagen_media.make_wav(out_rate, pcm)).hexdigest()
+    return rate, n, out_rate, len(pcm) // 2, dig
+
+
 @lru_cache(maxsize=1)
 def build() -> dict[str, str]:
     rows = datagen_media.media_rows(MEDIA_N, MEDIA_SEED)
@@ -152,6 +198,9 @@ def build() -> dict[str, str]:
         elif kind == "gif":
             w, h = _gif_dims_independent(payload)
             decode_rows.append((media_id, "gif", w, h, None, None))
+        elif kind == "riff":
+            _rate, n = _wav_meta_independent(payload)
+            decode_rows.append((media_id, "riff", None, None, n, None))
         else:
             d = multimodal.decode_header_py(payload)
             decode_rows.append(
@@ -182,7 +231,19 @@ def build() -> dict[str, str]:
                 )
             )
 
+    resample_rows = []
+    for i, (media_id, kind, payload) in enumerate(rows):
+        if kind == "riff":
+            sr, sn, orate, on, dig = _wav_resample_independent(i, payload, 8000)
+            resample_rows.append((media_id, "riff", sr, sn, orate, on, dig))
+
     return {
+        "media_audio_resample": _values(
+            resample_rows,
+            ["media_id", "kind", "src_rate", "src_samples",
+             "out_rate", "out_samples", "resampled_sha256"],
+            ["s", "s", "i", "i", "i", "i", "s"],
+        ),
         "media_resize": _values(
             resize_rows,
             ["media_id", "kind", "src_width", "src_height",

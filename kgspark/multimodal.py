@@ -6,14 +6,16 @@ pure-Catalyst projection (magic-byte sniffing — stays in whole-stage codegen);
 decode / feature-extract runs through ``mapInPandas`` so each Arrow batch is
 processed vectorized with bounded memory (never a per-row Python UDF).
 
-The sandbox ships no image/audio libraries.  PNG and GIF are nonetheless
-REAL end-to-end — stdlib codecs (zlib inflate + scanline unfilter for PNG,
-:mod:`kgspark.gifcodec` LZW for GIF) decode any standards-conforming file
-of the supported profiles, and resize re-encodes a valid file.  The
-remaining kinds (JPEG/RIFF/Matroska) are clearly-marked deterministic
-stand-ins: synthetic headers parsed directly, "features" sha-derived
-floats.  Swapping in Pillow/ffmpeg changes only those kernel branches —
-the Spark plumbing (schema, batch shape, partitioning) is identical.
+The sandbox ships no image/audio libraries.  PNG, GIF, and WAV are
+nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
+unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
+for WAV PCM) decode any standards-conforming file of the supported
+profiles; image resize and audio resample re-encode a valid file of the
+same format.  The remaining kinds (JPEG/Matroska) are clearly-marked
+deterministic stand-ins: synthetic headers parsed directly, "features"
+sha-derived floats.  Swapping in Pillow/ffmpeg changes only those kernel
+branches — the Spark plumbing (schema, batch shape, partitioning) is
+identical.
 
 The reference has no media path at all; this module is part of the
 beyond-reference training-pipeline surface the build calls for.
@@ -96,17 +98,19 @@ _FEATURE_SCHEMA = StructType(
 
 
 def decode_header_py(payload: bytes) -> dict:
-    """Header decode: REAL for PNG and GIF, deterministic stand-in for the rest.
+    """Header decode: REAL for PNG, GIF, and WAV; stand-in for the rest.
 
     PNG parses the genuine chunk layout — the IHDR chunk that immediately
     follows the 8-byte signature carries big-endian u32 width/height at
     payload[16:24] (validated against the 'IHDR' type tag at [12:16]).
     GIF parses the genuine logical screen descriptor — little-endian u16
-    width/height at payload[6:10].  Both read any standards-conforming
-    file, not just the synthetic corpus.  JPEG/RIFF/Matroska still parse
-    the fixed synthetic layout (bytes [8:16], two big-endian u32s) — a
-    production build swaps those branches for Pillow / soundfile / pyav;
-    everything around them stays unchanged.
+    width/height at payload[6:10].  WAV walks the genuine RIFF chunk
+    stream (:func:`wav_parse_chunks`): sample count = data-chunk byte
+    length / fmt block-align.  All three read any standards-conforming
+    file, not just the synthetic corpus.  JPEG/Matroska still parse the
+    fixed synthetic layout (bytes [8:16], two big-endian u32s) — a
+    production build swaps those branches for Pillow / pyav; everything
+    around them stays unchanged.
     """
     magic = payload[:8].hex().upper()
     kind = "unknown"
@@ -121,12 +125,16 @@ def decode_header_py(payload: bytes) -> dict:
     elif kind == "gif":
         if len(payload) >= 10:
             w, h = struct.unpack("<HH", payload[6:10])
+    elif kind == "riff":
+        try:
+            fmt, data = wav_parse_chunks(payload)
+            samples = len(data) // fmt["block_align"]
+        except ValueError:
+            samples = None
     elif len(payload) >= 16:
         a, b = struct.unpack(">II", payload[8:16])
         if kind == "jpeg":
             w, h = a, b
-        elif kind == "riff":
-            samples = a
         elif kind == "matroska":
             frames = a
             w, h = b >> 16, b & 0xFFFF
@@ -137,6 +145,51 @@ def decode_header_py(payload: bytes) -> dict:
         "n_samples": samples,
         "n_frames": frames,
     }
+
+
+def wav_parse_chunks(payload: bytes) -> tuple[dict, bytes]:
+    """REAL RIFF/WAVE parse (stdlib-only): walk the chunk stream, return
+    (fmt dict, raw data bytes).
+
+    Handles any chunk order and intervening chunks (LIST, fact, ...) per
+    the RIFF spec, including the odd-size pad byte.  Raises on non-WAVE
+    RIFF containers (e.g. AVI) and truncated streams rather than guessing.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt, data, pos = None, None, 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            af, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt = {
+                "audio_format": af,
+                "channels": ch,
+                "sample_rate": rate,
+                "block_align": ba,
+                "bits_per_sample": bits,
+            }
+        elif tag == b"data":
+            if len(body) != size:
+                raise ValueError("WAV data chunk truncated")
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunk sizes carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def wav_decode_pcm(payload: bytes) -> tuple[int, list[int]]:
+    """REAL WAV decode for the supported profile — PCM mono 16-bit — and a
+    hard error on anything else rather than guessing.  Returns
+    (sample_rate, int16 samples)."""
+    fmt, data = wav_parse_chunks(payload)
+    if (fmt["audio_format"], fmt["channels"], fmt["bits_per_sample"]) != (1, 1, 16):
+        raise ValueError("unsupported WAV profile")
+    n = len(data) // 2
+    return fmt["sample_rate"], list(struct.unpack(f"<{n}h", data[: 2 * n]))
 
 
 def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
@@ -393,3 +446,75 @@ def resize_media(
             )
 
     return pruned.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+def resample_py(payload: bytes, target_rate: int) -> dict | None:
+    """Audio resample: REAL for WAV — the genuine path any audio pipeline
+    takes.  Decode PCM (:func:`wav_decode_pcm`), nearest-neighbour sample
+    to the target rate (no upsample, mirroring the image path's no-upscale
+    rule), re-encode a valid WAV at the target rate, digest the RESAMPLED
+    FILE BYTES.  Non-WAV payloads return None.
+    """
+    try:
+        src_rate, samples = wav_decode_pcm(payload)
+    except ValueError:
+        return None
+    n = len(samples)
+    if src_rate <= target_rate:
+        out_rate, out = src_rate, samples
+    else:
+        out_rate = target_rate
+        out_n = max(1, (n * target_rate) // src_rate)
+        out = [samples[i * n // out_n] for i in range(out_n)]
+    pcm = struct.pack(f"<{len(out)}h", *out)
+    from .datagen_media import make_wav
+
+    return {
+        "kind": "riff",
+        "src_rate": src_rate,
+        "src_samples": n,
+        "out_rate": out_rate,
+        "out_samples": len(out),
+        "resampled_sha256": hashlib.sha256(make_wav(out_rate, pcm)).hexdigest(),
+    }
+
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("src_rate", IntegerType()),
+        StructField("src_samples", IntegerType()),
+        StructField("out_rate", IntegerType()),
+        StructField("out_samples", IntegerType()),
+        StructField("resampled_sha256", StringType()),
+    ]
+)
+
+
+def resample_media(
+    df: DataFrame,
+    target_rate: int = 8000,
+    id_col: str = "media_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas audio resample: one row per WAV payload with source/output
+    rates, sample counts, and the resampled-bytes digest.  Column pruning:
+    only (id, payload) cross into Python; non-audio rows drop out inside
+    the kernel."""
+    pruned = df.select(
+        F.col(id_col).alias("media_id"), F.col(binary_col).alias("payload")
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                r = resample_py(bytes(p), target_rate)
+                if r is not None:
+                    rows.append({"media_id": mid, **r})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESAMPLE_SCHEMA.fields]
+            )
+
+    return pruned.mapInPandas(_resample, schema=_RESAMPLE_SCHEMA)

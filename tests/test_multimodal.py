@@ -24,7 +24,7 @@ def test_decode_header_kernel_parses_synthetic_headers():
             assert d["width"] > 0 and d["height"] > 0
             assert d["n_samples"] is None and d["n_frames"] is None
         elif kind == "riff":
-            assert d["n_samples"] >= 8000
+            assert d["n_samples"] >= 4000
         else:  # matroska
             assert d["n_frames"] > 0 and d["width"] >= 640
 
@@ -218,3 +218,93 @@ def test_gif_parser_reads_foreign_profile():
     )
     w, h, p, ix = gifcodec.parse_gif(foreign)
     assert (w, h) == (7, 9) and p == pal4 and ix == idx
+
+
+def test_wav_payloads_are_real_decodable_files():
+    """Corpus WAVs are standards-conforming: stdlib wave reads them, and the
+    decoded PCM reproduces the seeded sample pattern exactly."""
+    import hashlib
+    import io
+    import wave
+
+    wavs = [
+        (j, payload)
+        for j, (mid, kind, payload) in enumerate(datagen_media.media_rows(N))
+        if kind == "riff"
+    ]
+    assert wavs, "expected wav payloads in the corpus"
+    for j, payload in wavs:
+        w = wave.open(io.BytesIO(payload))
+        assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
+        rate, samples = multimodal.wav_decode_pcm(payload)
+        assert rate == w.getframerate() and len(samples) == w.getnframes()
+        seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
+        for i in (0, len(samples) // 2, len(samples) - 1):
+            assert samples[i] == datagen_media.wav_sample(i, seed_hash)
+
+
+def test_wav_kernel_reads_stdlib_wave_written_file():
+    """The RIFF chunk walk decodes a file written by stdlib wave — the
+    kernel is a real WAV reader, not a corpus-layout parser."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(
+        b"".join(int(v).to_bytes(2, "little", signed=True) for v in range(-50, 50))
+    )
+    w.close()
+    rate, samples = multimodal.wav_decode_pcm(buf.getvalue())
+    assert rate == 16000 and samples == list(range(-50, 50))
+    d = multimodal.decode_header_py(buf.getvalue())
+    assert d["kind"] == "riff" and d["n_samples"] == 100
+
+
+def test_wav_resample_emits_valid_wav():
+    """resample_py re-encodes a VALID WAV at the target rate: the digest must
+    equal sha256 of a file our own real decoder (and stdlib wave) accepts,
+    with nearest-neighbour samples of the source PCM."""
+    import hashlib
+
+    for mid, kind, payload in datagen_media.media_rows(N):
+        if kind != "riff":
+            continue
+        r = multimodal.resample_py(payload, 8000)
+        src_rate, samples = multimodal.wav_decode_pcm(payload)
+        assert r["src_rate"] == src_rate and r["src_samples"] == len(samples)
+        if src_rate <= 8000:
+            expect = samples
+            assert r["out_rate"] == src_rate
+        else:
+            n = len(samples)
+            out_n = max(1, (n * 8000) // src_rate)
+            expect = [samples[i * n // out_n] for i in range(out_n)]
+            assert r["out_rate"] == 8000
+        import struct as _s
+
+        rebuilt = datagen_media.make_wav(
+            r["out_rate"], _s.pack(f"<{len(expect)}h", *expect)
+        )
+        assert r["resampled_sha256"] == hashlib.sha256(rebuilt).hexdigest()
+        # the re-encoded file round-trips through the real decoder
+        rr, ss = multimodal.wav_decode_pcm(rebuilt)
+        assert rr == r["out_rate"] and ss == expect
+
+
+def test_resample_media_distributed_equals_kernel(spark):
+    df = datagen_media.media_files(spark, N).repartition(5)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.resample_media(df).collect()
+    }
+    kinds = {mid: kind for mid, kind, _ in datagen_media.media_rows(N)}
+    assert got and all(kinds[m] == "riff" for m in got)
+    for mid, kind, payload in datagen_media.media_rows(N):
+        if kind == "riff":
+            expect = multimodal.resample_py(bytes(payload), 8000)
+            row = got[mid]
+            assert {k: row[k] for k in expect} == expect
