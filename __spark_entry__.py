@@ -256,10 +256,18 @@ def _q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median count as the hot threshold: roughly half the types take the
     # salted path and half the plain path at ANY scale factor, so BOTH
     # branches of the two-path union are live in the value gate (a fixed
-    # threshold degenerates to all-hot or all-cold as sf changes).
-    cnts = sorted(r["n_type_events"] for r in dim.collect())
-    thr = cnts[len(cnts) // 2]
-    out = skew.salted_join(e, dim, "event_type", n_salts=8, threshold=thr)
+    # threshold degenerates to all-hot or all-cold as sf changes).  The
+    # median is computed as an aggregate and joined in — no driver collect
+    # anywhere in the gate, same as the operator itself.
+    med = dim.agg(
+        F.percentile_approx("n_type_events", 0.5, 1_000_000).alias("_thr")
+    )
+    hot = (
+        dim.join(F.broadcast(med))
+        .filter(F.col("n_type_events") > F.col("_thr"))
+        .select("event_type")
+    )
+    out = skew.salted_join(e, dim, "event_type", hot=hot, n_salts=8)
     return out.select("event_id", "event_type", "value", "n_type_events")
 
 
