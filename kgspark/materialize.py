@@ -142,6 +142,35 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
+    def read_as_of(self, name: str, run_id: str) -> DataFrame:
+        """Snapshot read: the table as it stood when ``run_id`` committed —
+        the Iceberg time-travel (``VERSION AS OF``) analog on the parquet
+        backend (reference storage is last-write-wins with no history,
+        storage/json_kv.rs:193-207; this is strictly more capable).
+
+        The manifest's ``runs`` list is the commit log: partitions of runs
+        committed after ``run_id`` are excluded with an ``isin`` filter on
+        the hive partition key, so their files are PRUNED at planning time,
+        never scanned.  Compaction collapses history — runs folded into a
+        ``compact-*`` base partition stop being individually addressable
+        (the snapshot-expiry analog) — so a snapshot that predates a later
+        compaction of this table raises instead of returning wrong rows.
+        """
+        runs = self.manifest()["runs"]
+        ids = [str(r.get("run_id", "")) for r in runs]
+        if run_id not in ids:
+            raise ValueError(f"run_id {run_id!r} not in the manifest commit log")
+        cut = ids.index(run_id) + 1
+        if any(r.get("compaction") == name for r in runs[cut:]):
+            raise ValueError(
+                f"snapshot {run_id!r} of {name!r} predates a compaction — "
+                "history before the compacted base is expired"
+            )
+        df = self.read(name)
+        if "run_id" not in df.columns:
+            raise ValueError(f"{name!r} is not an append (run_id-partitioned) table")
+        return df.filter(F.col("run_id").isin(ids[:cut]))
+
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> dict:
         """Write a stage table and return its lineage metrics (uncommitted)."""
         df.write.mode(mode).parquet(self.table_path(name))

@@ -391,3 +391,37 @@ def test_iceberg_probe_recorded_in_manifest(spark, tmp_path):
     # re-init flips the manifest back once the jar disappears again
     wh3 = Warehouse(spark, str(tmp_path / "wh"))
     assert wh3.manifest()["iceberg_probe"]["backend"] == probe["backend"]
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """read_as_of returns exactly the table as of an earlier commit (the
+    Iceberg VERSION AS OF analog): rows from later runs are excluded by
+    partition pruning, unknown snapshots raise, and a later compaction
+    expires pre-compaction history."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 40, 42), wh, run_id="r1")
+    r1_rows = {
+        tuple(r) for r in wh.read("triples").drop("run_id").collect()
+    }
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 90, 42), wh, run_id="r2")
+    # snapshot at r1 must equal the table as it stood after r1
+    snap = wh.read_as_of("triples", "r1")
+    assert {tuple(r) for r in snap.drop("run_id").collect()} == r1_rows
+    # snapshot at the head run equals the full current table
+    head = wh.read_as_of("triples", "r2")
+    assert head.count() == wh.read("triples").count()
+    # the excluded partition is pruned at planning, not filtered at runtime
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "run_id=r2" not in plan
+    with pytest.raises(ValueError, match="not in the manifest"):
+        wh.read_as_of("triples", "never-committed")
+    # compaction expires earlier snapshots but keeps the head readable
+    materialize.compact(wh, "triples")
+    with pytest.raises(ValueError, match="predates a compaction"):
+        wh.read_as_of("triples", "r1")
+    base = wh.manifest()["runs"][-1]["run_id"]
+    assert wh.read_as_of("triples", base).count() == len(
+        {tuple(r) for r in wh.read("triples").drop("run_id").collect()}
+    ) or wh.read_as_of("triples", base).count() == wh.read("triples").count()
