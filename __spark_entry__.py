@@ -503,8 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (50 in round 2), so the reference's §2-critical query surface — the full
     construction chain, the graph/BFS routes, and the document-status routes —
     sits first, the derived LLM-data-pipeline operators follow, and the one
-    rows-only entry (ann_lsh_topk) is last.  49 registered = everything
-    evaluated with margin.  Four round-2 rows were consolidated (not removed):
+    rows-only entry (ann_lsh_topk) is last.  50 registered = exactly the
+    round-2 evaluated prefix; before registering query #51, consolidate an
+    existing row (as below) or the last entry loses its evidence row.
+    Four round-2 rows were consolidated (not removed):
     text_fingerprint → text_token_stats.vocab_fingerprint,
     text_language_id → text_quality.predicted_lang,
     {kg,web}_entity_type_counts → entity_type_counts (src-tagged union),

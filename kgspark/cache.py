@@ -17,6 +17,13 @@ simply dropped).  If an external ``spark.catalog.clearCache()`` wiped the
 cache entry (bench reps do exactly that), the frame is re-persisted on the
 next request instead of silently recomputing per downstream branch.
 Thread-safe via a module lock.
+
+CONTRACT: inputs must be immutable for the key's lifetime.  The key is a
+PLAN hash — two semantically-equal plans over a path whose files were
+rewritten in between would alias to one (stale) cached frame.  Every
+current caller reads immutable inputs (seeded datagen, sf-dir parquet);
+an operator over warehouse tables that are rewritten in place must NOT
+route through this registry (persist locally and unpersist when done).
 """
 
 from __future__ import annotations
@@ -46,8 +53,13 @@ def keyed_persist(df: DataFrame, name: str) -> DataFrame:
         app_id = df.sparkSession.sparkContext.applicationId
         key = (app_id, name, df.semanticHash())
     except Exception:
-        # analysis failure or dead session — fall back to an uncached frame
-        return df
+        # analysis/hash failure — still persist (the whole point of the
+        # registry is avoiding the measured duplicate kernel pass), just
+        # without registration/sharing for this one frame
+        try:
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            return df  # dead session — uncached frame
 
     with _LOCK:
         cached = _REG.get(key)

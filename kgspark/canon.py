@@ -270,15 +270,21 @@ def _rep_map(spark: SparkSession, comp: DataFrame, names: DataFrame) -> DataFram
 
 
 def canonical_map(
-    spark: SparkSession, entity_table: DataFrame, name_col: str = "entity_name"
+    spark: SparkSession,
+    entity_table: DataFrame,
+    name_col: str = "entity_name",
+    names: DataFrame | None = None,
 ) -> DataFrame:
     """(entity_name → canonical_name, canonical_id) for every distinct name.
 
     Singleton names (no pair edges) canonicalize to themselves; components
     take the alias dictionary's canonical name when a member has one, else
-    the lexicographically smallest member.
+    the lexicographically smallest member.  ``names`` lets a caller that
+    also needs the distinct-name working set (the warehouse full rebuild
+    persists it for the canon_names/canon_bands state writes) share ONE
+    entity-table scan instead of re-deriving it here.
     """
-    names = distinct_names(entity_table, name_col)
+    names = distinct_names(entity_table, name_col) if names is None else names
     pairs = (
         exact_key_pairs(names)
         .union(lsh_pairs(names))

@@ -700,14 +700,22 @@ def _run_canonicalization(
         return map_fingerprint(cmap)
 
     # Full (re)build: first batch, or committed state unusable after a crash.
-    cmap_full = canon.canonical_map(spark, wh.read("entities"))
+    # The distinct-name working set feeds THREE consumers (pair generation
+    # inside canonical_map, the canon_names state write, the canon_bands
+    # state write) — persist it so the O(corpus) entities scan runs once.
+    from pyspark.storagelevel import StorageLevel
+
+    names_all = canon.distinct_names(wh.read("entities")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted.append(names_all)
+    cmap_full = canon.canonical_map(spark, wh.read("entities"), names=names_all)
     stage_metrics["canonical_map"] = _write_map_staged(wh, cmap_full)
     cmap = wh.read("canonical_map")
     truncate(wh, "canonical_triples")
     stage_metrics["canonical_triples"] = wh.append(
         "canonical_triples", canon.canonical_triples(wh.read("triples"), cmap), run_id
     )
-    names_all = canon.distinct_names(wh.read("entities"))
     truncate(wh, "canon_names")
     stage_metrics["canon_names"] = wh.append("canon_names", names_all, run_id)
     # bands derive from entities (not from canon_names), so this ordering has

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -163,6 +164,8 @@ def wav_parse_chunks(payload: bytes) -> tuple[dict, bytes]:
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt " and size >= 16:
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             af, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
             fmt = {
                 "audio_format": af,
@@ -361,46 +364,62 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
     FILE BYTES.  JPEG (no codec in the sandbox) keeps the real fit-within
     geometry but digests a deterministic stand-in of payload + target box;
     a production build swaps only that branch for the actual encoder.
-    Non-image payloads return None.
+    Non-image payloads and malformed image bodies return None (row is
+    skipped, never the whole job).
     """
     d = decode_header_py(payload)
     if d["kind"] not in ("jpeg", "png", "gif") or d["width"] is None:
         return None
-    out_w, out_h = fit_within(d["width"], d["height"], tw, th)
-    if d["kind"] == "png":
-        src_w, src_h, rgb = png_decode_pixels(payload)
-        out = bytearray()
-        for j in range(out_h):
-            sy = j * src_h // out_h
-            for i in range(out_w):
-                sx = i * src_w // out_w
-                k = (sy * src_w + sx) * 3
-                out.extend(rgb[k : k + 3])
-        digest = hashlib.sha256(png_encode(out_w, out_h, bytes(out))).hexdigest()
-    elif d["kind"] == "gif":
-        from . import gifcodec
+    # A corrupt body behind a valid magic must skip the row, not abort the
+    # whole mapInPandas job: the real decoders raise on malformed streams
+    # (zlib.error from a truncated IDAT, IndexError/ValueError/struct.error
+    # from a truncated chunk walk), the same contract as the WAV path.
+    try:
+        if d["kind"] == "png":
+            src_w, src_h, rgb = png_decode_pixels(payload)
+            out_w, out_h = fit_within(src_w, src_h, tw, th)
+            out = bytearray()
+            for j in range(out_h):
+                sy = j * src_h // out_h
+                for i in range(out_w):
+                    sx = i * src_w // out_w
+                    k = (sy * src_w + sx) * 3
+                    out.extend(rgb[k : k + 3])
+            digest = hashlib.sha256(
+                png_encode(out_w, out_h, bytes(out))
+            ).hexdigest()
+        elif d["kind"] == "gif":
+            from . import gifcodec
 
-        src_w, src_h, palette, idx = gifcodec.parse_gif(payload)
-        out_w, out_h = fit_within(src_w, src_h, tw, th)
-        # conforming files may carry a smaller color table; re-encode always
-        # writes the full 256-entry GCT the corpus profile uses
-        palette = palette.ljust(768, b"\x00")[:768]
-        sampled = bytes(
-            idx[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
-            for j in range(out_h)
-            for i in range(out_w)
-        )
-        digest = hashlib.sha256(
-            gifcodec.make_gif(out_w, out_h, palette, sampled)
-        ).hexdigest()
-    else:  # jpeg: no codec in the sandbox — deterministic stand-in digest
-        digest = hashlib.sha256(
-            payload + f":resize:{out_w}x{out_h}".encode()
-        ).hexdigest()
+            # src dims come from the image descriptor the pixels were
+            # decoded at (a conforming file's image block may be smaller
+            # than the logical screen) so the reported metadata is always
+            # self-consistent with the thumbnail.
+            src_w, src_h, palette, idx = gifcodec.parse_gif(payload)
+            out_w, out_h = fit_within(src_w, src_h, tw, th)
+            # conforming files may carry a smaller color table; re-encode
+            # always writes the full 256-entry GCT the corpus profile uses
+            palette = palette.ljust(768, b"\x00")[:768]
+            sampled = bytes(
+                idx[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
+                for j in range(out_h)
+                for i in range(out_w)
+            )
+            digest = hashlib.sha256(
+                gifcodec.make_gif(out_w, out_h, palette, sampled)
+            ).hexdigest()
+        else:  # jpeg: no codec in the sandbox — deterministic stand-in digest
+            src_w, src_h = d["width"], d["height"]
+            out_w, out_h = fit_within(src_w, src_h, tw, th)
+            digest = hashlib.sha256(
+                payload + f":resize:{out_w}x{out_h}".encode()
+            ).hexdigest()
+    except (ValueError, IndexError, struct.error, zlib.error):
+        return None
     return {
         "kind": d["kind"],
-        "src_width": d["width"],
-        "src_height": d["height"],
+        "src_width": src_w,
+        "src_height": src_h,
         "out_width": out_w,
         "out_height": out_h,
         "resized_sha256": digest,

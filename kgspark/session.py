@@ -47,6 +47,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # 4x slowdown vs local[8]).  On a real cluster this maps to executor
     # memory instead.  Applies only when the JVM is launched by this builder.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+    # Reliable checkpoints (truncate_lineage with a checkpoint dir) write one
+    # RDD checkpoint per BFS level / CC round; without this flag the files
+    # outlive their RDDs for the whole application — unbounded growth on a
+    # long-lived cluster session.  Cleanup rides the ContextCleaner when the
+    # checkpointed RDD is GC'd; the latest checkpoint is retained.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # Quieter local runs.
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",

@@ -194,6 +194,7 @@ def _sentence_rels(sent: str) -> list[dict]:
     events.sort()
     rels: list[dict] = []
     prev_subj: str | None = None
+    prev_neg = False  # was the previous clause's shared-subject VP negated?
     for i, (start, end, kind, pred) in enumerate(events):
         left = sent[events[i - 1][1] : start] if i else sent[:start]
         last_event = i + 1 == len(events)
@@ -203,13 +204,28 @@ def _sentence_rels(sent: str) -> list[dict]:
             # semantic subject (agent) follows "by"; patient precedes the aux
             subj = _resolve_name(right, last=False)
             objs = [_resolve_name(left, last=True)]
+            neg = False
         else:
-            if _NEG_TAIL_RE.search(left):
-                continue  # negated statement — no triple (polarity, not span)
-            if i and prev_subj is not None and _COORD_TAIL_RE.search(left):
-                subj = prev_subj  # shared-subject coordination
+            borrowed = bool(
+                i and prev_subj is not None and _COORD_TAIL_RE.search(left)
+            )
+            if borrowed:
+                # shared-subject coordination; a negator on the first VP
+                # scopes over the whole chain ("X never lived in A and
+                # worked at B" negates both conjuncts)
+                subj = prev_subj
+                neg = prev_neg or bool(_NEG_TAIL_RE.search(left))
             else:
                 subj = _resolve_name(left, last=True)
+                neg = bool(_NEG_TAIL_RE.search(left))
+            if neg:
+                # negated statement — no triple (polarity, not span), but the
+                # clause still BINDS the sentence subject: a following
+                # coordinated VP must borrow the real subject, never fall
+                # through to the negated clause's object
+                if subj:
+                    prev_subj, prev_neg = subj, True
+                continue
             # coordinated objects only when no further event follows — a
             # trailing entity before the next predicate is that clause's
             # subject, not an extra object
@@ -220,7 +236,7 @@ def _sentence_rels(sent: str) -> list[dict]:
             # matches the old single-regex scan, which required a non-empty
             # subject token before the predicate
             continue
-        prev_subj = subj
+        prev_subj, prev_neg = subj, neg
         for obj in objs:
             if not obj:
                 continue

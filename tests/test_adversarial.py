@@ -103,6 +103,12 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
     ("negation-second-clause",
      "Alan Turing works at Acme Corp and never visited London.",
      [("Alan Turing", "works_at", "Acme Corp")]),
+    # negation on the FIRST VP of a shared-subject coordination scopes over
+    # the chain — and must never let the negated clause's object leak in as
+    # the next conjunct's subject (the inverted-garbage failure mode)
+    ("negation-first-clause-coordination",
+     "Alan Turing never lives in London and works at Acme Corp.",
+     []),
     ("mixed-4a",
      "ALAN TURING wrote On Computable Numbers. The paper impressed Ada Lovelace, "
      "who then visited London. Fatigue indicates Anemia. Globex collaborated with Acme Corp.",

@@ -308,3 +308,41 @@ def test_resample_media_distributed_equals_kernel(spark):
             expect = multimodal.resample_py(bytes(payload), 8000)
             row = got[mid]
             assert {k: row[k] for k in expect} == expect
+
+
+def test_corrupt_media_rows_are_skipped_not_fatal():
+    """A valid magic with a malformed body must skip the row (None), never
+    raise out of the kernel and kill the whole Spark job."""
+    import struct
+    import zlib
+
+    # PNG: valid signature+IHDR, truncated IDAT stream
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+    bad_png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"x" * 52)[:5])  # truncated stream
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.resize_py(bad_png, 16, 16) is None
+
+    # GIF: valid header, image data cut mid-sub-block
+    good = datagen_media.make_gif_file(8, 8, bytes(range(32)))
+    bad_gif = good[: len(good) // 2]
+    assert multimodal.resize_py(bad_gif, 16, 16) is None
+
+    # WAV: fmt chunk declares 16 bytes but the stream ends after 4
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
+    d = multimodal.decode_header_py(bad_wav)
+    assert d["kind"] == "riff" and d["n_samples"] is None
+    assert multimodal.resample_py(bad_wav, 8000) is None
+
+    # healthy rows still resize after the guards
+    for _mid, kind, payload in datagen_media.media_rows(8):
+        if kind in ("png", "gif"):
+            assert multimodal.resize_py(payload, 16, 16) is not None
