@@ -317,6 +317,44 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors with
+    the smallest ids (metadata-sized collect, like the LSH plane constants;
+    production would k-means a sample)."""
+    cents = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in cents]
+
+
+def _ivf_cell_cols(
+    cent: list[tuple[int, list[float]]], vec: Column, nprobe: int
+) -> tuple[Column, Column]:
+    """(best cell id, ordered nprobe probe-cell id array) for a vector."""
+    coss = [
+        cosine(vec, F.array(*[F.lit(x) for x in cvec])) for _, cvec in cent
+    ]
+    cos_arr = F.array(*coss)
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cent])
+    best = F.element_at(
+        cid_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct((-c).alias("nc"), F.lit(cid).alias("cid"))
+                    for c, (cid, _) in zip(coss, cent)
+                ]
+            )
+        ),
+        lambda s: s["cid"],
+    )
+    return best, F.slice(ordered, 1, nprobe)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -344,33 +382,10 @@ def ivf_topk(
     pruning instead of a scan.  Recall < 1 by design (neighbors outside
     probed cells are missed) — the IVF sibling of :func:`lsh_topk`.
     """
-    cents = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    )
-    cent = [(int(r[0]), [float(x) for x in r[1]]) for r in cents]
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
 
     def _cell_cols(vec: Column) -> tuple[Column, Column]:
-        """(best cell id, ordered probe-cell id array) for a vector."""
-        coss = [
-            cosine(vec, F.array(*[F.lit(x) for x in cvec])) for _, cvec in cent
-        ]
-        cos_arr = F.array(*coss)
-        cid_arr = F.array(*[F.lit(cid) for cid, _ in cent])
-        best = F.element_at(
-            cid_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
-        )
-        ordered = F.transform(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct((-c).alias("nc"), F.lit(cid).alias("cid"))
-                        for c, (cid, _) in zip(coss, cent)
-                    ]
-                )
-            ),
-            lambda s: s["cid"],
-        )
-        return best, F.slice(ordered, 1, nprobe)
+        return _ivf_cell_cols(cent, vec, nprobe)
 
     assign_cell, _ = _cell_cols(F.col(vec_col))
     assigned = corpus.select(
@@ -386,6 +401,76 @@ def ivf_topk(
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Materialize an IVF index: the corpus written partitioned by coarse
+    cell id (``cell=`` hive partitions).  Returns the centroid metadata the
+    probe side needs.
+
+    This is the warehouse form of :func:`ivf_topk`'s scale claim: with the
+    cell as the table's partition key, a query's nprobe cells stop being a
+    shuffle and become PARTITION PRUNING — files of unprobed cells are
+    never opened (demonstrated in tests/test_vecops.py by plan + file
+    inspection)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    best, _ = _ivf_cell_cols(cent, F.col(vec_col), 1)
+    corpus.select(
+        F.col(id_col), F.col(vec_col), best.alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cent
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    cent: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a materialized :func:`ivf_index_write` index.
+
+    The probed-cell set of the query batch (bounded by n_cells — metadata,
+    same size class as the centroid collect) is pushed into the scan as an
+    ``isin`` on the partition column, so only the probed cells' files are
+    read.  Scoring and ranking semantics are identical to :func:`ivf_topk`
+    (same centroids, same tie-breaks), which the parity test asserts.
+    """
+    _, probe_cells = _ivf_cell_cols(cent, F.col(vec_col), nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    scored = (
+        idx.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+        .join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -118,3 +118,30 @@ def test_ivf_topk_recall_vs_exact(spark):
         for r in vecops.ivf_topk(emb.repartition(7), q, k=5).collect()
     }
     assert ivf == ivf2
+
+
+def test_ivf_indexed_matches_unindexed_and_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index (corpus partitioned by cell) returns
+    EXACTLY what the in-memory operator returns — and the probe scan is
+    partition-pruned: unprobed cells' files are never opened."""
+    import re
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    cent = vecops.ivf_index_write(emb, path)
+    indexed = vecops.ivf_topk_indexed(spark, path, q, cent, k=5)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in indexed.collect()}
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in vecops.ivf_topk(emb, q, k=5).collect()
+    }
+    assert got == want
+    # pruning evidence: the scan carries a partition filter on `cell`, and
+    # the probed-cell set is a strict subset of all 16 cells
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
+    import os
+
+    all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(all_cells) > 4, all_cells  # more cells on disk than nprobe=4
