@@ -51,15 +51,15 @@ def keyed_persist(df: DataFrame, name: str) -> DataFrame:
 
     try:
         app_id = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return df  # dead session — uncached frame
+    try:
         key = (app_id, name, df.semanticHash())
     except Exception:
-        # analysis/hash failure — still persist (the whole point of the
-        # registry is avoiding the measured duplicate kernel pass), just
-        # without registration/sharing for this one frame
-        try:
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
-        except Exception:
-            return df  # dead session — uncached frame
+        # hash failure — still persist (the whole point of the registry is
+        # avoiding the measured duplicate kernel pass), registered under a
+        # per-frame key so the LRU cap still bounds and unpersists it
+        key = (app_id, name, "nohash", id(df))
 
     with _LOCK:
         cached = _REG.get(key)

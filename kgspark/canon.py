@@ -271,7 +271,7 @@ def _rep_map(spark: SparkSession, comp: DataFrame, names: DataFrame) -> DataFram
 
 def canonical_map(
     spark: SparkSession,
-    entity_table: DataFrame,
+    entity_table: DataFrame | None = None,
     name_col: str = "entity_name",
     names: DataFrame | None = None,
 ) -> DataFrame:
@@ -279,12 +279,16 @@ def canonical_map(
 
     Singleton names (no pair edges) canonicalize to themselves; components
     take the alias dictionary's canonical name when a member has one, else
-    the lexicographically smallest member.  ``names`` lets a caller that
-    also needs the distinct-name working set (the warehouse full rebuild
-    persists it for the canon_names/canon_bands state writes) share ONE
-    entity-table scan instead of re-deriving it here.
+    the lexicographically smallest member.  Source is EITHER an entity
+    table (names derived here) OR a precomputed ``names`` frame — a caller
+    that also needs the distinct-name working set (the warehouse full
+    rebuild persists it for the canon_names/canon_bands state writes)
+    passes ``names`` alone and shares ONE entity-table scan.
     """
-    names = distinct_names(entity_table, name_col) if names is None else names
+    if (entity_table is None) == (names is None):
+        raise ValueError("pass exactly one of entity_table / names")
+    if names is None:
+        names = distinct_names(entity_table, name_col)
     pairs = (
         exact_key_pairs(names)
         .union(lsh_pairs(names))

@@ -161,10 +161,14 @@ class Warehouse:
         if run_id not in ids:
             raise ValueError(f"run_id {run_id!r} not in the manifest commit log")
         cut = ids.index(run_id) + 1
-        if any(r.get("compaction") == name for r in runs[cut:]):
+        if any(
+            r.get("compaction") == name or name in r.get("history_reset", ())
+            for r in runs[cut:]
+        ):
             raise ValueError(
-                f"snapshot {run_id!r} of {name!r} predates a compaction — "
-                "history before the compacted base is expired"
+                f"snapshot {run_id!r} of {name!r} predates a history-"
+                "collapsing operation (compaction, full rebuild, or "
+                "delete) — raise-instead-of-wrong-rows"
             )
         df = self.read(name)
         if "run_id" not in df.columns:
@@ -279,16 +283,42 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
         # keep landing as hive partitions (mixed layouts break reads)
         writer = writer.partitionBy("run_id")
     writer.parquet(wh.table_path(name + ".tmpnew"))
+    # record BEFORE the swap: a crash between the two at worst leaves a
+    # spurious reset entry (snapshots refuse conservatively), never a
+    # rewritten table with addressable-but-wrong history
+    _record_history_reset(wh, name)
     _swap(wh, name)
     return n_before - wh.read(name).count()
 
 
-def truncate(wh: "Warehouse", name: str) -> None:
-    """S7 drop_all analog: truncate a stage table."""
+def _record_history_reset(wh: "Warehouse", name: str) -> None:
+    """Maintenance entry in the commit log: table ``name``'s pre-existing
+    partitions were rewritten/removed in place, so snapshots that predate
+    this point are no longer addressable (``read_as_of`` raises instead of
+    returning wrong rows)."""
+    m = wh.manifest()
+    n = sum(
+        1 for r in m["runs"] if str(r.get("run_id", "")).startswith("maintenance-")
+    )
+    m["runs"].append({"run_id": f"maintenance-{n}", "history_reset": [name]})
+    wh._commit_manifest(m)
+
+
+def truncate(wh: "Warehouse", name: str, record_history: bool = True) -> None:
+    """S7 drop_all analog: truncate a stage table.
+
+    ``record_history=False`` is for callers whose own committed run entry
+    records the reset (the canonicalization rebuild inside
+    :func:`run_pipeline`); direct maintenance calls default to recording a
+    commit-log entry so time travel fails loudly across the gap."""
     import shutil
 
     p = wh.table_path(name)
     if os.path.exists(p):
+        if record_history:
+            # before the rmtree: a crash in between over-restricts
+            # (conservative) instead of leaving wrong addressable history
+            _record_history_reset(wh, name)
         shutil.rmtree(p)
 
 
@@ -574,6 +604,11 @@ def run_pipeline(
             "wall_s": round(time.perf_counter() - t0, 3),
             "stages": stage_metrics,
         }
+        # tables this run rebuilt in place: committed atomically with the run
+        # so read_as_of can refuse snapshots that predate the reset
+        reset = stage_metrics.pop("_history_reset", None)
+        if reset:
+            entry["history_reset"] = sorted(set(reset))
         m = wh.manifest()
         m["runs"].append(entry)
         if map_fp is not None:
@@ -673,7 +708,10 @@ def _run_canonicalization(
         stage_metrics["canonical_map"] = _write_map_staged(wh, res["map"])
         cmap = wh.read("canonical_map")
         if res["changed"] or not wh._has_data_files("canonical_triples"):
-            truncate(wh, "canonical_triples")
+            truncate(wh, "canonical_triples", record_history=False)
+            stage_metrics.setdefault("_history_reset", []).append(
+                "canonical_triples"
+            )
             ct = canon.canonical_triples(wh.read("triples"), cmap)
             stage_metrics["canonical_triples"] = wh.append(
                 "canonical_triples", ct, run_id
@@ -709,18 +747,21 @@ def _run_canonicalization(
         StorageLevel.MEMORY_AND_DISK
     )
     persisted.append(names_all)
-    cmap_full = canon.canonical_map(spark, wh.read("entities"), names=names_all)
+    cmap_full = canon.canonical_map(spark, names=names_all)
     stage_metrics["canonical_map"] = _write_map_staged(wh, cmap_full)
     cmap = wh.read("canonical_map")
-    truncate(wh, "canonical_triples")
+    stage_metrics.setdefault("_history_reset", []).extend(
+        ["canonical_triples", "canon_names", "canon_bands"]
+    )
+    truncate(wh, "canonical_triples", record_history=False)
     stage_metrics["canonical_triples"] = wh.append(
         "canonical_triples", canon.canonical_triples(wh.read("triples"), cmap), run_id
     )
-    truncate(wh, "canon_names")
+    truncate(wh, "canon_names", record_history=False)
     stage_metrics["canon_names"] = wh.append("canon_names", names_all, run_id)
     # bands derive from entities (not from canon_names), so this ordering has
     # no read-after-write hazard.
-    truncate(wh, "canon_bands")
+    truncate(wh, "canon_bands", record_history=False)
     stage_metrics["canon_bands"] = wh.append(
         "canon_bands", canon.name_bands(names_all), run_id
     )

@@ -167,6 +167,8 @@ def wav_parse_chunks(payload: bytes) -> tuple[dict, bytes]:
             if len(body) < 16:
                 raise ValueError("WAV fmt chunk truncated")
             af, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if ba == 0:
+                raise ValueError("WAV fmt declares zero block align")
             fmt = {
                 "audio_format": af,
                 "channels": ch,

@@ -456,11 +456,19 @@ def ivf_topk_indexed(
     read.  Scoring and ranking semantics are identical to :func:`ivf_topk`
     (same centroids, same tie-breaks), which the parity test asserts.
     """
+    from . import cache
+
     _, probe_cells = _ivf_cell_cols(cent, F.col(vec_col), nprobe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(probe_cells).alias("cell"),
+    # persisted: the probed-cell collect below and the broadcast join both
+    # read this frame — one evaluation of the 16-centroid cosine projection
+    # per query batch, not two
+    q = cache.keyed_persist(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probe_cells).alias("cell"),
+        ),
+        "ivf_probe_queries",
     )
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))

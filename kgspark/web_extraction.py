@@ -212,9 +212,12 @@ def _sentence_rels(sent: str) -> list[dict]:
             if borrowed:
                 # shared-subject coordination; a negator on the first VP
                 # scopes over the whole chain ("X never lived in A and
-                # worked at B" negates both conjuncts)
+                # worked at B" negates both conjuncts) — carried by
+                # prev_neg, set when the negated clause was skipped (the
+                # coordination tail itself ends in "and"/"," so it can
+                # never also end in a negator)
                 subj = prev_subj
-                neg = prev_neg or bool(_NEG_TAIL_RE.search(left))
+                neg = prev_neg
             else:
                 subj = _resolve_name(left, last=True)
                 neg = bool(_NEG_TAIL_RE.search(left))

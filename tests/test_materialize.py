@@ -417,11 +417,37 @@ def test_read_as_of_time_travel(spark, tmp_path):
     assert "run_id=r2" not in plan
     with pytest.raises(ValueError, match="not in the manifest"):
         wh.read_as_of("triples", "never-committed")
-    # compaction expires earlier snapshots but keeps the head readable
+    # compaction expires earlier snapshots but keeps the head readable:
+    # the base snapshot IS the full current table
     materialize.compact(wh, "triples")
-    with pytest.raises(ValueError, match="predates a compaction"):
+    with pytest.raises(ValueError, match="predates a history-collapsing"):
         wh.read_as_of("triples", "r1")
     base = wh.manifest()["runs"][-1]["run_id"]
-    assert wh.read_as_of("triples", base).count() == len(
-        {tuple(r) for r in wh.read("triples").drop("run_id").collect()}
-    ) or wh.read_as_of("triples", base).count() == wh.read("triples").count()
+    assert wh.read_as_of("triples", base).count() == wh.read("triples").count()
+
+
+def test_read_as_of_refuses_snapshots_across_history_resets(spark, tmp_path):
+    """In-place rewrites collapse history: a full canonical rebuild (runs
+    recorded via the run entry) and a delete/truncate (recorded via a
+    maintenance entry) must make earlier snapshots raise, never return
+    silently wrong rows."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 40, 42), wh, run_id="r1")
+    # r1 performed the first full canonical build: its entry records the
+    # in-place reset of the canonical tables
+    assert "canonical_triples" in wh.manifest()["runs"][-1]["history_reset"]
+    materialize.run_pipeline(spark, datagen.web_pages(spark, 90, 42), wh, run_id="r2")
+    # canonical_triples history is valid between resets: r2 appended
+    # incrementally, so the r1 snapshot (taken after r1's own rebuild) works
+    assert wh.read_as_of("canonical_triples", "r1").count() > 0
+    # a delete collapses triples history via a maintenance entry
+    doomed = wh.read("triples").select("doc_id").limit(1)
+    materialize.delete_ids(wh, "triples", "doc_id", doomed)
+    with pytest.raises(ValueError, match="history-collapsing"):
+        wh.read_as_of("triples", "r1")
+    # the maintenance entry itself is a valid snapshot point == current state
+    maint = wh.manifest()["runs"][-1]["run_id"]
+    assert maint.startswith("maintenance-")
+    assert wh.read_as_of("triples", maint).count() == wh.read("triples").count()
