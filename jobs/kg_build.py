@@ -17,7 +17,13 @@ or, sandbox stand-in for two cluster sizes (N vs 4N cores):
 
 All session tuning (AQE, Arrow, shuffle partitions, codegen-cache sizing)
 comes from kgspark.session defaults unless overridden by --conf; the master
-is whatever spark-submit provides.  Prints the run's manifest entry as one
+is whatever spark-submit provides.  EXCEPTION: ``spark.driver.memory``
+cannot be applied after the JVM is up, so under spark-submit it stays at
+the 1g default unless passed explicitly — pass ``--driver-memory`` (local
+mode runs every task thread in the driver JVM; 100k+-page batches OOM the
+default heap):
+
+    spark-submit --master 'local[32]' --driver-memory 48g ...  Prints the run's manifest entry as one
 JSON line (stage lineage metrics, skip/error counts, wall time, pages/sec).
 
 With --generate N the input table is synthesized executor-side at N pages
