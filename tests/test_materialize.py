@@ -37,8 +37,14 @@ def test_resume_skips_processed_and_converges(spark, tmp_path):
     e1 = materialize.run_pipeline(spark, half, wh_inc, run_id="r1")
     e2 = materialize.run_pipeline(spark, full, wh_inc, run_id="r2")
     assert e1["processed_docs"] > 0
-    assert e2["skipped_docs"] == e1["processed_docs"]  # J1 anti-join resume
+    # tier-1 resume: every successfully extracted r1 page is anti-joined
+    # away on (url, input_sha) BEFORE extraction; error pages are never
+    # recorded as seen, so they re-extract (and re-report) in r2
+    assert e2["prefiltered_pages"] == 60 - e1["error_docs"]
+    # tier-2 resume (J1): docs arriving via unseen pages whose content was
+    # already processed are skipped at the doc level
     assert e2["processed_docs"] == e2["input_docs"] - e2["skipped_docs"]
+    assert e2["processed_docs"] > 0
 
     wh_full = Warehouse(spark, str(tmp_path / "full"))
     materialize.run_pipeline(spark, full, wh_full, run_id="r0")
@@ -61,6 +67,10 @@ def test_rerun_is_noop(spark, web120, tmp_path):
     entry = materialize.run_pipeline(spark, web120, wh, run_id="b")
     assert entry["processed_docs"] == 0
     assert wh.read("triples").count() == before
+    # tier-1: every page that extracted successfully in run a is skipped
+    # BEFORE extraction on the rerun, and nothing new is recorded as seen
+    assert entry["prefiltered_pages"] > 0
+    assert entry["stages"]["seen_inputs"]["n_rows"] == 0
 
 
 def test_docs_paginated_parity_semantics(spark):
@@ -275,7 +285,8 @@ def test_compaction_collapses_partitions_and_preserves_resume(spark, tmp_path):
     e = materialize.run_pipeline(
         spark, datagen.web_pages(spark, 160, 42), wh, run_id="r3"
     )
-    assert e["skipped_docs"] > 0 and e["processed_docs"] > 0
+    assert (e["skipped_docs"] + e["prefiltered_pages"]) > 0
+    assert e["processed_docs"] > 0
     assert os.path.isdir(os.path.join(tri, f"run_id={m['compacted_to']}"))
     full = sorted(
         map(

@@ -60,7 +60,10 @@ def test_stream_resume_skips_processed_docs(spark, tmp_path):
         spark, os.path.join(tmp, "input"), wh, os.path.join(tmp, "ckpt")
     )
     runs = wh.manifest()["runs"]
-    assert any(r["skipped_docs"] > 0 for r in runs[1:])
+    assert any(
+        r["skipped_docs"] > 0 or r.get("prefiltered_pages", 0) > 0
+        for r in runs[1:]
+    )
 
     web = datagen.web_pages(spark, N, SEED)
     assert wh.read("docs").count() == pipeline.build(web)["docs"].count() >= n_docs_1
