@@ -272,7 +272,17 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
     Parquet has no row-level delete; the Iceberg form is ``DELETE FROM t
     WHERE id IN (...)``.  Here: rewrite the table minus the ids (staged
     write + atomic swap, same pattern as the resume path).  Returns rows
-    removed."""
+    removed.
+
+    Deleting from the resume source-of-truth tables (``docs`` /
+    ``doc_status``) also drops the tier-1 ``seen_inputs`` state:
+    otherwise a re-fed page of deleted content would be prefiltered
+    before the doc-level anti-join could re-admit it, and the deletion
+    would silently become permanent.  Conservative form — the whole seen
+    state is truncated, so the next batch pays one full extraction pass
+    while tier 2 still prevents duplicate rows; the state then rebuilds."""
+    if name in ("docs", "doc_status") and wh.exists("seen_inputs"):
+        truncate(wh, "seen_inputs")
     before = wh.read(name)
     n_before = before.count()
     doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))

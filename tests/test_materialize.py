@@ -462,3 +462,28 @@ def test_read_as_of_refuses_snapshots_across_history_resets(spark, tmp_path):
     maint = wh.manifest()["runs"][-1]["run_id"]
     assert maint.startswith("maintenance-")
     assert wh.read_as_of("triples", maint).count() == wh.read("triples").count()
+
+
+def test_delete_then_refeed_restores_deleted_docs(spark, tmp_path):
+    """Tier-1 state must not make deletions permanent: deleting docs from
+    the resume source-of-truth drops seen_inputs, so re-feeding the same
+    pages re-extracts and re-lands the deleted docs (tier 2 still blocks
+    duplicates of everything that survived)."""
+    web = datagen.web_pages(spark, 60, 42)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, web, wh, run_id="r1")
+    before = wh.read("docs").drop("run_id").count()
+    victims = wh.read("docs").select("doc_id").limit(3)
+    removed_status = materialize.delete_ids(
+        wh, "doc_status", "doc_id", victims
+    )
+    materialize.delete_ids(wh, "docs", "doc_id", victims)
+    assert removed_status == 3
+    assert not wh.exists("seen_inputs")  # tier-1 state dropped
+    e = materialize.run_pipeline(spark, web, wh, run_id="r2")
+    # the re-feed re-extracted everything once (no prefilter state)...
+    assert e["prefiltered_pages"] == 0
+    # ...re-landed exactly the deleted docs, and duplicated nothing
+    assert e["processed_docs"] == 3
+    assert wh.read("docs").drop("run_id").count() == before
+    assert wh.read("docs").select("doc_id").distinct().count() == before
