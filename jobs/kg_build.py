@@ -23,7 +23,9 @@ the 1g default unless passed explicitly — pass ``--driver-memory`` (local
 mode runs every task thread in the driver JVM; 100k+-page batches OOM the
 default heap):
 
-    spark-submit --master 'local[32]' --driver-memory 48g ...  Prints the run's manifest entry as one
+    spark-submit --master 'local[32]' --driver-memory 48g ...
+
+Prints the run's manifest entry as one
 JSON line (stage lineage metrics, skip/error counts, wall time, pages/sec).
 
 With --generate N the input table is synthesized executor-side at N pages

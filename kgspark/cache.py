@@ -70,7 +70,10 @@ def keyed_persist(df: DataFrame, name: str) -> DataFrame:
                 cached.persist(StorageLevel.MEMORY_AND_DISK)
             _REG.move_to_end(key)
             return cached
-        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            return df  # session died mid-call — degrade to uncached
         _REG[key] = df
         while len(_REG) > _CAP:
             _, victim = _REG.popitem(last=False)

@@ -274,14 +274,20 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
     write + atomic swap, same pattern as the resume path).  Returns rows
     removed.
 
-    Deleting from the resume source-of-truth tables (``docs`` /
-    ``doc_status``) also drops the tier-1 ``seen_inputs`` state:
+    Deleting from ``doc_status`` — the resume source of truth the tier-2
+    anti-join consults — also drops the tier-1 ``seen_inputs`` state:
     otherwise a re-fed page of deleted content would be prefiltered
     before the doc-level anti-join could re-admit it, and the deletion
     would silently become permanent.  Conservative form — the whole seen
     state is truncated, so the next batch pays one full extraction pass
-    while tier 2 still prevents duplicate rows; the state then rebuilds."""
-    if name in ("docs", "doc_status") and wh.exists("seen_inputs"):
+    while tier 2 still prevents duplicate rows; the state then rebuilds.
+    (A delete from ``docs`` alone is NOT made re-feedable: tier 2 would
+    still block the rows — delete from both tables to remove a doc.)"""
+    if (
+        name == "doc_status"
+        and wh.exists("seen_inputs")
+        and ids_df.limit(1).count() > 0
+    ):
         truncate(wh, "seen_inputs")
     before = wh.read(name)
     n_before = before.count()
@@ -314,21 +320,22 @@ def _record_history_reset(wh: "Warehouse", name: str) -> None:
     wh._commit_manifest(m)
 
 
-def truncate(wh: "Warehouse", name: str, record_history: bool = True) -> None:
+def truncate(wh: "Warehouse", name: str) -> None:
     """S7 drop_all analog: truncate a stage table.
 
-    ``record_history=False`` is for callers whose own committed run entry
-    records the reset (the canonicalization rebuild inside
-    :func:`run_pipeline`); direct maintenance calls default to recording a
-    commit-log entry so time travel fails loudly across the gap."""
+    Records a commit-log reset entry BEFORE the rmtree — a crash in
+    between over-restricts time travel (conservative) instead of leaving
+    wrong addressable history.  Truncating the resume source-of-truth
+    (``doc_status``) also drops the tier-1 ``seen_inputs`` state, same
+    rationale as :func:`delete_ids`: a stale seen set would prefilter the
+    re-fed pages away forever."""
     import shutil
 
+    if name == "doc_status" and wh.exists("seen_inputs"):
+        truncate(wh, "seen_inputs")
     p = wh.table_path(name)
     if os.path.exists(p):
-        if record_history:
-            # before the rmtree: a crash in between over-restricts
-            # (conservative) instead of leaving wrong addressable history
-            _record_history_reset(wh, name)
+        _record_history_reset(wh, name)
         shutil.rmtree(p)
 
 
@@ -552,12 +559,14 @@ def run_pipeline(
     t0 = time.perf_counter()
     _cleanup_uncommitted(wh)
     wp = web_pages.withColumn("input_sha", F.sha2(F.col("html"), 256))
-    n_prefiltered = 0
+    n_input_pages = None
     if wh.exists("seen_inputs"):
-        n_input_pages = wp.count()
+        # raw page count BEFORE the hash+join (cheap scan); the surviving
+        # count comes later from the persisted ex frame, so the prefilter
+        # chain itself is evaluated exactly once per batch
+        n_input_pages = web_pages.count()
         seen = wh.read("seen_inputs").select("url", "input_sha")
         wp = wp.join(seen, ["url", "input_sha"], "left_anti")
-        n_prefiltered = n_input_pages - wp.count()
     cols = ["url", "warc_ts", "lang", "extracted_text", "extract_error",
             "input_sha"]
     if check_digest:
@@ -584,6 +593,11 @@ def run_pipeline(
         errors = pipeline.extract_errors(ex, run_id)
         d_new = pipeline.docs_from_extracted(ex)
 
+        # ex holds one row per page that ENTERED extraction; the cached
+        # count closes the prefilter metric without re-running the chain
+        n_prefiltered = (
+            n_input_pages - ex.count() if n_input_pages is not None else 0
+        )
         n_input = d_new.count()
         if wh.exists("doc_status"):
             existing = wh.read("doc_status").select("doc_id")
@@ -654,11 +668,6 @@ def run_pipeline(
             "wall_s": round(time.perf_counter() - t0, 3),
             "stages": stage_metrics,
         }
-        # tables this run rebuilt in place: committed atomically with the run
-        # so read_as_of can refuse snapshots that predate the reset
-        reset = stage_metrics.pop("_history_reset", None)
-        if reset:
-            entry["history_reset"] = sorted(set(reset))
         m = wh.manifest()
         m["runs"].append(entry)
         if map_fp is not None:
@@ -758,10 +767,7 @@ def _run_canonicalization(
         stage_metrics["canonical_map"] = _write_map_staged(wh, res["map"])
         cmap = wh.read("canonical_map")
         if res["changed"] or not wh._has_data_files("canonical_triples"):
-            truncate(wh, "canonical_triples", record_history=False)
-            stage_metrics.setdefault("_history_reset", []).append(
-                "canonical_triples"
-            )
+            truncate(wh, "canonical_triples")
             ct = canon.canonical_triples(wh.read("triples"), cmap)
             stage_metrics["canonical_triples"] = wh.append(
                 "canonical_triples", ct, run_id
@@ -800,18 +806,15 @@ def _run_canonicalization(
     cmap_full = canon.canonical_map(spark, names=names_all)
     stage_metrics["canonical_map"] = _write_map_staged(wh, cmap_full)
     cmap = wh.read("canonical_map")
-    stage_metrics.setdefault("_history_reset", []).extend(
-        ["canonical_triples", "canon_names", "canon_bands"]
-    )
-    truncate(wh, "canonical_triples", record_history=False)
+    truncate(wh, "canonical_triples")
     stage_metrics["canonical_triples"] = wh.append(
         "canonical_triples", canon.canonical_triples(wh.read("triples"), cmap), run_id
     )
-    truncate(wh, "canon_names", record_history=False)
+    truncate(wh, "canon_names")
     stage_metrics["canon_names"] = wh.append("canon_names", names_all, run_id)
     # bands derive from entities (not from canon_names), so this ordering has
     # no read-after-write hazard.
-    truncate(wh, "canon_bands", record_history=False)
+    truncate(wh, "canon_bands")
     stage_metrics["canon_bands"] = wh.append(
         "canon_bands", canon.name_bands(names_all), run_id
     )

@@ -151,6 +151,7 @@ def _wav_meta_independent(payload: bytes) -> tuple[int, int]:
     (rate,) = struct.unpack("<I", payload[24:28])
     (block_align,) = struct.unpack("<H", payload[32:34])
     (data_len,) = struct.unpack("<I", payload[40:44])
+    assert block_align > 0, "oracle: WAV declares zero block align"
     return rate, data_len // block_align
 
 

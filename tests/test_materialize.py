@@ -446,9 +446,9 @@ def test_read_as_of_refuses_snapshots_across_history_resets(spark, tmp_path):
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
     materialize.run_pipeline(spark, datagen.web_pages(spark, 40, 42), wh, run_id="r1")
-    # r1 performed the first full canonical build: its entry records the
-    # in-place reset of the canonical tables
-    assert "canonical_triples" in wh.manifest()["runs"][-1]["history_reset"]
+    # r1's first canonical build wrote into EMPTY tables — nothing
+    # pre-existing collapsed, so no reset entries exist yet
+    assert not any("history_reset" in r for r in wh.manifest()["runs"])
     materialize.run_pipeline(spark, datagen.web_pages(spark, 90, 42), wh, run_id="r2")
     # canonical_triples history is valid between resets: r2 appended
     # incrementally, so the r1 snapshot (taken after r1's own rebuild) works
