@@ -336,16 +336,33 @@ WITH {TOK}, d AS (
   SELECT kg_doc_id,
          len(toks) AS n_tokens,
          len(list_filter(toks, x -> x IN ({stop_list}))) AS n_stop,
-         length(ttext) AS trim_chars
+         length(ttext) AS trim_chars,
+         list_filter(list_transform(string_split(ttext, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lns,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bis
   FROM tok
+), r AS (
+  SELECT *,
+         CASE WHEN len(lns) > 0
+              THEN round((len(lns) - len(list_distinct(lns))) * 1.0 / len(lns), 6)
+              ELSE 0.0 END AS dup_line_ratio,
+         CASE WHEN len(bis) > 0
+              THEN round((len(bis) - len(list_distinct(bis))) * 1.0 / len(bis), 6)
+              ELSE 0.0 END AS dup_bigram_ratio
+  FROM d
 )
 SELECT kg_doc_id, n_tokens,
        round(trim_chars * 1.0 / n_tokens, 6) AS mean_token_len,
        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05) AS passes_quality,
+       dup_line_ratio, dup_bigram_ratio,
+       (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05
+        AND dup_line_ratio <= 0.3) AS passes_quality,
        CASE WHEN round(n_stop * 1.0 / n_tokens, 6) >= 0.05
             THEN 'en' ELSE 'unknown' END AS predicted_lang
-FROM d
+FROM r
 """.strip()
 
     q["text_language_id"] = f"""

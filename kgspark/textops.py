@@ -92,7 +92,9 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality signals: length, mean token length, stopword ratio.
+    """Heuristic quality signals: length, mean token length, stopword ratio,
+    and Gopher-style repetition ratios (duplicate-line and duplicate-word-
+    bigram fractions — boilerplate/spam markers in pre-training filters).
 
     The classic pre-training quality filters (C4/Gopher-style) re-expressed
     as pure Catalyst projections.
@@ -100,6 +102,27 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = _toks(text_col)
     stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_bigram_ratio = F.when(
+        n_bi > 0,
+        F.round((n_bi - F.size(F.array_distinct(bigrams))) / n_bi, 6),
+    ).otherwise(F.lit(0.0))
     # language-ID rides along: same stopword ratio drives the en/unknown
     # heuristic (language_id()'s en_score == stopword_ratio), so the merged
     # frame covers quality-scoring AND language-ID in one scan.
@@ -110,9 +133,12 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_token_len"
         ),
         F.round(n_stop / F.size(t), 6).alias("stopword_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        dup_bigram_ratio.alias("dup_bigram_ratio"),
         (
             (F.size(t) >= 10)
             & (n_stop / F.size(t) >= 0.05)
+            & (dup_line_ratio <= 0.3)
         ).alias("passes_quality"),
         F.when(F.round(n_stop / F.size(t), 6) >= 0.05, F.lit("en"))
         .otherwise(F.lit("unknown"))
