@@ -359,7 +359,7 @@ SELECT kg_doc_id, n_tokens,
        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
        dup_line_ratio, dup_bigram_ratio,
        (n_tokens >= 10 AND n_stop * 1.0 / n_tokens >= 0.05
-        AND dup_line_ratio <= 0.3) AS passes_quality,
+        AND dup_line_ratio <= 0.3 AND dup_bigram_ratio <= 0.2) AS passes_quality,
        CASE WHEN round(n_stop * 1.0 / n_tokens, 6) >= 0.05
             THEN 'en' ELSE 'unknown' END AS predicted_lang
 FROM r

@@ -111,17 +111,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_lines > 0,
         F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
     ).otherwise(F.lit(0.0))
-    # slice+zip_with, NOT sequence+get: indexed element access inside an
-    # interpreted HOF re-walks the array per get (measured 9x slower on
-    # this corpus); zipping two shifted slices touches each token once
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.zip_with(
-            F.slice(t, 1, F.size(t) - 1),
-            F.slice(t, 2, F.size(t) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _ngrams(t, 2)
     n_bi = F.size(bigrams)
     dup_bigram_ratio = F.when(
         n_bi > 0,
@@ -143,6 +133,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.size(t) >= 10)
             & (n_stop / F.size(t) >= 0.05)
             & (dup_line_ratio <= 0.3)
+            & (dup_bigram_ratio <= 0.2)
         ).alias("passes_quality"),
         F.when(F.round(n_stop / F.size(t), 6) >= 0.05, F.lit("en"))
         .otherwise(F.lit("unknown"))
@@ -227,17 +218,20 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _shingles(t: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-token shingles of a token array (empty if < n tokens)."""
-    return F.array_distinct(
-        F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + 1 + j) for j in range(n)]
-                ),
-            )
+def _ngrams(t: Column, n: int) -> Column:
+    """Contiguous n-token shingles (order kept, duplicates kept; empty if
+    < n tokens).  Built from zipped shifted slices so each token is touched
+    once — NEVER sequence+element_at: indexed access inside an interpreted
+    Catalyst lambda re-walks the array per element (measured 9-22x slower
+    at sf0.1; see BENCH/BASELINE.md repetition-signal note)."""
+    m = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.when(F.size(t) >= n, acc).otherwise(
+        F.array().cast("array<string>")
     )
 
 
