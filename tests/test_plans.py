@@ -100,3 +100,14 @@ def test_time_travel_prunes_partitions(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "run_id=p2" not in plan
+
+
+def test_quality_scoring_stays_catalyst(spark):
+    """text_quality (incl. the round-3 repetition ratios) is a pure
+    Catalyst projection: no Python evaluation node of any kind — the
+    whole quality/language-ID family rides one codegen'd scan."""
+    plan = _plan(spark, "text_quality")
+    for node in (
+        "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
+    ):
+        assert node not in plan, f"text_quality: unexpected {node}"
