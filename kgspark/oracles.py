@@ -431,7 +431,13 @@ WITH gapped AS (
 ),
 sid AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+         -- DuckDB types an un-cast integer SUM as HUGEINT (INT128); every
+         -- client path renders HUGEINT differently from Spark's long under
+         -- some formatter ("3.0" vs "3").  session_idx is an OUTPUT column
+         -- here (unlike events_session_windows, where it's only a GROUP BY
+         -- key), so it must be BIGINT explicitly.
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_idx
   FROM gapped
 )
 SELECT user_id, session_idx,
