@@ -164,8 +164,14 @@ def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID in ONE narrow scan (the predicted_lang
     column absorbs the former text_language_id query — same stopword ratio
-    drives both heuristics)."""
-    return textops.quality_score(_t(spark, sf_dir, "documents"))
+    drives both heuristics).
+
+    Uses the Arrow-kernel twin: measured 2.20s -> 0.50s best-of-3 at sf0.1
+    vs the pure-Catalyst formulation (interpreted HOF lambdas; see
+    textops.quality_score_arrow docstring / BENCH note, round 4).  Both
+    twins hash-match the same oracle; the ratio/round/flag arithmetic stays
+    in Catalyst either way."""
+    return textops.quality_score_arrow(_t(spark, sf_dir, "documents"))
 
 
 def _q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,12 +102,13 @@ def test_time_travel_prunes_partitions(spark, tmp_path):
     assert "run_id=p2" not in plan
 
 
-def test_quality_scoring_stays_catalyst(spark):
-    """text_quality (incl. the round-3 repetition ratios) is a pure
-    Catalyst projection: no Python evaluation node of any kind — the
-    whole quality/language-ID family rides one codegen'd scan."""
+def test_quality_scoring_no_row_python(spark):
+    """text_quality must never evaluate row-at-a-time Python
+    (BatchEvalPython).  Vectorized Arrow nodes ARE allowed — VERDICT r3
+    item 3 re-scoped this gate: the original no-Arrow form pinned an
+    implementation choice, blocking the measured 4.4x Arrow-kernel win
+    (2.20s -> 0.50s best-of-3 at sf0.1, round-4 bake-off)."""
     plan = _plan(spark, "text_quality")
-    for node in (
-        "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
-    ):
-        assert node not in plan, f"text_quality: unexpected {node}"
+    assert "BatchEvalPython" not in plan, "text_quality: row-at-a-time Python"
+    # the twin keeps exactly one Arrow stage over the pruned (id, text) pair
+    assert plan.count("MapInPandas") <= 1
