@@ -102,6 +102,51 @@ _NEG_TAIL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Bounded pronoun coreference (subject position only): when the subject
+# span's head — the last name-like token before the predicate — is a
+# pronoun, it resolves to the most recent type-compatible subject from the
+# SAME or the PREVIOUS sentence.  A deterministic, sentence-local rule, not
+# a model: He/She want a Person antecedent; It wants a non-Person; They
+# takes the most recent subject of any type.  No antecedent in the window →
+# the pronoun passes through unresolved and the relationship dies at the J2
+# drop-unknown join (a bounded FN, never a wrong triple) — this also fixes
+# the pre-coref FP where "X founded A and he visited B" blamed A for the
+# second clause (the nearest-mention rule saw A as the closest subject).
+_PRONOUN_RE = re.compile(r"\b(?P<p>he|she|it|they)\b", re.IGNORECASE)
+_CANONICAL_NAMES = {name for name, _ in datagen.WEB_ENTITIES}
+
+
+def _pronoun_antecedent(pron: str, candidates: list[tuple[str, str]]) -> str | None:
+    """Newest-first scan of (name, type) subject candidates."""
+    pron = pron.lower()
+    for name, etype in reversed(candidates):
+        if pron in ("he", "she"):
+            if etype == "Person":
+                return name
+        elif pron == "it":
+            if etype != "Person":
+                return name
+        else:  # they
+            return name
+    return None
+
+
+def _last_pronoun_head(span: str) -> str | None:
+    """The subject-head pronoun of a span, if any: the last pronoun token,
+    provided no entity mention follows it (an entity nearer the predicate
+    outranks the pronoun — '... Acme Corp, where he worked, indicates ...'
+    keeps the entity rule)."""
+    prons = list(_PRONOUN_RE.finditer(span))
+    if not prons:
+        return None
+    last_ent = None
+    for m in _ENTITY_RE.finditer(span):
+        last_ent = m
+    if last_ent is not None and last_ent.end() > prons[-1].start():
+        return None
+    return prons[-1].group("p")
+
+
 EXTRACTION_SCHEMA = StructType(
     [
         StructField(
@@ -171,8 +216,10 @@ def _coordinated_objects(span: str) -> list[str]:
     return names
 
 
-def _sentence_rels(sent: str) -> list[dict]:
-    """One sentence (with trailing terminator) → relation dicts.
+def _sentence_rels(
+    sent: str, prev_subjects: list[tuple[str, str]] | None = None
+) -> tuple[list[dict], list[tuple[str, str]]]:
+    """One sentence (with trailing terminator) → (relation dicts, subjects).
 
     Events are passive-voice matches plus active predicate matches outside
     them, scanned left to right; the span between consecutive events bounds
@@ -180,6 +227,11 @@ def _sentence_rels(sent: str) -> list[dict]:
     sentences ("X pred Y.") take exactly the single-event path, byte-for-byte
     identical to the pre-coordination scan — the synthetic-corpus oracle
     contract depends on that.
+
+    ``prev_subjects`` carries the previous sentence's resolved vocabulary
+    subjects (oldest first) for the bounded pronoun-coreference rule; the
+    second return value is this sentence's own resolved subjects, fed to the
+    next sentence by :func:`extract_chunk_py`.
     """
     events: list[tuple[int, int, str, str]] = []  # (start, end, kind, pred)
     for m in _PASSIVE_RE.finditer(sent):
@@ -193,6 +245,8 @@ def _sentence_rels(sent: str) -> list[dict]:
         events.append((m.start(), m.end(), "active", m.group(0).lower()))
     events.sort()
     rels: list[dict] = []
+    cur_subjects: list[tuple[str, str]] = []  # resolved vocab subjects, in order
+    window = list(prev_subjects or [])  # + cur_subjects at lookup time
     prev_subj: str | None = None
     prev_neg = False  # was the previous clause's shared-subject VP negated?
     for i, (start, end, kind, pred) in enumerate(events):
@@ -219,7 +273,17 @@ def _sentence_rels(sent: str) -> list[dict]:
                 subj = prev_subj
                 neg = prev_neg
             else:
-                subj = _resolve_name(left, last=True)
+                pron = _last_pronoun_head(left)
+                if pron is not None:
+                    # pronoun is the subject head: resolve it or die at the
+                    # J2 drop-unknown join — never fall back to an earlier
+                    # entity mention in the span (that's the FP mode)
+                    subj = (
+                        _pronoun_antecedent(pron, window + cur_subjects)
+                        or pron
+                    )
+                else:
+                    subj = _resolve_name(left, last=True)
                 neg = bool(_NEG_TAIL_RE.search(left))
             if neg:
                 # negated statement — no triple (polarity, not span), but the
@@ -228,6 +292,8 @@ def _sentence_rels(sent: str) -> list[dict]:
                 # through to the negated clause's object
                 if subj:
                     prev_subj, prev_neg = subj, True
+                    if subj in _CANONICAL_NAMES:
+                        cur_subjects.append((subj, _VOCAB[subj.lower()][1]))
                 continue
             # coordinated objects only when no further event follows — a
             # trailing entity before the next predicate is that clause's
@@ -240,6 +306,8 @@ def _sentence_rels(sent: str) -> list[dict]:
             # subject token before the predicate
             continue
         prev_subj, prev_neg = subj, neg
+        if subj in _CANONICAL_NAMES:
+            cur_subjects.append((subj, _VOCAB[subj.lower()][1]))
         for obj in objs:
             if not obj:
                 continue
@@ -251,7 +319,7 @@ def _sentence_rels(sent: str) -> list[dict]:
                     "relationship_description": f"{subj} {'_'.join(pred.split())} {obj}",
                 }
             )
-    return rels
+    return rels, cur_subjects
 
 
 def extract_chunk_py(text: str) -> dict:
@@ -269,8 +337,11 @@ def extract_chunk_py(text: str) -> dict:
                 "first_offset": m.start(),
             }
     rels = []
+    prev_subjects: list[tuple[str, str]] = []
     for sm in _SENT_RE.finditer(text):
-        rels.extend(_sentence_rels(sm.group(0)))
+        # pronoun window = previous sentence + earlier events of this one
+        sent_rels, prev_subjects = _sentence_rels(sm.group(0), prev_subjects)
+        rels.extend(sent_rels)
     return {"entities": list(ents.values()), "relationships": rels}
 
 
