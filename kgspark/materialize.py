@@ -92,13 +92,20 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         # Record the Iceberg-backend probe (see iceberg_runtime_probe) once
         # per backend state; re-probing every init keeps the manifest honest
-        # if the jar appears between rounds.
+        # if the jar appears between rounds.  The probe result is STASHED,
+        # not committed here: construction stays read-only, so a read-only
+        # consumer opening the root concurrently with a running batch can
+        # never race run_pipeline's manifest read-modify-write and drop a
+        # committed run entry (ADVICE r3).  The stash lands inside the next
+        # legitimate _commit_manifest (single-writer by contract).
         probe = iceberg_runtime_probe()
-        m = self.manifest()
-        prev = m.get("iceberg_probe", {})
-        if (prev.get("backend"), prev.get("jar")) != (probe["backend"], probe["jar"]):
-            m["iceberg_probe"] = probe
-            self._commit_manifest(m)
+        prev = self.manifest().get("iceberg_probe", {})
+        self._pending_probe = (
+            probe
+            if (prev.get("backend"), prev.get("jar"))
+            != (probe["backend"], probe["jar"])
+            else None
+        )
 
     # -- paths ------------------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -118,6 +125,9 @@ class Warehouse:
     def _commit_manifest(self, m: dict) -> None:
         # atomic pointer swap — the parquet analog of an Iceberg snapshot
         # commit (and of the reference's temp+fsync+rename, storage/io.rs).
+        if getattr(self, "_pending_probe", None) is not None:
+            m["iceberg_probe"] = self._pending_probe
+            self._pending_probe = None
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
@@ -283,15 +293,17 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
     while tier 2 still prevents duplicate rows; the state then rebuilds.
     (A delete from ``docs`` alone is NOT made re-feedable: tier 2 would
     still block the rows — delete from both tables to remove a doc.)"""
-    if (
-        name == "doc_status"
-        and wh.exists("seen_inputs")
-        and ids_df.limit(1).count() > 0
-    ):
-        truncate(wh, "seen_inputs")
     before = wh.read(name)
-    n_before = before.count()
     doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+    # ADVICE r3: a delete that matches NOTHING must be a true no-op — no
+    # history-reset entry (which would invalidate every earlier read_as_of
+    # snapshot) and no seen_inputs truncate (which would force a full
+    # O(input) re-extraction pass on the next batch).
+    if before.join(doomed, id_col, "left_semi").limit(1).count() == 0:
+        return 0
+    if name == "doc_status" and wh.exists("seen_inputs"):
+        truncate(wh, "seen_inputs")
+    n_before = before.count()
     kept = before.join(doomed, id_col, "left_anti")
     writer = kept.write.mode("overwrite")
     if "run_id" in kept.columns:
@@ -558,13 +570,23 @@ def run_pipeline(
 
     t0 = time.perf_counter()
     _cleanup_uncommitted(wh)
-    wp = web_pages.withColumn("input_sha", F.sha2(F.col("html"), 256))
-    n_input_pages = None
+    input_obs = None
     if wh.exists("seen_inputs"):
-        # raw page count BEFORE the hash+join (cheap scan); the surviving
-        # count comes later from the persisted ex frame, so the prefilter
-        # chain itself is evaluated exactly once per batch
-        n_input_pages = web_pages.count()
+        # ADVICE r3: the raw input count for the prefiltered_pages metric
+        # rides an observe() node (CollectMetrics) INSIDE the extraction
+        # chain's own evaluation — no second O(input) pass over the source
+        # plan (which may be generated/expensive, not a parquet scan).  The
+        # metric is read back only after a FULL action over the persisted
+        # chain (ex.count() below); a limit-style action would finalize the
+        # observation with a partial count.
+        from pyspark.sql import Observation
+
+        input_obs = Observation()
+        web_pages = web_pages.observe(
+            input_obs, F.count(F.lit(1)).alias("n_input_pages")
+        )
+    wp = web_pages.withColumn("input_sha", F.sha2(F.col("html"), 256))
+    if input_obs is not None:
         seen = wh.read("seen_inputs").select("url", "input_sha")
         wp = wp.join(seen, ["url", "input_sha"], "left_anti")
     cols = ["url", "warc_ts", "lang", "extracted_text", "extract_error",
@@ -585,6 +607,11 @@ def run_pipeline(
     )
     persisted.append(ex)
     try:
+        # Full materializing action FIRST: fills the persisted cache in one
+        # pass and (when resuming) finalizes the input-count observation —
+        # the digest gate's limit(1) must never be the chain's first action
+        # or the observation would report a partial count.
+        n_entered = ex.count()
         if check_digest:
             bad = pipeline.digest_violations(ex).limit(1).collect()
             if bad:
@@ -593,10 +620,12 @@ def run_pipeline(
         errors = pipeline.extract_errors(ex, run_id)
         d_new = pipeline.docs_from_extracted(ex)
 
-        # ex holds one row per page that ENTERED extraction; the cached
-        # count closes the prefilter metric without re-running the chain
+        # ex holds one row per page that ENTERED extraction; the observed
+        # raw count closes the prefilter metric without re-running anything
         n_prefiltered = (
-            n_input_pages - ex.count() if n_input_pages is not None else 0
+            int(input_obs.get["n_input_pages"]) - n_entered
+            if input_obs is not None
+            else 0
         )
         n_input = d_new.count()
         if wh.exists("doc_status"):

@@ -141,3 +141,80 @@ def test_reliable_checkpoint_flag(spark, toy, tmp_path):
             sc._jvm.scala.Option.apply(None)
         )
     assert sc.getCheckpointDir() is None
+
+
+@pytest.mark.slow
+def test_bfs_and_render_scale_tier_parity(spark):
+    """VERDICT r3 item 7: the iterative BFS join loop gets scale-tier
+    evidence like every other operator — Person→Product search over the
+    sf0.1 documents-derived graph (~31k entities / ~43k relations), checked
+    against an independent driver-side level-synchronous BFS that shares no
+    code with the joins implementation, then render_paths over the result.
+    """
+    import os
+
+    from kgspark import extraction
+
+    from .conftest import SF_BENCH
+
+    docs = spark.read.parquet(os.path.join(SF_BENCH, "documents.parquet"))
+    ents = extraction.entities(docs)
+    rels = extraction.relations(docs)
+
+    p = graph.graph_search(
+        ents, rels, start_type="Person", target_type="Product"
+    )
+    rows = p.collect()
+    got = {(r["start"], "->".join(r["path"]), r["depth"]) for r in rows}
+
+    # -- independent oracle: plain-dict BFS over the collected graph -------
+    etype = {
+        r["entity_id"]: r["entity_type"]
+        for r in ents.select("entity_id", "entity_type").collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for r in rels.select("source_entity_id", "target_entity_id").collect():
+        adj.setdefault(r["source_entity_id"], set()).add(r["target_entity_id"])
+        adj.setdefault(r["target_entity_id"], set()).add(r["source_entity_id"])
+    starts = sorted(e for e, t in etype.items() if t.lower() == "person")[:50]
+    frontier = {(s, s): [s] for s in starts}
+    visited = set(frontier)
+    hits: list[tuple[str, list[str], int]] = []
+    for depth in range(1, 7):
+        nxt: dict[tuple[str, str], list[str]] = {}
+        for (s, node), path in frontier.items():
+            for nbr in adj.get(node, ()):
+                key = (s, nbr)
+                if key in visited:
+                    continue
+                cand = path + [nbr]
+                if key not in nxt or cand < nxt[key]:
+                    nxt[key] = cand
+        if not nxt:
+            break
+        for (s, node), path in nxt.items():
+            if etype.get(node, "").lower() == "product":
+                hits.append((s, path, depth))
+        visited |= set(nxt)
+        frontier = nxt
+    want = set()
+    by_start: dict[str, list[tuple[str, list[str], int]]] = {}
+    for s, path, depth in hits:
+        by_start.setdefault(s, []).append((s, path, depth))
+    for s, items in by_start.items():
+        for s2, path, depth in sorted(items, key=lambda x: (x[2], x[1]))[:5]:
+            want.add((s2, "->".join(path), depth))
+
+    assert len(got) > 0, "scale-tier graph found no Person→Product paths"
+    assert got == want
+
+    # -- render over the found paths: one rendered row per path, segment
+    # structure consistent with depth (depth steps, depth-1 separators) ----
+    rendered = graph.render_paths(
+        p, graph.vertices(ents), graph.edges(rels)
+    ).collect()
+    assert {(r["start"], tuple(r["path"])) for r in rendered} == {
+        (r["start"], tuple(r["path"])) for r in rows
+    }
+    for r in rendered:
+        assert r["rendered"].count(" ----- ") == r["depth"] - 1

@@ -382,7 +382,13 @@ def test_iceberg_probe_recorded_in_manifest(spark, tmp_path):
     assert probe["available"] == (probe["jar"] is not None)
     assert probe["searched"], "probe must search at least the pyspark jars dir"
 
+    # ADVICE r3: construction is READ-ONLY — the probe is stashed, never
+    # committed at init (a read-only consumer must not race a writer's
+    # manifest read-modify-write); it lands inside the next legitimate
+    # manifest commit.
     wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert "iceberg_probe" not in wh.manifest()
+    wh._commit_manifest(wh.manifest())  # any legitimate commit flushes it
     recorded = wh.manifest()["iceberg_probe"]
     assert recorded["backend"] == probe["backend"]
     assert recorded["jar"] == probe["jar"]
@@ -396,12 +402,19 @@ def test_iceberg_probe_recorded_in_manifest(spark, tmp_path):
     try:
         assert materialize.iceberg_runtime_probe()["backend"] == "iceberg"
         wh2 = Warehouse(spark, str(tmp_path / "wh"))
+        wh2._commit_manifest(wh2.manifest())
         assert wh2.manifest()["iceberg_probe"]["backend"] == "iceberg"
     finally:
         del _os.environ["KGSPARK_ICEBERG_JAR"]
     # re-init flips the manifest back once the jar disappears again
     wh3 = Warehouse(spark, str(tmp_path / "wh"))
+    wh3._commit_manifest(wh3.manifest())
     assert wh3.manifest()["iceberg_probe"]["backend"] == probe["backend"]
+
+    # an unchanged backend state stays stash-free: nothing pending, and a
+    # commit leaves the recorded probe identical
+    wh4 = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh4._pending_probe is None
 
 
 def test_read_as_of_time_travel(spark, tmp_path):
