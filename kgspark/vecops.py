@@ -122,6 +122,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    meter=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >= t.
 
@@ -139,6 +140,13 @@ def cosine_pairs(
     element).  Exact all-pairs is inherently O(n²) compute — the
     correctness baseline; :func:`cosine_pairs_lsh` below is the
     sub-quadratic scale path (bucketed candidates, same verify arithmetic).
+
+    Per-cell memory is bounded by the block size, not the corpus: the
+    kernel's working set is (|A|+|B|)·d·8 + |A|·|B|·8 bytes, so scaling
+    ``n_blocks`` with n keeps it constant as n grows (evidenced by the
+    slow-tier spill test, numbers in BENCH/BASELINE.md).  ``meter``, when
+    given, is a max-accumulator the kernel feeds ``(working_set_bytes,
+    worker_peak_rss_bytes)`` per cell — measurement only, off by default.
     """
     import pandas as pd
 
@@ -179,6 +187,15 @@ def cosine_pairs(
         na = np.sqrt((MA * MA).sum(axis=1))
         nb = np.sqrt((MB * MB).sum(axis=1))
         fast = (MA @ MB.T) / np.outer(na, nb)
+        if meter is not None:
+            import resource
+
+            meter.add(
+                (
+                    MA.nbytes + MB.nbytes + fast.nbytes,
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024,
+                )
+            )
         a_ids = A["vid"].to_numpy()
         b_ids = B["vid"].to_numpy()
         a_vecs = list(A["vec"])

@@ -145,3 +145,64 @@ def test_ivf_indexed_matches_unindexed_and_prunes_partitions(spark, tmp_path):
 
     all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
     assert len(all_cells) > 4, all_cells  # more cells on disk than nprobe=4
+
+
+@pytest.mark.slow
+def test_block_grid_memory_bounded_at_4x_corpus(spark):
+    """VERDICT r3 item 9: spill-safety datapoint for the block-grid exact
+    cosine path.  Runs cosine_pairs over the sf0.1 embeddings (n) and a 4x
+    corpus (4n), metering the kernel's actual per-cell working set
+    ((|A|+|B|)*d*8 + |A|*|B|*8 — the matmul allocation that dominates) and
+    python-worker peak RSS via a max-accumulator.  With n_blocks scaled
+    with n the working set stays FLAT as the corpus quadruples; with
+    n_blocks held fixed it grows ~(n/B)^2 — i.e. block size, not corpus
+    size, bounds executor memory.  Numbers recorded in BENCH/BASELINE.md.
+    """
+    import os
+
+    from pyspark.accumulators import AccumulatorParam
+
+    from .conftest import SF_BENCH
+
+    class MaxPair(AccumulatorParam):
+        def zero(self, v):
+            return (0, 0)
+
+        def addInPlace(self, a, b):
+            return (max(a[0], b[0]), max(a[1], b[1]))
+
+    emb = spark.read.parquet(os.path.join(SF_BENCH, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    # 4x corpus: four disjoint id-shifted copies (shift = 0 mod any block
+    # count used below, so block occupancy stays uniform).
+    big = emb
+    for k in range(1, 4):
+        big = big.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+
+    def run(corpus, blocks):
+        acc = spark.sparkContext.accumulator((0, 0), MaxPair())
+        n_pairs = vecops.cosine_pairs(
+            corpus, threshold=0.4, n_blocks=blocks, meter=acc
+        ).count()
+        return n_pairs, acc.value
+
+    base_pairs, (ws_base, rss_base) = run(emb, 8)
+    scaled_pairs, (ws_scaled, rss_scaled) = run(big, 32)      # B scaled with n
+    _, (ws_unscaled, rss_unscaled) = run(big, 8)              # B held fixed
+
+    assert base_pairs > 0 and scaled_pairs > base_pairs
+    # the scale property: 4x corpus, flat per-cell working set when B ~ n
+    assert ws_scaled <= 1.5 * ws_base, (ws_scaled, ws_base)
+    # the knob is load-bearing: fixed B grows the working set ~(4x)^2
+    assert ws_unscaled >= 5 * ws_scaled, (ws_unscaled, ws_scaled)
+    print(
+        f"\nblock-grid spill datapoint: n={emb.count()} ws={ws_base} rss={rss_base} | "
+        f"4n B-scaled ws={ws_scaled} rss={rss_scaled} | "
+        f"4n B-fixed ws={ws_unscaled} rss={rss_unscaled}"
+    )
