@@ -392,8 +392,9 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving thumbnail resize of image payloads (real geometry,
-    digest stand-in for pixels — sandbox ships no Pillow)."""
+    """Aspect-preserving thumbnail resize of image payloads — PNG, GIF, and
+    JPEG all decode/sample/re-encode through real stdlib codecs; the digest
+    is over the genuine resized file bytes."""
     return multimodal.resize_media(_media(spark))
 
 

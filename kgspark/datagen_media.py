@@ -11,13 +11,18 @@ files:
     seeded sample rate) followed by a ``data`` chunk of seeded int16
     samples;
 
+  * JPEG — baseline JFIF, grayscale, no subsampling: SOI/APP0/DQT/SOF0/
+    DHT/SOS with T.81 Annex K tables and real DCT-coded entropy data
+    (:mod:`kgspark.jpegcodec`);
+
 all decodable by any standards-conforming reader (pixel/sample values
 follow a seeded deterministic pattern shared with the oracle restatement).
-The remaining kinds carry genuine container magic bytes (JPEG/Matroska)
+The remaining kind (Matroska) carries the genuine container magic bytes
 followed by a fixed synthetic header layout — bytes [8:16] hold two
-big-endian u32s (dims / frame count) — and sha-derived filler bytes
-(documented stand-ins; the sandbox ships no JPEG codec).  Everything is
-seeded, so driver-side expected rows for VALUES oracles are exact.
+big-endian u32s (frame count / packed dims) — and sha-derived filler
+bytes (a documented stand-in; a pure-stdlib EBML/Matroska demuxer is out
+of scope for the sandbox).  Everything is seeded, so driver-side expected
+rows for VALUES oracles are exact.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ import hashlib
 import struct
 import zlib
 
-from . import gifcodec
+from . import gifcodec, jpegcodec
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -115,6 +120,20 @@ def make_gif_file(w: int, h_px: int, h: bytes) -> bytes:
     return gifcodec.make_gif(w, h_px, gif_palette(h), idx)
 
 
+def jpeg_pixel(x: int, y: int, h: bytes) -> int:
+    """Seeded deterministic grayscale pattern — shared with the independent
+    oracle restatement.  NOTE: JPEG is lossy, so unlike png_pixel/gif_index
+    this is the ENCODER-INPUT pattern; decoded pixels are checked via the
+    codec's defined integer IDCT, not against this function."""
+    return (x * 3 + y * 5 + (x // 8) * h[2] + (y // 8) * h[3]) % 256
+
+
+def make_jpeg_file(w: int, h_px: int, h: bytes) -> bytes:
+    """A VALID baseline JFIF grayscale file with the seeded pixel pattern."""
+    gray = bytes(jpeg_pixel(x, y, h) for y in range(h_px) for x in range(w))
+    return jpegcodec.make_jpeg(w, h_px, gray)
+
+
 _WAV_RATES = (8000, 11025, 16000, 22050)
 
 
@@ -165,9 +184,11 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":
-        a, b = 64 + (h[0] % 64) * 16, 64 + (h[1] % 64) * 16  # width, height
-    else:  # matroska: frames + packed dims
-        a, b = 24 * (1 + h[0] % 10), ((640 + h[1]) << 16) | (360 + h[2])
+        # real decodable file; dims kept <=127 so DCT block count stays small
+        payload = make_jpeg_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+        return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
+    # matroska: frames + packed dims
+    a, b = 24 * (1 + h[0] % 10), ((640 + h[1]) << 16) | (360 + h[2])
     header = _MAGICS[kind] + struct.pack(">II", a, b)
     filler = (h * ((64 + len(h) - 1) // len(h)))[: 64 + (h[3] % 64)]
     payload = header + filler

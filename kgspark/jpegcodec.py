@@ -1,0 +1,460 @@
+"""Stdlib-only baseline JPEG codec (subset) — the fourth REAL media format.
+
+Pairs with :mod:`kgspark.datagen_media` (emits valid files) and
+:mod:`kgspark.multimodal` (decodes any conforming file of this profile).
+Spec-derived from ITU-T T.81 (the public JPEG specification) plus the JFIF
+container note.  Supported profile:
+
+  * baseline sequential DCT (SOF0), 8-bit precision;
+  * a single grayscale component, 1x1 sampling (no subsampling);
+  * no restart markers / progressive / arithmetic coding — the decoder
+    raises a clear :class:`ValueError` on those rather than guessing;
+  * T.81 Annex K.1 luminance quantization table and Annex K.3 luminance
+    Huffman tables (the interchange-standard tables every JPEG tool ships).
+
+Decode is DEFINED over an integer fixed-point IDCT: the 1-D basis constants
+are ``round(alpha(u) * cos((2x+1)*u*pi/16) * 2**20)`` (:data:`IDCT_FIX`),
+the separable 2-D transform accumulates in exact integers (Python ints never
+overflow), and the final pixel is ``((s + 2**41) >> 42) + 128`` clamped to
+[0, 255].  Every term is integer arithmetic, so any independent
+implementation of the same definition reproduces pixels BIT-EXACTLY — the
+property kgspark.media_oracles relies on for digest oracles (floating-point
+IDCTs cannot promise this across summation orders).
+
+The encoder's forward DCT is float64 (its rounding only shapes which valid
+file is emitted, not how files decode); quantized coefficients are coded
+with standard DC-difference / AC run-length Huffman entropy coding, 0xFF
+bytes stuffed with 0x00 per the spec.
+
+No third-party codec exists in the sandbox; correctness is pinned by
+round-trip property tests (tests/test_multimodal.py) plus independent
+byte-layout restatement in kgspark.media_oracles.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --------------------------------------------------------------- constants
+
+# zigzag scan: position k in the coded stream -> natural (row-major) index
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K.1 luminance quantization table, natural (row-major) order
+QTABLE = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+# T.81 Annex K.3 luminance Huffman specs: BITS (codes per length 1..16) and
+# the values in code order.
+DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_VALS = tuple(range(12))
+AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+_FIX_SHIFT = 20
+
+# the DEFINED integer IDCT basis: alpha(u)*cos((2x+1)*u*pi/16) at 2^20 scale
+IDCT_FIX = tuple(
+    tuple(
+        round(
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            * (1 << _FIX_SHIFT)
+        )
+        for x in range(8)
+    )
+    for u in range(8)
+)
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+
+
+def huff_codes(bits, vals) -> dict:
+    """Canonical Huffman assignment per T.81 Annex C: value -> (code, size)."""
+    codes = {}
+    code, k = 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            codes[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, vals) -> dict:
+    """(size, code) -> value map for the bit-at-a-time decoder."""
+    return {(s, c): v for v, (c, s) in huff_codes(bits, vals).items()}
+
+
+# ----------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF -> 0xFF 0x00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flushed(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+def _fdct_quant(pix: list) -> list:
+    """Level shift, float separable forward DCT, quantize by QTABLE.
+
+    Returns 64 natural-order coefficients."""
+    t = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        row = pix[y * 8 : (y + 1) * 8]
+        for u in range(8):
+            cu = _COS[u]
+            t[y][u] = sum((row[x] - 128) * cu[x] for x in range(8))
+    out = [0] * 64
+    r2 = math.sqrt(0.5)
+    for v in range(8):
+        cv = _COS[v]
+        for u in range(8):
+            s = sum(t[y][u] * cv[y] for y in range(8))
+            a = (r2 if u == 0 else 1.0) * (r2 if v == 0 else 1.0)
+            out[v * 8 + u] = round(s * a / (4.0 * QTABLE[v * 8 + u]))
+    return out
+
+
+def _magnitude(v: int) -> tuple:
+    """(category, value-bits) for DC-diff / AC coefficient coding."""
+    cat = abs(v).bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
+    """A VALID baseline JFIF file: SOI, APP0, DQT, SOF0 (grayscale, 1x1),
+    DHT (Annex K luminance DC+AC), SOS, entropy-coded MCUs, EOI.  Edge
+    blocks pad by clamp-to-edge replication."""
+    if len(gray) != w * h:
+        raise ValueError("gray buffer does not match dims")
+    dc = huff_codes(DC_BITS, DC_VALS)
+    ac = huff_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            pix = [
+                gray[min(h - 1, by * 8 + j) * w + min(w - 1, bx * 8 + i)]
+                for j in range(8)
+                for i in range(8)
+            ]
+            coef = _fdct_quant(pix)
+            cat, bits = _magnitude(coef[0] - prev_dc)
+            code, size = dc[cat]
+            bw.write(code, size)
+            if cat:
+                bw.write(bits, cat)
+            prev_dc = coef[0]
+            run = 0
+            for k in range(1, 64):
+                v = coef[ZIGZAG[k]]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, size = ac[0xF0]  # ZRL
+                    bw.write(code, size)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, size = ac[(run << 4) | cat]
+                bw.write(code, size)
+                bw.write(bits, cat)
+                run = 0
+            if run:
+                code, size = ac[0x00]  # EOB
+                bw.write(code, size)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    return (
+        b"\xFF\xD8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        + seg(0xDB, b"\x00" + bytes(QTABLE[ZIGZAG[k]] for k in range(64)))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flushed()
+        + b"\xFF\xD9"
+    )
+
+
+# ----------------------------------------------------------------- decoder
+
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn minus DHT/JPG/DAC
+
+
+def parse_dims(payload: bytes) -> tuple:
+    """(width, height) from the REAL frame header: walk marker segments to
+    the first SOFn and read the big-endian u16 dims at offsets 3/1 of its
+    body — the true byte layout any JPEG tool parses."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length
+            continue
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _SOF_MARKERS:
+            _prec, h, w = struct.unpack(">BHH", payload[pos + 4 : pos + 9])
+            return w, h
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOF")
+
+
+def _parse_scan(payload: bytes) -> tuple:
+    """Walk segments to SOS; returns (w, h, qtable, dc_table, ac_table,
+    entropy bytes).  Raises on non-baseline / multi-component streams."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtables: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    sof = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = data[i + 1 + k]
+                qtables[tq] = tbl
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = tuple(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = tuple(data[i + 17 : i + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError("unsupported JPEG profile (grayscale 8-bit only)")
+            if data[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            sof = (w, h, data[8])
+        elif marker in _SOF_MARKERS:
+            raise ValueError("not a baseline-sequential JPEG")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if data[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = data[2] >> 4, data[2] & 0x0F
+            w, h, tq = sof
+            return (
+                w,
+                h,
+                qtables[tq],
+                dc_tabs[td],
+                ac_tabs[ta],
+                payload[pos + 2 + ln :],
+            )
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOS")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data; un-stuffs 0xFF 0x00 and
+    stops (raises) at any real marker — the EOI that trails the scan is
+    never consumed because the caller reads exactly the MCU count."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else -1
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker inside JPEG scan")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_code(br: _BitReader, table: dict) -> int:
+    code = 0
+    for size in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = table.get((size, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map cat raw bits to the signed coefficient."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def idct_block(coef: list) -> list:
+    """The DEFINED integer IDCT: 64 natural-order dequantized coefficients
+    -> 64 natural-order pixels in [0, 255].  Exact integer arithmetic over
+    :data:`IDCT_FIX`; final rounding is ``((s + 2**41) >> 42) + 128``."""
+    g = [[0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coef[v * 8 : (v + 1) * 8]
+        for x in range(8):
+            g[v][x] = sum(row[u] * IDCT_FIX[u][x] for u in range(8))
+    out = [0] * 64
+    half = 1 << (2 * _FIX_SHIFT + 1)
+    shift = 2 * _FIX_SHIFT + 2
+    for y in range(8):
+        for x in range(8):
+            s = sum(g[v][x] * IDCT_FIX[v][y] for v in range(8))
+            p = ((s + half) >> shift) + 128
+            out[y * 8 + x] = 0 if p < 0 else 255 if p > 255 else p
+    return out
+
+
+def decode_jpeg(payload: bytes) -> tuple:
+    """REAL baseline JPEG decode for the supported profile: Huffman entropy
+    decode, dequantize, inverse zigzag, integer IDCT, crop the MCU padding.
+    Returns (width, height, grayscale bytes row-major)."""
+    w, h, q, dc, ac, scan = _parse_scan(payload)
+    br = _BitReader(scan)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h)
+    prev_dc = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            coef = [0] * 64
+            cat = _read_code(br, dc)
+            prev_dc += _extend(br.bits(cat), cat) if cat else 0
+            coef[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _read_code(br, ac)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                nat = ZIGZAG[k]
+                coef[nat] = _extend(br.bits(cat), cat) * q[nat]
+                k += 1
+            pix = idct_block(coef)
+            for j in range(8):
+                y = by * 8 + j
+                if y >= h:
+                    break
+                row = pix[j * 8 : (j + 1) * 8]
+                for i in range(8):
+                    x = bx * 8 + i
+                    if x >= w:
+                        break
+                    out[y * w + x] = row[i]
+    return w, h, bytes(out)

@@ -135,6 +135,185 @@ def _gif_resize_independent(i: int, payload: bytes, tw: int, th: int) -> tuple:
     return w, h, ow, oh, _hl.sha256(gif).hexdigest()
 
 
+def _jpeg_dims_independent(payload: bytes) -> tuple[int, int]:
+    """Independent restatement of the TRUE JPEG frame-header layout: walk
+    the FFxx marker-segment stream (big-endian u16 lengths) from SOI to the
+    first SOF0 and read height/width as big-endian u16s at body offsets
+    1 and 3.  Deliberately NOT a call into kgspark.jpegcodec."""
+    import struct
+
+    assert payload[:2] == b"\xff\xd8", "oracle: payload is not a JPEG"
+    pos = 2
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
+        marker = payload[pos + 1]
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker == 0xC0:
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return w, h
+        pos += 2 + ln
+    raise AssertionError("oracle: JPEG missing SOF0")
+
+
+def _jpeg_zigzag_independent() -> list:
+    """Zigzag scan order re-derived algorithmically (anti-diagonal walk,
+    alternating direction) rather than restating the codec's literal
+    table."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 else reversed(rows)):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
+    """Independent restatement of the baseline grayscale JPEG decode path,
+    written against ITU-T T.81, not against the kernel: its own marker
+    walk, algorithmically derived zigzag, canonical Huffman codes keyed by
+    1-prefixed integers (vs the kernel's (size, code) tuples), whole-scan
+    0xFF00 un-stuffing up front (vs the kernel's streaming reader), and
+    the defined integer IDCT with independently recomputed fixed-point
+    constants in the opposite separable pass order.  JPEG decode is
+    DEFINED over exact integer arithmetic (kgspark.jpegcodec docstring),
+    so both formulations must agree bit-exactly — any Huffman, dequant,
+    zigzag, or IDCT bug on either side breaks digest equality."""
+    import math
+    import struct
+
+    zz = _jpeg_zigzag_independent()
+    assert payload[:2] == b"\xff\xd8", "oracle: payload is not a JPEG"
+    pos, q, dims, huff, scan = 2, None, None, {}, None
+    while scan is None:
+        assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
+        marker = payload[pos + 1]
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            assert body[0] == 0, "oracle: expected 8-bit qtable 0"
+            q = [0] * 64
+            for k in range(64):
+                q[zz[k]] = body[1 + k]
+        elif marker == 0xC0:
+            _prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
+            assert nc == 1, "oracle: expected single-component JPEG"
+            dims = (ww, hh)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, counts = body[i], body[i + 1 : i + 17]
+                nv = sum(counts)
+                vals = body[i + 17 : i + 17 + nv]
+                tab, code, vi = {}, 0, 0
+                for ln_ in range(1, 17):
+                    for _ in range(counts[ln_ - 1]):
+                        tab[(1 << ln_) | code] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[cls >> 4, cls & 15] = tab
+                i += 17 + nv
+        elif marker == 0xDA:
+            scan = payload[pos + 2 + ln :]
+        pos += 2 + ln
+    w, h = dims
+    data = scan.replace(b"\xff\x00", b"\xff")
+    bitpos = 0
+
+    def bits(n: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    def read_code(tab: dict) -> int:
+        code = 1
+        while code not in tab:
+            code = (code << 1) | bits(1)
+            assert code < (1 << 17), "oracle: bad Huffman code"
+        return tab[code]
+
+    def recv_ext(n: int) -> int:
+        if n == 0:
+            return 0
+        v = bits(n)
+        return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+    cf = [
+        [
+            round(
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * (1 << 20)
+            )
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+    out = bytearray(w * h)
+    pred = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            c = [0] * 64
+            pred += recv_ext(read_code(huff[0, 0]))
+            c[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                sym = read_code(huff[1, 0])
+                run, n = sym >> 4, sym & 15
+                if n == 0:
+                    if run != 15:
+                        break
+                    k += 16
+                    continue
+                k += run
+                c[zz[k]] = recv_ext(n) * q[zz[k]]
+                k += 1
+            # defined integer IDCT, opposite pass order (u first, then v)
+            g = [
+                [sum(c[v * 8 + u] * cf[v][y] for v in range(8)) for y in range(8)]
+                for u in range(8)
+            ]
+            for j in range(8):
+                y = by * 8 + j
+                if y >= h:
+                    break
+                for i in range(8):
+                    x = bx * 8 + i
+                    if x >= w:
+                        break
+                    s = sum(g[u][j] * cf[u][i] for u in range(8))
+                    p = ((s + (1 << 41)) >> 42) + 128
+                    out[y * w + x] = 0 if p < 0 else 255 if p > 255 else p
+    return w, h, bytes(out)
+
+
+def _jpeg_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
+    """Independent JPEG thumbnail restatement: decode via the independent
+    T.81 decoder above, fit-within + nearest-neighbour sample in row-slice
+    formulation, digest; only the final file framing reuses
+    jpegcodec.make_jpeg (the GIF/WAV precedent)."""
+    import hashlib as _hl
+
+    from . import jpegcodec
+
+    w, h, gray = _jpeg_decode_independent(payload)
+    if w <= tw and h <= th:
+        ow, oh = w, h
+    elif w * th >= h * tw:
+        ow, oh = tw, max(1, (h * tw) // w)
+    else:
+        ow, oh = max(1, (w * th) // h), th
+    rows = [gray[y * w : (y + 1) * w] for y in range(h)]
+    pix = bytes(
+        rows[j * h // oh][i * w // ow] for j in range(oh) for i in range(ow)
+    )
+    dig = _hl.sha256(jpegcodec.make_jpeg(ow, oh, pix)).hexdigest()
+    return w, h, ow, oh, dig
+
+
 def _wav_meta_independent(payload: bytes) -> tuple[int, int]:
     """Independent restatement of the TRUE canonical WAV layout: the PCM
     ``fmt `` chunk sits at byte offset 12 (sample rate LE u32 at offset 24,
@@ -202,6 +381,9 @@ def build() -> dict[str, str]:
         elif kind == "riff":
             _rate, n = _wav_meta_independent(payload)
             decode_rows.append((media_id, "riff", None, None, n, None))
+        elif kind == "jpeg":
+            w, h = _jpeg_dims_independent(payload)
+            decode_rows.append((media_id, "jpeg", w, h, None, None))
         else:
             d = multimodal.decode_header_py(payload)
             decode_rows.append(
@@ -222,6 +404,10 @@ def build() -> dict[str, str]:
         if kind == "gif":
             w, h, ow, oh, dig = _gif_resize_independent(i, payload, 64, 64)
             resize_rows.append((media_id, "gif", w, h, ow, oh, dig))
+            continue
+        if kind == "jpeg":
+            w, h, ow, oh, dig = _jpeg_resize_independent(payload, 64, 64)
+            resize_rows.append((media_id, "jpeg", w, h, ow, oh, dig))
             continue
         r = multimodal.resize_py(payload, 64, 64)
         if r is not None:

@@ -6,16 +6,17 @@ pure-Catalyst projection (magic-byte sniffing — stays in whole-stage codegen);
 decode / feature-extract runs through ``mapInPandas`` so each Arrow batch is
 processed vectorized with bounded memory (never a per-row Python UDF).
 
-The sandbox ships no image/audio libraries.  PNG, GIF, and WAV are
+The sandbox ships no image/audio libraries.  PNG, GIF, WAV, and JPEG are
 nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
 unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
-for WAV PCM) decode any standards-conforming file of the supported
-profiles; image resize and audio resample re-encode a valid file of the
-same format.  The remaining kinds (JPEG/Matroska) are clearly-marked
-deterministic stand-ins: synthetic headers parsed directly, "features"
-sha-derived floats.  Swapping in Pillow/ffmpeg changes only those kernel
-branches — the Spark plumbing (schema, batch shape, partitioning) is
-identical.
+for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
+JPEG) decode any standards-conforming file of the supported profiles;
+image resize and audio resample re-encode a valid file of the same
+format.  The remaining kind (Matroska) is a clearly-marked deterministic
+stand-in: synthetic header parsed directly; "features" everywhere are
+sha-derived floats standing in for a real encoder.  Swapping in
+Pillow/ffmpeg changes only those kernel branches — the Spark plumbing
+(schema, batch shape, partitioning) is identical.
 
 The reference has no media path at all; this module is part of the
 beyond-reference training-pipeline surface the build calls for.
@@ -99,7 +100,7 @@ _FEATURE_SCHEMA = StructType(
 
 
 def decode_header_py(payload: bytes) -> dict:
-    """Header decode: REAL for PNG, GIF, and WAV; stand-in for the rest.
+    """Header decode: REAL for PNG, GIF, WAV, and JPEG; stand-in for Matroska.
 
     PNG parses the genuine chunk layout — the IHDR chunk that immediately
     follows the 8-byte signature carries big-endian u32 width/height at
@@ -107,11 +108,12 @@ def decode_header_py(payload: bytes) -> dict:
     GIF parses the genuine logical screen descriptor — little-endian u16
     width/height at payload[6:10].  WAV walks the genuine RIFF chunk
     stream (:func:`wav_parse_chunks`): sample count = data-chunk byte
-    length / fmt block-align.  All three read any standards-conforming
-    file, not just the synthetic corpus.  JPEG/Matroska still parse the
-    fixed synthetic layout (bytes [8:16], two big-endian u32s) — a
-    production build swaps those branches for Pillow / pyav; everything
-    around them stays unchanged.
+    length / fmt block-align.  JPEG walks the genuine marker-segment
+    stream to the first SOFn frame header (:func:`kgspark.jpegcodec.
+    parse_dims`).  All four read any standards-conforming file, not just
+    the synthetic corpus.  Matroska still parses the fixed synthetic
+    layout (bytes [8:16], two big-endian u32s) — a production build swaps
+    that branch for pyav; everything around it stays unchanged.
     """
     magic = payload[:8].hex().upper()
     kind = "unknown"
@@ -132,13 +134,17 @@ def decode_header_py(payload: bytes) -> dict:
             samples = len(data) // fmt["block_align"]
         except ValueError:
             samples = None
-    elif len(payload) >= 16:
+    elif kind == "jpeg":
+        from . import jpegcodec
+
+        try:
+            w, h = jpegcodec.parse_dims(payload)
+        except (ValueError, struct.error):
+            w = h = None
+    elif kind == "matroska" and len(payload) >= 16:
         a, b = struct.unpack(">II", payload[8:16])
-        if kind == "jpeg":
-            w, h = a, b
-        elif kind == "matroska":
-            frames = a
-            w, h = b >> 16, b & 0xFFFF
+        frames = a
+        w, h = b >> 16, b & 0xFFFF
     return {
         "kind": kind,
         "width": w,
@@ -356,18 +362,16 @@ def fit_within(src_w: int, src_h: int, tw: int, th: int) -> tuple[int, int]:
 
 
 def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
-    """Thumbnail resize: REAL for PNG and GIF, digest stand-in for JPEG.
+    """Thumbnail resize: REAL for PNG, GIF, and JPEG.
 
-    PNG and GIF take the genuine path any thumbnailer takes — decode
-    pixels (:func:`png_decode_pixels` / :func:`kgspark.gifcodec.parse_gif`),
-    nearest-neighbour sample to the aspect-preserving fit-within box,
-    re-encode a valid file of the same format (:func:`png_encode` /
-    ``gifcodec.make_gif``, same palette for GIF) — and digest the RESIZED
-    FILE BYTES.  JPEG (no codec in the sandbox) keeps the real fit-within
-    geometry but digests a deterministic stand-in of payload + target box;
-    a production build swaps only that branch for the actual encoder.
-    Non-image payloads and malformed image bodies return None (row is
-    skipped, never the whole job).
+    All three take the genuine path any thumbnailer takes — decode pixels
+    (:func:`png_decode_pixels` / :func:`kgspark.gifcodec.parse_gif` /
+    :func:`kgspark.jpegcodec.decode_jpeg`), nearest-neighbour sample to
+    the aspect-preserving fit-within box, re-encode a valid file of the
+    same format (:func:`png_encode` / ``gifcodec.make_gif`` with the same
+    palette / ``jpegcodec.make_jpeg``) — and digest the RESIZED FILE
+    BYTES.  Non-image payloads and malformed image bodies return None
+    (row is skipped, never the whole job).
     """
     d = decode_header_py(payload)
     if d["kind"] not in ("jpeg", "png", "gif") or d["width"] is None:
@@ -410,11 +414,18 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
             digest = hashlib.sha256(
                 gifcodec.make_gif(out_w, out_h, palette, sampled)
             ).hexdigest()
-        else:  # jpeg: no codec in the sandbox — deterministic stand-in digest
-            src_w, src_h = d["width"], d["height"]
+        else:  # jpeg: real decode -> sample -> re-encode (kgspark.jpegcodec)
+            from . import jpegcodec
+
+            src_w, src_h, gray = jpegcodec.decode_jpeg(payload)
             out_w, out_h = fit_within(src_w, src_h, tw, th)
+            sampled = bytes(
+                gray[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
+                for j in range(out_h)
+                for i in range(out_w)
+            )
             digest = hashlib.sha256(
-                payload + f":resize:{out_w}x{out_h}".encode()
+                jpegcodec.make_jpeg(out_w, out_h, sampled)
             ).hexdigest()
     except (ValueError, IndexError, struct.error, zlib.error):
         return None

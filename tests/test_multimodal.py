@@ -346,3 +346,116 @@ def test_corrupt_media_rows_are_skipped_not_fatal():
     for _mid, kind, payload in datagen_media.media_rows(8):
         if kind in ("png", "gif"):
             assert multimodal.resize_py(payload, 16, 16) is not None
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """kgspark.jpegcodec: encode->decode across uniform, gradient, and noisy
+    images — dims exact, uniform blocks reconstruct within 1 gray level,
+    smooth gradients within a small tolerance, decode fully deterministic,
+    non-baseline streams rejected with a clear error."""
+    import random
+    import struct
+
+    from kgspark import jpegcodec
+
+    for val in (0, 37, 128, 255):
+        g = bytes([val]) * (16 * 16)
+        w, h, dec = jpegcodec.decode_jpeg(jpegcodec.make_jpeg(16, 16, g))
+        assert (w, h) == (16, 16)
+        assert max(abs(a - b) for a, b in zip(g, dec)) <= 1
+
+    g = bytes((x * 2 + y) % 256 for y in range(29) for x in range(37))
+    f = jpegcodec.make_jpeg(37, 29, g)
+    w, h, dec = jpegcodec.decode_jpeg(f)
+    assert (w, h) == (37, 29) == jpegcodec.parse_dims(f)
+    errs = [abs(a - b) for a, b in zip(g, dec)]
+    assert max(errs) <= 8 and sum(errs) / len(errs) <= 2
+
+    rng = random.Random(5)
+    g = bytes(rng.randrange(256) for _ in range(41 * 53))
+    f = jpegcodec.make_jpeg(41, 53, g)
+    assert jpegcodec.decode_jpeg(f)[2] == jpegcodec.decode_jpeg(f)[2]
+
+    # progressive SOF2 must be rejected, not misdecoded
+    prog = f.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    try:
+        jpegcodec.decode_jpeg(prog)
+        assert False, "expected ValueError on progressive JPEG"
+    except ValueError:
+        pass
+    # 2-component SOF must be rejected (header claims what we can't decode)
+    i = f.index(b"\xff\xc0")
+    bad = f[: i + 9] + b"\x03" + f[i + 10 :]
+    try:
+        jpegcodec.decode_jpeg(bad)
+        assert False, "expected ValueError on multi-component JPEG"
+    except ValueError:
+        pass
+
+
+def test_jpeg_payloads_are_real_decodable_files():
+    """Corpus JPEGs are valid baseline JFIF: true marker stream (APP0/DQT/
+    SOF0/DHT/SOS), real SOF0 dims, and the decoded pixels reproduce the
+    seeded encoder-input pattern within JPEG's lossy envelope."""
+    from kgspark import jpegcodec
+
+    jpegs = [
+        (j, mid, payload)
+        for j, (mid, kind, payload) in enumerate(datagen_media.media_rows(N))
+        if kind == "jpeg"
+    ]
+    assert jpegs, "expected jpeg payloads in the corpus"
+    for j, mid, payload in jpegs:
+        assert payload[:4] == b"\xff\xd8\xff\xe0" and payload[6:11] == b"JFIF\x00"
+        w, h = jpegcodec.parse_dims(payload)
+        d = multimodal.decode_header_py(payload)
+        assert (d["width"], d["height"]) == (w, h) and w * h > 0
+        dw, dh, gray = jpegcodec.decode_jpeg(payload)
+        assert (dw, dh) == (w, h) and len(gray) == w * h
+        seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
+        errs = [
+            abs(gray[y * w + x] - datagen_media.jpeg_pixel(x, y, seed_hash))
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert sum(errs) / len(errs) <= 8, (mid, sum(errs) / len(errs))
+
+
+def test_jpeg_resize_emits_valid_jpeg_thumbnail():
+    """resize_py's JPEG branch re-encodes a VALID baseline JPEG at the
+    fit-within box: the digest equals sha256 of a file our own conforming
+    decoder accepts at the expected dims."""
+    from kgspark import jpegcodec
+
+    for mid, kind, payload in datagen_media.media_rows(N):
+        if kind != "jpeg":
+            continue
+        r = multimodal.resize_py(payload, 16, 16)
+        sw, sh = r["src_width"], r["src_height"]
+        assert (r["out_width"], r["out_height"]) == multimodal.fit_within(
+            sw, sh, 16, 16
+        )
+        _, _, gray = jpegcodec.decode_jpeg(payload)
+        sampled = bytes(
+            gray[(j * sh // r["out_height"]) * sw + (i * sw // r["out_width"])]
+            for j in range(r["out_height"])
+            for i in range(r["out_width"])
+        )
+        thumb = jpegcodec.make_jpeg(r["out_width"], r["out_height"], sampled)
+        assert hashlib.sha256(thumb).hexdigest() == r["resized_sha256"]
+        tw2, th2, _ = jpegcodec.decode_jpeg(thumb)
+        assert (tw2, th2) == (r["out_width"], r["out_height"])
+
+
+def test_corrupt_jpeg_rows_are_skipped_not_fatal():
+    """A valid JPEG magic with a malformed body must skip the row (None),
+    and header decode must degrade to null dims, never raise."""
+    good = datagen_media.make_jpeg_file(32, 24, bytes(range(32)))
+    # scan truncated mid-entropy-data
+    bad = good[: len(good) - len(good) // 3]
+    assert multimodal.resize_py(bad, 16, 16) is None
+    # header cut before SOF0: dims become null, kind still sniffs as jpeg
+    headerless = good[:12]
+    d = multimodal.decode_header_py(headerless)
+    assert d["kind"] == "jpeg" and d["width"] is None and d["height"] is None
+    assert multimodal.resize_py(headerless, 16, 16) is None
