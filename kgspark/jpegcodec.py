@@ -262,6 +262,8 @@ def parse_dims(payload: bytes) -> tuple:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = payload[pos + 1]
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers carry no length
@@ -287,6 +289,8 @@ def _parse_scan(payload: bytes) -> tuple:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -333,6 +337,8 @@ def _parse_scan(payload: bytes) -> tuple:
                 raise ValueError("multi-component scan unsupported")
             td, ta = data[2] >> 4, data[2] & 0x0F
             w, h, tq = sof
+            if tq not in qtables or td not in dc_tabs or ta not in ac_tabs:
+                raise ValueError("JPEG scan references undefined tables")
             return (
                 w,
                 h,

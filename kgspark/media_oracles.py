@@ -146,6 +146,8 @@ def _jpeg_dims_independent(payload: bytes) -> tuple[int, int]:
     pos = 2
     while pos + 4 <= len(payload):
         assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes
         marker = payload[pos + 1]
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if marker == 0xC0:
@@ -186,6 +188,8 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
     pos, q, dims, huff, scan = 2, None, None, {}, None
     while scan is None:
         assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes
         marker = payload[pos + 1]
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]

@@ -427,7 +427,7 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
             digest = hashlib.sha256(
                 jpegcodec.make_jpeg(out_w, out_h, sampled)
             ).hexdigest()
-    except (ValueError, IndexError, struct.error, zlib.error):
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
         return None
     return {
         "kind": d["kind"],

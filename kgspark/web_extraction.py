@@ -131,11 +131,23 @@ def _pronoun_antecedent(pron: str, candidates: list[tuple[str, str]]) -> str | N
     return None
 
 
+_PRON_TAIL_RE = re.compile(
+    r"^(?:[\s,]+|never|not|no longer|later|then|also|still|again|ever|once|"
+    r"soon|first|finally|often|recently|reportedly|previously|subsequently|"
+    r"eventually)*$",
+    re.IGNORECASE,
+)
+
+
 def _last_pronoun_head(span: str) -> str | None:
     """The subject-head pronoun of a span, if any: the last pronoun token,
-    provided no entity mention follows it (an entity nearer the predicate
-    outranks the pronoun — '... Acme Corp, where he worked, indicates ...'
-    keeps the entity rule)."""
+    provided (a) no entity mention follows it (an entity nearer the
+    predicate outranks the pronoun) and (b) nothing but adverbs/negators
+    sits between the pronoun and the predicate — a pronoun buried in a
+    subordinate or appositive clause ('Alan Turing, although he was tired,
+    visited Paris' / '... Acme Corp, where he worked, indicates ...') is
+    the subject of THAT clause, not of the predicate, so the entity rule
+    keeps the span ('he later' / 'she never' remain subject heads)."""
     prons = list(_PRONOUN_RE.finditer(span))
     if not prons:
         return None
@@ -143,6 +155,8 @@ def _last_pronoun_head(span: str) -> str | None:
     for m in _ENTITY_RE.finditer(span):
         last_ent = m
     if last_ent is not None and last_ent.end() > prons[-1].start():
+        return None
+    if not _PRON_TAIL_RE.match(span[prons[-1].end() :]):
         return None
     return prons[-1].group("p")
 

@@ -125,6 +125,18 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
      [("Alan Turing", "founded", "Acme Corp"),
       ("Fever", "indicates", "Influenza"),
       ("Alan Turing", "visited", "Paris")]),
+    # a pronoun buried in a subordinate clause is the subject of THAT
+    # clause, not of the main predicate: the entity rule must keep the
+    # span (r4 review catch — the one-sided guard let the pronoun outrank
+    # a PRECEDING subject entity and steal the prior sentence's subject)
+    ("pronoun-subordinate-clause",
+     "Ada Lovelace wrote On Computable Numbers. "
+     "Alan Turing, although he was tired, visited Paris.",
+     [("Ada Lovelace", "wrote", "On Computable Numbers"),
+      ("Alan Turing", "visited", "Paris")]),
+    ("pronoun-subordinate-no-antecedent",
+     "Alan Turing, although he was tired, visited Paris.",
+     [("Alan Turing", "visited", "Paris")]),
     # negation polarity (covered since round 3): a negator adjoining the
     # predicate drops the statement instead of emitting a false triple
     ("negation", "Ada Lovelace never visited Paris.",

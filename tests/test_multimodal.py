@@ -447,6 +447,28 @@ def test_jpeg_resize_emits_valid_jpeg_thumbnail():
         assert (tw2, th2) == (r["out_width"], r["out_height"])
 
 
+def test_jpeg_parser_reads_foreign_profile():
+    """The marker walk is spec-conforming beyond our own encoder's output:
+    T.81 B.1.1.2 fill bytes (repeated 0xFF) before markers and a COM
+    segment to skip — both in the kernel codec and in the independent
+    oracle restatement."""
+    from kgspark import jpegcodec, media_oracles
+
+    f = datagen_media.make_jpeg_file(24, 16, bytes(range(32)))
+    # inject a fill byte before APP0 and a comment segment after it
+    i = f.index(b"\xff\xdb")
+    foreign = (
+        f[:2] + b"\xff" + f[2:i] + b"\xff\xfe\x00\x05abc" + f[i:]
+    )
+    assert jpegcodec.parse_dims(foreign) == (24, 16)
+    assert jpegcodec.decode_jpeg(foreign)[2] == jpegcodec.decode_jpeg(f)[2]
+    assert media_oracles._jpeg_dims_independent(foreign) == (24, 16)
+    assert (
+        media_oracles._jpeg_decode_independent(foreign)[2]
+        == jpegcodec.decode_jpeg(f)[2]
+    )
+
+
 def test_corrupt_jpeg_rows_are_skipped_not_fatal():
     """A valid JPEG magic with a malformed body must skip the row (None),
     and header decode must degrade to null dims, never raise."""
@@ -459,3 +481,15 @@ def test_corrupt_jpeg_rows_are_skipped_not_fatal():
     d = multimodal.decode_header_py(headerless)
     assert d["kind"] == "jpeg" and d["width"] is None and d["height"] is None
     assert multimodal.resize_py(headerless, 16, 16) is None
+    # scan referencing tables that were never defined: DQT+DHT stripped out
+    # (valid marker walk, undefined table ids) must skip, not KeyError-abort
+    import struct as _s
+
+    pos, kept = 2, bytearray(good[:2])
+    while good[pos + 1] != 0xDA:
+        (ln,) = _s.unpack(">H", good[pos + 2 : pos + 4])
+        if good[pos + 1] not in (0xDB, 0xC4):
+            kept += good[pos : pos + 2 + ln]
+        pos += 2 + ln
+    kept += good[pos:]
+    assert multimodal.resize_py(bytes(kept), 16, 16) is None
