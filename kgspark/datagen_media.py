@@ -14,15 +14,14 @@ files:
   * JPEG — baseline JFIF, grayscale, no subsampling: SOI/APP0/DQT/SOF0/
     DHT/SOS with T.81 Annex K tables and real DCT-coded entropy data
     (:mod:`kgspark.jpegcodec`);
+  * Matroska — a genuine EBML tree (header, Segment, Info, one
+    V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
+    via :mod:`kgspark.mkvcodec`;
 
 all decodable by any standards-conforming reader (pixel/sample values
 follow a seeded deterministic pattern shared with the oracle restatement).
-The remaining kind (Matroska) carries the genuine container magic bytes
-followed by a fixed synthetic header layout — bytes [8:16] hold two
-big-endian u32s (frame count / packed dims) — and sha-derived filler
-bytes (a documented stand-in; a pure-stdlib EBML/Matroska demuxer is out
-of scope for the sandbox).  Everything is seeded, so driver-side expected
-rows for VALUES oracles are exact.
+Everything is seeded, so driver-side expected rows for VALUES oracles are
+exact.
 """
 
 from __future__ import annotations
@@ -31,7 +30,7 @@ import hashlib
 import struct
 import zlib
 
-from . import gifcodec, jpegcodec
+from . import gifcodec, jpegcodec, mkvcodec
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -120,6 +119,22 @@ def make_gif_file(w: int, h_px: int, h: bytes) -> bytes:
     return gifcodec.make_gif(w, h_px, gif_palette(h), idx)
 
 
+def mkv_pixel(f: int, x: int, y: int, h: bytes) -> int:
+    """Seeded deterministic grayscale frame pattern — shared with the
+    independent oracle restatement (raw V_UNCOMPRESSED frames, lossless,
+    so decoded bytes reproduce this exactly)."""
+    return (x * 2 + y * 3 + f * 5 + h[4]) % 256
+
+
+def make_mkv_file(w: int, h_px: int, n_frames: int, h: bytes) -> bytes:
+    """A VALID Matroska file: one raw-grayscale video track, seeded frames."""
+    frames = [
+        bytes(mkv_pixel(f, x, y, h) for y in range(h_px) for x in range(w))
+        for f in range(n_frames)
+    ]
+    return mkvcodec.make_mkv(w, h_px, frames)
+
+
 def jpeg_pixel(x: int, y: int, h: bytes) -> int:
     """Seeded deterministic grayscale pattern — shared with the independent
     oracle restatement.  NOTE: JPEG is lossy, so unlike png_pixel/gif_index
@@ -187,11 +202,10 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         # real decodable file; dims kept <=127 so DCT block count stays small
         payload = make_jpeg_file(24 + h[0] % 104, 24 + h[1] % 104, h)
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
-    # matroska: frames + packed dims
-    a, b = 24 * (1 + h[0] % 10), ((640 + h[1]) << 16) | (360 + h[2])
-    header = _MAGICS[kind] + struct.pack(">II", a, b)
-    filler = (h * ((64 + len(h) - 1) // len(h)))[: 64 + (h[3] % 64)]
-    payload = header + filler
+    # matroska: real EBML container, raw-grayscale frames, seeded count/dims
+    payload = make_mkv_file(
+        16 + h[1] % 24, 12 + h[2] % 20, 24 * (1 + h[0] % 10), h
+    )
     media_id = "media-" + hashlib.sha256(payload).hexdigest()[:16]
     return media_id, kind, payload
 

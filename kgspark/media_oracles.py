@@ -318,6 +318,50 @@ def _jpeg_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
     return w, h, ow, oh, dig
 
 
+def _mkv_meta_independent(payload: bytes) -> tuple[int, int, int]:
+    """Independent restatement of the TRUE Matroska/EBML layout, written
+    against RFC 8794 + the Matroska element registry, not against the
+    kernel: its own vint reader (mask shift-loop rather than bit_length
+    arithmetic) and a recursive descent keyed by restated element IDs (vs
+    the kernel's generator walk).  Returns (width, height, n_frames)."""
+
+    def vint(pos: int, strip: bool) -> tuple[int, int]:
+        b0 = payload[pos]
+        n, mask = 1, 0x80
+        while mask and not (b0 & mask):
+            n += 1
+            mask >>= 1
+        assert mask, "oracle: invalid EBML vint"
+        v = (b0 & (mask - 1)) if strip else b0
+        for k in range(1, n):
+            v = (v << 8) | payload[pos + k]
+        return v, pos + n
+
+    state = {"w": None, "h": None, "n": 0}
+    masters = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0,
+               0x1F43B675}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos < end:
+            eid, pos = vint(pos, strip=False)
+            size, pos = vint(pos, strip=True)
+            assert pos + size <= end, "oracle: EBML element overrun"
+            if eid in masters:
+                walk(pos, pos + size)
+            elif eid == 0xB0:  # PixelWidth
+                state["w"] = int.from_bytes(payload[pos : pos + size], "big")
+            elif eid == 0xBA:  # PixelHeight
+                state["h"] = int.from_bytes(payload[pos : pos + size], "big")
+            elif eid == 0xA3:  # SimpleBlock
+                state["n"] += 1
+            pos += size
+
+    walk(0, len(payload))
+    assert state["w"] and state["h"], "oracle: no video dims in EBML tree"
+    return state["w"], state["h"], state["n"]
+
+
 def _wav_meta_independent(payload: bytes) -> tuple[int, int]:
     """Independent restatement of the TRUE canonical WAV layout: the PCM
     ``fmt `` chunk sits at byte offset 12 (sample rate LE u32 at offset 24,
@@ -388,16 +432,12 @@ def build() -> dict[str, str]:
         elif kind == "jpeg":
             w, h = _jpeg_dims_independent(payload)
             decode_rows.append((media_id, "jpeg", w, h, None, None))
-        else:
-            d = multimodal.decode_header_py(payload)
-            decode_rows.append(
-                (
-                    media_id, d["kind"], d["width"], d["height"],
-                    d["n_samples"], d["n_frames"],
-                )
-            )
-        for fi in multimodal.frame_sample_py(payload):
-            frame_rows.append((media_id, fi))
+        else:  # matroska
+            w, h, nf = _mkv_meta_independent(payload)
+            decode_rows.append((media_id, "matroska", w, h, None, nf))
+            # frame samples restated from the independent demux count
+            for fi in range(0, nf, 10):
+                frame_rows.append((media_id, fi))
 
     resize_rows = []
     for i, (media_id, kind, payload) in enumerate(rows):

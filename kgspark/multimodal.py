@@ -6,17 +6,18 @@ pure-Catalyst projection (magic-byte sniffing — stays in whole-stage codegen);
 decode / feature-extract runs through ``mapInPandas`` so each Arrow batch is
 processed vectorized with bounded memory (never a per-row Python UDF).
 
-The sandbox ships no image/audio libraries.  PNG, GIF, WAV, and JPEG are
+The sandbox ships no image/audio libraries.  All five kinds are
 nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
 unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
 for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
-JPEG) decode any standards-conforming file of the supported profiles;
-image resize and audio resample re-encode a valid file of the same
-format.  The remaining kind (Matroska) is a clearly-marked deterministic
-stand-in: synthetic header parsed directly; "features" everywhere are
-sha-derived floats standing in for a real encoder.  Swapping in
-Pillow/ffmpeg changes only those kernel branches — the Spark plumbing
-(schema, batch shape, partitioning) is identical.
+JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video Matroska) decode
+any standards-conforming file of the supported profiles; image resize and
+audio resample re-encode a valid file of the same format, and video frame
+sampling indexes genuinely demuxed SimpleBlocks.  The one stand-in left
+is "features": sha-derived floats standing in for a real ML encoder.
+Swapping in Pillow/ffmpeg/a vision model changes only those kernel
+branches — the Spark plumbing (schema, batch shape, partitioning) is
+identical.
 
 The reference has no media path at all; this module is part of the
 beyond-reference training-pipeline surface the build calls for.
@@ -100,7 +101,7 @@ _FEATURE_SCHEMA = StructType(
 
 
 def decode_header_py(payload: bytes) -> dict:
-    """Header decode: REAL for PNG, GIF, WAV, and JPEG; stand-in for Matroska.
+    """Header decode: REAL for all five kinds.
 
     PNG parses the genuine chunk layout — the IHDR chunk that immediately
     follows the 8-byte signature carries big-endian u32 width/height at
@@ -110,10 +111,11 @@ def decode_header_py(payload: bytes) -> dict:
     stream (:func:`wav_parse_chunks`): sample count = data-chunk byte
     length / fmt block-align.  JPEG walks the genuine marker-segment
     stream to the first SOFn frame header (:func:`kgspark.jpegcodec.
-    parse_dims`).  All four read any standards-conforming file, not just
-    the synthetic corpus.  Matroska still parses the fixed synthetic
-    layout (bytes [8:16], two big-endian u32s) — a production build swaps
-    that branch for pyav; everything around it stays unchanged.
+    parse_dims`).  Matroska walks the genuine EBML element tree to the
+    video track's PixelWidth/PixelHeight and counts demuxed SimpleBlocks
+    (:func:`kgspark.mkvcodec.parse_meta`).  All five read any
+    standards-conforming file of the supported profiles, not just the
+    synthetic corpus.
     """
     magic = payload[:8].hex().upper()
     kind = "unknown"
@@ -141,10 +143,13 @@ def decode_header_py(payload: bytes) -> dict:
             w, h = jpegcodec.parse_dims(payload)
         except (ValueError, struct.error):
             w = h = None
-    elif kind == "matroska" and len(payload) >= 16:
-        a, b = struct.unpack(">II", payload[8:16])
-        frames = a
-        w, h = b >> 16, b & 0xFFFF
+    elif kind == "matroska":
+        from . import mkvcodec
+
+        try:
+            w, h, frames = mkvcodec.parse_meta(payload)
+        except (ValueError, IndexError, struct.error):
+            w = h = frames = None
     return {
         "kind": kind,
         "width": w,
@@ -324,7 +329,8 @@ def media_features(df: DataFrame, id_col: str = "media_id", binary_col: str = "p
 
 
 def frame_sample_py(payload: bytes, every: int = 10) -> list[int]:
-    """Frame-sampling stand-in: indices of sampled frames for video payloads."""
+    """Every-Nth frame indices for video payloads — the frame count comes
+    from genuinely demuxed Matroska SimpleBlocks (kgspark.mkvcodec)."""
     meta = decode_header_py(payload)
     n = meta["n_frames"] or 0
     return list(range(0, n, every))
