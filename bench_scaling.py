@@ -296,8 +296,19 @@ def main() -> None:
         f"(corpus size via SPARK_GRAFT_SCALING_DOCS, default {N_DOCS}).",
         "",
     ]
+    # Replace only the scaling section (everything before the first "## "
+    # heading); later sections of BASELINE.md carry other rounds' evidence
+    # and must survive a scaling re-run.
+    tail = ""
+    if os.path.exists(report):
+        prev = open(report).read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            tail = prev[cut + 1 :]
     with open(report, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write(tail)
     print(
         json.dumps(
             {
