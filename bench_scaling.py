@@ -301,10 +301,11 @@ def main() -> None:
     # and must survive a scaling re-run.
     tail = ""
     if os.path.exists(report):
-        prev = open(report).read()
+        with open(report) as f:
+            prev = f.read()
         cut = prev.find("\n## ")
         if cut != -1:
-            tail = prev[cut + 1 :]
+            tail = prev[cut:]  # keep the newline: blank line before heading
     with open(report, "w") as f:
         f.write("\n".join(lines))
         if tail:

@@ -53,7 +53,7 @@ _MAGICS = {
     "png": bytes.fromhex("89504E470D0A1A0A"),
     "gif": b"GIF89a\x00\x00",
     "riff": b"RIFF\x00\x00\x00\x00",
-    "matroska": bytes.fromhex("1A45DFA393428288"),
+    "matroska": bytes.fromhex("1A45DFA3"),  # true EBML magic (4 bytes)
 }
 _KINDS = list(_MAGICS)
 

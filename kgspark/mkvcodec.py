@@ -69,10 +69,13 @@ def vint_encode(value: int, min_len: int = 1) -> bytes:
     raise ValueError("EBML size too large")
 
 
-def vint_parse(buf: bytes, pos: int, keep_marker: bool) -> tuple:
+def vint_parse(
+    buf: bytes, pos: int, keep_marker: bool, allow_all_ones: bool = False
+) -> tuple:
     """(value, new_pos) for an EBML vint at ``pos``: the leading byte's
     marker-bit position gives the length; IDs keep the marker, sizes strip
-    it."""
+    it.  ``allow_all_ones`` is for non-size vints (block track numbers),
+    where the all-ones form is an ordinary value, not "unknown size"."""
     if pos >= len(buf):
         raise ValueError("EBML vint past end of stream")
     first = buf[pos]
@@ -84,6 +87,10 @@ def vint_parse(buf: bytes, pos: int, keep_marker: bool) -> tuple:
     v = int.from_bytes(buf[pos : pos + n], "big")
     if not keep_marker:
         v &= (1 << (7 * n)) - 1  # strip the n-bit length-marker prefix
+        if v == (1 << (7 * n)) - 1 and not allow_all_ones:
+            # RFC 8794 all-ones form: "unknown size" (streamed live-mux
+            # output) — refuse cleanly instead of walking garbage
+            raise ValueError("unknown-size EBML elements unsupported")
     return v, pos + n
 
 
@@ -156,7 +163,12 @@ def parse_mkv(payload: bytes) -> tuple:
     return (width, height, frames) where frames are the raw SimpleBlock
     payloads in stream order.  Raises ValueError on non-matroska DocTypes,
     laced blocks, and truncated structure rather than guessing."""
+    return _scan(payload, collect=True)
+
+
+def _scan(payload: bytes, collect: bool) -> tuple:
     w = h = None
+    n_frames = 0
     frames: list = []
     doctype = None
     for eid, s, e in _walk(payload, 0, len(payload)):
@@ -184,18 +196,27 @@ def parse_mkv(payload: bytes) -> tuple:
                     for bid, bs, be in _walk(payload, cs, ce):
                         if bid != SIMPLE_BLOCK:
                             continue
-                        _track, p = vint_parse(payload, bs, keep_marker=False)
+                        _track, p = vint_parse(
+                            payload, bs, keep_marker=False, allow_all_ones=True
+                        )
                         p += 2  # s16 relative timestamp
+                        if p + 1 > be:
+                            raise ValueError("truncated SimpleBlock header")
                         flags = payload[p]
                         if flags & 0x06:
                             raise ValueError("laced SimpleBlocks unsupported")
-                        frames.append(payload[p + 1 : be])
+                        if collect:
+                            frames.append(payload[p + 1 : be])
+                        else:
+                            n_frames += 1
     if w is None or h is None:
         raise ValueError("matroska stream has no video track dims")
-    return w, h, frames
+    return (w, h, frames) if collect else (w, h, n_frames)
 
 
 def parse_meta(payload: bytes) -> tuple:
-    """(width, height, n_frames) — full structural walk, frames counted."""
-    w, h, frames = parse_mkv(payload)
-    return w, h, len(frames)
+    """(width, height, n_frames) — full structural walk with the same
+    validation as :func:`parse_mkv`, but SimpleBlock bodies are counted by
+    declared size, never copied (the mapInPandas decode hot path calls
+    this per row)."""
+    return _scan(payload, collect=False)

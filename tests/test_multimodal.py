@@ -538,6 +538,45 @@ def test_mkv_codec_roundtrip_properties():
         except ValueError:
             pass
 
+    # r4 review hardening: a SimpleBlock whose declared size truncates its
+    # own header must raise ValueError (never IndexError / a bogus frame),
+    # an unknown-size (all-ones) element is refused cleanly, and the
+    # all-ones form as a block TRACK NUMBER (track 127) still parses.
+    def _mkv_with_block(block: bytes) -> bytes:
+        inner = mkvcodec.element(
+            mkvcodec.TRACKS,
+            mkvcodec.element(
+                mkvcodec.TRACK_ENTRY,
+                mkvcodec._uint(mkvcodec.TRACK_TYPE, 1)
+                + mkvcodec.element(
+                    mkvcodec.VIDEO,
+                    mkvcodec._uint(mkvcodec.PIXEL_WIDTH, 4)
+                    + mkvcodec._uint(mkvcodec.PIXEL_HEIGHT, 4),
+                ),
+            ),
+        ) + mkvcodec.element(
+            mkvcodec.CLUSTER, mkvcodec._uint(mkvcodec.TIMESTAMP, 0) + block
+        )
+        return header + mkvcodec.element(mkvcodec.SEGMENT, inner)
+
+    short = _mkv_with_block(mkvcodec.element(mkvcodec.SIMPLE_BLOCK, b"\x81\x00"))
+    for fn in (mkvcodec.parse_mkv, mkvcodec.parse_meta):
+        try:
+            fn(short)
+            assert False, "expected ValueError on truncated SimpleBlock"
+        except ValueError:
+            pass
+    unk = header + mkvcodec._id_bytes(mkvcodec.SEGMENT) + b"\xff" + bytes(10)
+    try:
+        mkvcodec.parse_mkv(unk)
+        assert False, "expected ValueError on unknown-size element"
+    except ValueError as e:
+        assert "unknown-size" in str(e)
+    t127 = _mkv_with_block(
+        mkvcodec.element(mkvcodec.SIMPLE_BLOCK, b"\xff\x00\x00\x80" + bytes(16))
+    )
+    assert mkvcodec.parse_meta(t127) == (4, 4, 1)
+
 
 def test_mkv_payloads_are_real_decodable_files():
     """Corpus Matroska files are valid EBML: true element tree, real video
