@@ -75,8 +75,13 @@ def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
-    """GIF-flavor LZW: packed code bytes → index stream."""
+def lzw_decode(
+    data: bytes, min_code_size: int = 8, max_out: int | None = None
+) -> bytes:
+    """GIF-flavor LZW: packed code bytes → index stream.  ``max_out``
+    bounds the decoded size (callers know it from the image descriptor) so
+    a crafted high-expansion stream cannot balloon memory — a decode that
+    would exceed it raises instead of allocating."""
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -116,6 +121,8 @@ def lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         else:
             raise ValueError(f"corrupt LZW stream: code {code}")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZW output exceeds declared image size")
         if prev is not None and len(table) < _TABLE_CAP:
             table.append(prev + entry[:1])
             # early change: widen one entry before the encoder's assignment
@@ -181,6 +188,8 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
                 n = 2 << (ipacked & 0x07)
                 palette = payload[pos : pos + 3 * n]
                 pos += 3 * n
+            if not iw or not ih or iw * ih > (1 << 24):
+                raise ValueError("GIF dims outside supported profile")
             mcs = payload[pos]
             pos += 1
             data = bytearray()
@@ -188,7 +197,9 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
                 ln = payload[pos]
                 data.extend(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
-            idx = lzw_decode(bytes(data), mcs)
+            # bound: exact pixels + one table-cap entry of slack (the
+            # final LZW entry lands whole before the size check)
+            idx = lzw_decode(bytes(data), mcs, max_out=iw * ih + _TABLE_CAP)
             if len(idx) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
             return iw, ih, palette, idx[: iw * ih]

@@ -323,6 +323,10 @@ def _parse_scan(payload: bytes) -> tuple:
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8 or nc != 1:
                 raise ValueError("unsupported JPEG profile (grayscale 8-bit only)")
+            if not w or not h or w * h > (1 << 24):
+                # cap BEFORE the decoder allocates w*h: a crafted SOF0
+                # claiming 65535x65535 must not reserve 4 GB per row
+                raise ValueError("JPEG dims outside supported profile")
             if data[7] != 0x11:
                 raise ValueError("subsampling unsupported")
             sof = (w, h, data[8])

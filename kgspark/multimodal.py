@@ -238,10 +238,15 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length  # len + type + data + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if not w or not h or w * h > (1 << 24):
+        raise ValueError("PNG dims outside supported profile")
     stride = 1 + 3 * w
+    # bounded inflate: cap at the size the IHDR promises (+1 to detect
+    # overrun) so a crafted deflate bomb cannot balloon memory
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), h * stride + 1)
     if len(raw) != h * stride:
-        raise ValueError("PNG pixel data truncated")
+        raise ValueError("PNG pixel data truncated or oversized")
     out = bytearray()
     for y in range(h):
         row = raw[y * stride : (y + 1) * stride]

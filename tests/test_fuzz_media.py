@@ -1,0 +1,159 @@
+"""Property fuzz for the media kernels: arbitrary bytes must NEVER raise.
+
+At 100 TB, malformed payloads are a certainty, and one uncaught exception
+in a mapInPandas kernel kills the whole Spark job — so the row-skip /
+null-degrade contract of kgspark.multimodal is pinned here with Hypothesis
+over three input families: pure random bytes behind each real magic,
+random mutations of valid corpus files, and adversarial allocation shapes
+(giant declared dims, decompression bombs) that must fail CHEAPLY (bounded
+work) as well as cleanly.
+
+Pure-Python kernels only — no SparkSession — so the fuzz stays fast enough
+for the default gate.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgspark import datagen_media, gifcodec, jpegcodec, mkvcodec, multimodal
+
+MAGICS = [
+    b"",
+    b"\xff\xd8\xff\xe0",
+    bytes.fromhex("89504E470D0A1A0A"),
+    b"GIF89a",
+    b"GIF87a",
+    b"RIFF",
+    b"RIFF\x00\x00\x00\x00WAVE",
+    bytes.fromhex("1A45DFA3"),
+]
+
+# one valid file of each kind, mutated by the second family below
+_CORPUS = [p for _m, _k, p in datagen_media.media_rows(5, 42)]
+
+
+@given(st.sampled_from(MAGICS), st.binary(max_size=300))
+@settings(max_examples=250, deadline=None)
+def test_decode_header_never_raises_on_garbage(magic, junk):
+    d = multimodal.decode_header_py(magic + junk)
+    assert isinstance(d, dict) and "kind" in d
+
+
+@given(st.sampled_from(MAGICS), st.binary(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_resize_resample_framesample_never_raise_on_garbage(magic, junk):
+    payload = magic + junk
+    multimodal.resize_py(payload, 16, 16)
+    multimodal.resample_py(payload, 8000)
+    multimodal.frame_sample_py(payload)
+    multimodal.feature_py(payload)
+
+
+@given(
+    st.integers(0, len(_CORPUS) - 1),
+    st.lists(
+        st.tuples(st.integers(0, 1 << 30), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_mutated_valid_files_never_raise(idx, flips):
+    """Byte-flip mutations of real corpus files: every kernel either still
+    succeeds or skips/nulls the row — never an exception."""
+    buf = bytearray(_CORPUS[idx])
+    for pos, val in flips:
+        buf[pos % len(buf)] = val
+    payload = bytes(buf)
+    d = multimodal.decode_header_py(payload)
+    assert isinstance(d, dict)
+    multimodal.resize_py(payload, 16, 16)
+    multimodal.resample_py(payload, 8000)
+    multimodal.frame_sample_py(payload)
+
+
+@given(
+    st.integers(0, len(_CORPUS) - 1),
+    st.integers(0, 1 << 30),
+)
+@settings(max_examples=100, deadline=None)
+def test_truncated_valid_files_never_raise(idx, cut):
+    payload = _CORPUS[idx][: cut % (len(_CORPUS[idx]) + 1)]
+    multimodal.decode_header_py(payload)
+    multimodal.resize_py(payload, 16, 16)
+    multimodal.resample_py(payload, 8000)
+    multimodal.frame_sample_py(payload)
+
+
+def _png_chunk(t: bytes, d: bytes) -> bytes:
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def test_allocation_shapes_fail_cheaply():
+    """Adversarial allocation shapes: giant declared dims and decompression
+    bombs must raise ValueError from the codec (and skip the row in the
+    kernels) without doing work proportional to the CLAIMED size."""
+    # JPEG SOF0 claiming 65535x65535 (a 4 GB pixel buffer if honored)
+    f = datagen_media.make_jpeg_file(16, 16, bytes(range(32)))
+    i = f.index(b"\xff\xc0")
+    big = f[: i + 5] + struct.pack(">HH", 65535, 65535) + f[i + 9 :]
+    try:
+        jpegcodec.decode_jpeg(big)
+        assert False
+    except ValueError:
+        pass
+    assert multimodal.resize_py(big, 16, 16) is None
+    # parse_dims (header-only, no allocation) still reports the raw header
+    assert jpegcodec.parse_dims(big) == (65535, 65535)
+
+    # PNG IHDR 4x4 whose IDAT inflates to 100 MB (deflate bomb)
+    bomb = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(100_000_000), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    try:
+        multimodal.png_decode_pixels(bomb)
+        assert False
+    except ValueError:
+        pass
+    assert multimodal.resize_py(bomb, 16, 16) is None
+
+    # GIF descriptor 8x8 whose LZW stream decodes to 200k indices
+    lzw = gifcodec.lzw_encode(bytes(200_000))
+    crafted = (
+        b"GIF89a" + struct.pack("<HH", 8, 8) + bytes([0x87, 0, 0]) + bytes(768)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8) + b"\x00" + b"\x08"
+        + b"".join(
+            bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        + b"\x00\x3b"
+    )
+    try:
+        gifcodec.parse_gif(crafted)
+        assert False
+    except ValueError:
+        pass
+    assert multimodal.resize_py(crafted, 16, 16) is None
+
+    # Matroska element declaring a size far past the buffer
+    hdr = mkvcodec.element(
+        mkvcodec.EBML_HEADER, mkvcodec.element(mkvcodec.DOCTYPE, b"matroska")
+    )
+    huge = hdr + mkvcodec._id_bytes(mkvcodec.SEGMENT) + mkvcodec.vint_encode(
+        1 << 40
+    )
+    try:
+        mkvcodec.parse_mkv(huge)
+        assert False
+    except ValueError:
+        pass
+    d = multimodal.decode_header_py(huge)
+    assert d["kind"] == "matroska" and d["width"] is None
