@@ -13,11 +13,13 @@ for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
 JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video Matroska) decode
 any standards-conforming file of the supported profiles; image resize and
 audio resample re-encode a valid file of the same format, and video frame
-sampling indexes genuinely demuxed SimpleBlocks.  The one stand-in left
-is "features": sha-derived floats standing in for a real ML encoder.
-Swapping in Pillow/ffmpeg/a vision model changes only those kernel
-branches — the Spark plumbing (schema, batch shape, partitioning) is
-identical.
+sampling indexes genuinely demuxed SimpleBlocks.  Feature vectors are
+CONTENT-derived (moments of the decoded pixels/samples, invariant to
+container metadata — the property media near-dup needs); only
+undecodable payloads fall back to sha-derived floats, the labeled swap
+point for a real vision/audio encoder.  Swapping in Pillow/ffmpeg/a
+vision model changes only those kernel branches — the Spark plumbing
+(schema, batch shape, partitioning) is identical.
 
 The reference has no media path at all; this module is part of the
 beyond-reference training-pipeline surface the build calls for.
@@ -284,18 +286,88 @@ def png_encode(w: int, h: int, rgb: bytes) -> bytes:
     )
 
 
-def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
-    """Deterministic fake embedding: sha256-derived floats in [-1, 1).
+def _decoded_samples(payload: bytes) -> tuple:
+    """(kind_index, samples in [0, 1]) decoded by the REAL codec for the
+    payload's kind, or (idx, None) when the body doesn't decode.  Sample
+    count is bounded by deterministic striding, so feature cost is O(min(
+    content, 4096)) after decode."""
+    d = decode_header_py(payload)
+    kinds = [k for _m, k in MAGIC_KINDS]
+    kidx = kinds.index(d["kind"]) if d["kind"] in kinds else len(kinds)
+    vals: list | None = None
+    try:
+        if d["kind"] == "png":
+            _w, _h, rgb = png_decode_pixels(payload)
+            vals = [b / 255.0 for b in rgb]
+        elif d["kind"] == "gif":
+            from . import gifcodec
 
-    Stand-in for a real vision/audio encoder; keeps the downstream ANN /
-    near-dup operators (kgspark.vecops) exercisable on media columns.
+            _w, _h, palette, idx = gifcodec.parse_gif(payload)
+            palette = palette.ljust(768, b"\x00")
+            vals = [
+                (palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2])
+                / 765.0
+                for i in idx
+            ]
+        elif d["kind"] == "jpeg":
+            from . import jpegcodec
+
+            _w, _h, gray = jpegcodec.decode_jpeg(payload)
+            vals = [b / 255.0 for b in gray]
+        elif d["kind"] == "riff":
+            _rate, samples = wav_decode_pcm(payload)
+            vals = [(s + 32768) / 65535.0 for s in samples]
+        elif d["kind"] == "matroska":
+            from . import mkvcodec
+
+            _w, _h, frames = mkvcodec.parse_mkv(payload)
+            vals = [b / 255.0 for f in frames for b in f]
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+        vals = None
+    if not vals:
+        return kidx, None
+    step = -(-len(vals) // 4096)  # ceil: at most 4096 samples survive
+    return kidx, vals[::step]
+
+
+def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """Deterministic CONTENT-derived descriptor in [-1, 1): decode the
+    payload with the real codec for its kind and compute moments of the
+    decoded samples — mean, spread, quartiles, first-difference energy,
+    log-size, kind — so two different FILES with identical decoded content
+    (re-mux, extension blocks, metadata changes) get IDENTICAL features,
+    the property media near-dup actually needs.  Undecodable payloads fall
+    back to sha256-derived floats (labeled; the swap point for a real
+    vision/audio encoder).  Keeps the downstream ANN / near-dup operators
+    (kgspark.vecops) exercisable on media columns.
     """
-    out = []
-    for i in range(dim):
-        h = hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
-        u = struct.unpack(">Q", h[:8])[0] / 2**64
-        out.append(round(2.0 * u - 1.0, 6))
-    return out
+    kidx, vals = _decoded_samples(payload)
+    if vals is None:
+        out = []
+        for i in range(dim):
+            h = hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+            u = struct.unpack(">Q", h[:8])[0] / 2**64
+            out.append(round(2.0 * u - 1.0, 6))
+        return out
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    srt = sorted(vals)
+    q25, q50, q75 = srt[n // 4], srt[n // 2], srt[(3 * n) // 4]
+    diff = (
+        sum(abs(vals[i] - vals[i - 1]) for i in range(1, n)) / (n - 1)
+        if n > 1
+        else 0.0
+    )
+    import math
+
+    logsize = min(1.0, math.log10(max(1, len(payload))) / 8.0)
+    kind_f = (kidx + 0.5) / (len(MAGIC_KINDS) + 1)
+    raw = [mean, min(1.0, var ** 0.5 * 2.0), q25, q50, q75,
+           min(1.0, diff * 4.0), logsize, kind_f]
+    return [
+        round(max(-1.0, min(0.999999, 2.0 * v - 1.0)), 6) for v in raw[:dim]
+    ]
 
 
 def decode_media(df: DataFrame, id_col: str = "media_id", binary_col: str = "payload") -> DataFrame:

@@ -616,3 +616,31 @@ def test_corrupt_mkv_rows_are_skipped_not_fatal():
         d = multimodal.decode_header_py(bad)
         assert d["kind"] == "matroska"
         assert d["width"] is None and d["n_frames"] is None
+
+
+def test_features_are_content_derived():
+    """feature_py computes moments of the DECODED content: two different
+    files with identical decoded pixels (a GIF with an extra comment
+    extension) share every content dimension; only the log-size dimension
+    moves.  Undecodable payloads fall back to sha floats without raising."""
+    from kgspark import gifcodec
+
+    gif = next(
+        p for _m, k, p in datagen_media.media_rows(N) if k == "gif"
+    )
+    with_ext = gif[: 13 + 768] + b"\x21\xfe\x03abc\x00" + gif[13 + 768 :]
+    assert gif != with_ext
+    assert gifcodec.parse_gif(gif)[3] == gifcodec.parse_gif(with_ext)[3]
+    a, b = multimodal.feature_py(gif), multimodal.feature_py(with_ext)
+    assert a[:6] == b[:6]
+
+    # every corpus kind decodes to content features (no fallback needed)
+    for _mid, kind, payload in datagen_media.media_rows(10):
+        kidx, vals = multimodal._decoded_samples(payload)
+        assert vals is not None, kind
+        assert len(vals) <= 4096 and all(0.0 <= v <= 1.0 for v in vals)
+
+    # garbage and truncated files take the sha fallback, never raise
+    for junk in (b"\x00\x01garbage", gif[:40], b""):
+        f = multimodal.feature_py(junk)
+        assert len(f) == 8 and all(-1.0 <= x < 1.0 for x in f)
