@@ -157,3 +157,40 @@ def test_allocation_shapes_fail_cheaply():
         pass
     d = multimodal.decode_header_py(huge)
     assert d["kind"] == "matroska" and d["width"] is None
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_encoder_roundtrip_arbitrary_dims(w, h, seed):
+    """make_jpeg emits a decodable file at ANY dims (including non-multiple
+    of 8 edges) whose decode is deterministic and dimension-exact."""
+    gray = bytes((seed + 37 * i) % 256 for i in range(w * h))
+    f = jpegcodec.make_jpeg(w, h, gray)
+    dw, dh, dec = jpegcodec.decode_jpeg(f)
+    assert (dw, dh) == (w, h) and len(dec) == w * h
+    assert jpegcodec.decode_jpeg(f)[2] == dec
+    assert jpegcodec.parse_dims(f) == (w, h)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 20),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_mkv_encoder_roundtrip_arbitrary_shapes(w, h, n_frames, seed):
+    """make_mkv emits a demuxable file for any dims/frame count (0 frames,
+    cluster boundaries at 8) with LOSSLESS frame round-trip."""
+    frames = [
+        bytes((seed + f * 31 + i) % 256 for i in range(w * h))
+        for f in range(n_frames)
+    ]
+    payload = mkvcodec.make_mkv(w, h, frames)
+    pw, ph, pf = mkvcodec.parse_mkv(payload)
+    assert (pw, ph) == (w, h) and pf == frames
+    assert mkvcodec.parse_meta(payload) == (w, h, n_frames)
