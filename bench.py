@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -72,26 +73,49 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entry.queries()
-    timings: dict[str, float] = {}
-    # best-of-REPS per query: rep 1 pays JIT/codegen for that plan shape and
-    # this VM has time-varying noisy-neighbor interference (identical configs
-    # swing 2x run-to-run — see BENCH/BASELINE.md); the min is the
-    # steady-state number a warmed cluster executor would see.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    for name in HEADLINE:
-        if name not in qmap:
-            continue
+    # reps >= 5 so the artifact carries its own noise bar: this VM has
+    # time-varying noisy-neighbor interference (identical configs swing
+    # 1.2-1.5x run-to-run — see BENCH/BASELINE.md r4 drift analysis).
+    # Rep 0 pays JIT/codegen for that plan shape and is ALWAYS the max,
+    # so it is a discarded warmup — stats over it would measure warmup,
+    # not noise.  Over the warm reps we report median (the headline),
+    # min (steady state), and spread (max/min) per query so every
+    # BENCH_r*.json can be read against its own dispersion instead of a
+    # guessed envelope.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+    def _timed_reps(make_df) -> list[float]:
         walls = []
         for _ in range(reps):
             # full cost per rep: drop the memoized web build + all cached
             # RDDs so a rep never times a fold-from-cache shortcut.
             entry._WEB_BUILT_CACHE.clear()
             spark.catalog.clearCache()
-            df = qmap[name](spark, sf_dir)
+            df = make_df()
             t0 = time.perf_counter()
             _force(df)
             walls.append(time.perf_counter() - t0)
-        timings[name] = round(min(walls), 3)
+        # drop the JIT warmup rep (keep it when reps == 1)
+        return walls[1:] if len(walls) > 1 else walls
+
+    # Constant-work Catalyst-only calibration probe: pure JVM range-sum,
+    # no input data, no Python, no shuffle of consequence.  Its timing is
+    # a per-run measurement of the box's noise level — if the probe's
+    # spread is 1.4x, a 1.4x swing on a code-unchanged query is noise.
+    cal_walls = _timed_reps(
+        lambda: spark.range(500_000_000).agg({"id": "sum"})
+    )
+
+    timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        walls = _timed_reps(lambda: qmap[name](spark, sf_dir))
+        timings[name] = round(statistics.median(walls), 3)
+        mins[name] = round(min(walls), 3)
+        spreads[name] = round(max(walls) / max(min(walls), 1e-9), 2)
     total = round(sum(timings.values()), 3)
     spark.stop()
     return {
@@ -99,6 +123,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "queries_spread": spreads,
+        "calibration": {
+            "probe": "range(5e8).sum()",
+            "median": round(statistics.median(cal_walls), 3),
+            "min": round(min(cal_walls), 3),
+            "spread": round(max(cal_walls) / max(min(cal_walls), 1e-9), 2),
+        },
         "reps": reps,
         "sf": _sf_from_dir(sf_dir),
     }

@@ -288,17 +288,26 @@ def to_dot(
     edge_table: DataFrame,
     cluster_by_doc: bool = True,
     max_nodes: int = 2000,
+    max_edges: int = 16000,
 ) -> str:
     """S9/G8: render the graph to Graphviz DOT, clustered by doc_id
     (examples/create_graph.rs:100-225).
 
-    Driver-side render — intended for SMALL graphs (dashboards, debugging);
-    guarded by ``max_nodes``.  Large-graph exports go through
-    :func:`kgspark.materialize.export_json` instead.
+    Driver-side render — intended for SMALL graphs (dashboards, debugging).
+    This is the repo's only unbounded-shape ``collect()``, so BOTH inputs
+    are counted against explicit ceilings BEFORE anything is collected:
+    ``max_nodes`` (default 2000) and ``max_edges`` (default 16000 — a
+    multigraph can exceed any node bound on edges alone).  Above either
+    bound the render raises ``ValueError`` rather than OOMing the driver;
+    large-graph exports go through :func:`kgspark.materialize.export_json`
+    instead.
     """
     n = vertex_table.count()
     if n > max_nodes:
         raise ValueError(f"graph too large to render: {n} nodes > {max_nodes}")
+    m = edge_table.count()
+    if m > max_edges:
+        raise ValueError(f"graph too large to render: {m} edges > {max_edges}")
     verts = sorted(
         vertex_table.collect(), key=lambda r: r["id"]
     )  # deterministic order (reference iterates HashMap order)

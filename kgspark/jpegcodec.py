@@ -190,6 +190,10 @@ def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
     """A VALID baseline JFIF file: SOI, APP0, DQT, SOF0 (grayscale, 1x1),
     DHT (Annex K luminance DC+AC), SOS, entropy-coded MCUs, EOI.  Edge
     blocks pad by clamp-to-edge replication."""
+    if w <= 0 or h <= 0:
+        # Mirror the decoder's dims guard: 0x0 would pass the length check
+        # with an empty buffer yet emit a file decode_jpeg itself rejects.
+        raise ValueError("JPEG dims outside supported profile")
     if len(gray) != w * h:
         raise ValueError("gray buffer does not match dims")
     dc = huff_codes(DC_BITS, DC_VALS)

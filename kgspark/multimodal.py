@@ -286,11 +286,26 @@ def png_encode(w: int, h: int, rgb: bytes) -> bytes:
     )
 
 
+_FEATURE_SAMPLE_CAP = 4096
+# Matroska has no per-frame dims cap analogous to the PNG/JPEG/GIF pixel
+# guards, so the feature path enforces its own total-decoded-bytes ceiling.
+_MKV_FEATURE_BYTE_CAP = 1 << 26
+
+
+def _strided(seq):
+    """Deterministic stride to at most _FEATURE_SAMPLE_CAP elements, taken
+    on the DECODED BYTES (or the decoder's native int list) BEFORE any
+    float conversion, so the feature kernel never materializes a
+    full-content Python float list (~30x the decoded byte size)."""
+    step = -(-len(seq) // _FEATURE_SAMPLE_CAP) or 1  # ceil; 1 for empty
+    return seq[::step]
+
+
 def _decoded_samples(payload: bytes) -> tuple:
     """(kind_index, samples in [0, 1]) decoded by the REAL codec for the
     payload's kind, or (idx, None) when the body doesn't decode.  Sample
-    count is bounded by deterministic striding, so feature cost is O(min(
-    content, 4096)) after decode."""
+    count is bounded by deterministic striding applied before float
+    conversion, so feature memory is O(4096 floats) past the decoder."""
     d = decode_header_py(payload)
     kinds = [k for _m, k in MAGIC_KINDS]
     kidx = kinds.index(d["kind"]) if d["kind"] in kinds else len(kinds)
@@ -298,7 +313,7 @@ def _decoded_samples(payload: bytes) -> tuple:
     try:
         if d["kind"] == "png":
             _w, _h, rgb = png_decode_pixels(payload)
-            vals = [b / 255.0 for b in rgb]
+            vals = [b / 255.0 for b in _strided(rgb)]
         elif d["kind"] == "gif":
             from . import gifcodec
 
@@ -307,27 +322,28 @@ def _decoded_samples(payload: bytes) -> tuple:
             vals = [
                 (palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2])
                 / 765.0
-                for i in idx
+                for i in _strided(idx)
             ]
         elif d["kind"] == "jpeg":
             from . import jpegcodec
 
             _w, _h, gray = jpegcodec.decode_jpeg(payload)
-            vals = [b / 255.0 for b in gray]
+            vals = [b / 255.0 for b in _strided(gray)]
         elif d["kind"] == "riff":
             _rate, samples = wav_decode_pcm(payload)
-            vals = [(s + 32768) / 65535.0 for s in samples]
+            vals = [(s + 32768) / 65535.0 for s in _strided(samples)]
         elif d["kind"] == "matroska":
             from . import mkvcodec
 
             _w, _h, frames = mkvcodec.parse_mkv(payload)
-            vals = [b / 255.0 for f in frames for b in f]
+            if sum(len(f) for f in frames) > _MKV_FEATURE_BYTE_CAP:
+                raise ValueError("matroska decoded volume above feature cap")
+            vals = [b / 255.0 for b in _strided(b"".join(frames))]
     except (ValueError, IndexError, KeyError, struct.error, zlib.error):
         vals = None
     if not vals:
         return kidx, None
-    step = -(-len(vals) // 4096)  # ceil: at most 4096 samples survive
-    return kidx, vals[::step]
+    return kidx, vals
 
 
 def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
@@ -365,6 +381,11 @@ def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     kind_f = (kidx + 0.5) / (len(MAGIC_KINDS) + 1)
     raw = [mean, min(1.0, var ** 0.5 * 2.0), q25, q50, q75,
            min(1.0, diff * 4.0), logsize, kind_f]
+    if dim > len(raw):
+        # Cycle the moment vector so the decoded path emits exactly dim
+        # floats, same as the sha fallback — mixed-length vectors in one
+        # feature column would break downstream cosine/ANN math.
+        raw = raw * -(-dim // len(raw))
     return [
         round(max(-1.0, min(0.999999, 2.0 * v - 1.0)), 6) for v in raw[:dim]
     ]

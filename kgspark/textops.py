@@ -98,6 +98,11 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The classic pre-training quality filters (C4/Gopher-style) re-expressed
     as pure Catalyst projections.
+
+    SPEC TWIN: the shipped fast path is :func:`quality_score_arrow` (the
+    registered ``text_quality`` query uses it); this Catalyst formulation
+    is kept as the executable specification and is exceptAll-gated against
+    the kernel row-for-row in ``tests/test_twins.py``.
     """
     t = _toks(text_col)
     stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])

@@ -36,8 +36,17 @@ def test_dot_render_clustered(built):
 
 def test_dot_render_size_guard(built):
     v, e = graph.vertices(built["entities"]), graph.edges(built["relations"])
-    with pytest.raises(ValueError, match="too large"):
+    with pytest.raises(ValueError, match="nodes > 1"):
         graph.to_dot(v, e, max_nodes=1)
+    # edge ceiling trips independently (multigraphs can exceed any node
+    # bound on edges alone) and must raise BEFORE any collect happens
+    with pytest.raises(ValueError, match="edges > 1"):
+        graph.to_dot(v, e, max_edges=1)
+    # just-above-the-bound: n nodes render fine at max_nodes=n, raise at n-1
+    n, m = v.count(), e.count()
+    assert graph.to_dot(v, e, max_nodes=n, max_edges=m).endswith("}")
+    with pytest.raises(ValueError, match="too large"):
+        graph.to_dot(v, e, max_nodes=n - 1)
 
 
 def test_export_json_roundtrip(spark, built, tmp_path):
