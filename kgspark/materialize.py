@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +85,23 @@ def iceberg_runtime_probe() -> dict:
     }
 
 
+# In-process reentrancy for the writer lease: root -> (owner thread, depth).
+# run_pipeline holds the lease for the whole batch while its canonical
+# rebuild may call truncate()/_record_history_reset(), which take it again.
+_LEASE_STATE: dict[str, list] = {}
+_LEASE_GUARD = threading.Lock()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - other-user pid exists
+        return True
+
+
 class Warehouse:
     """Parquet stage tables + manifest commits under one root directory."""
 
@@ -97,7 +116,7 @@ class Warehouse:
         # consumer opening the root concurrently with a running batch can
         # never race run_pipeline's manifest read-modify-write and drop a
         # committed run entry (ADVICE r3).  The stash lands inside the next
-        # legitimate _commit_manifest (single-writer by contract).
+        # legitimate _commit_manifest (serialized by the writer lease).
         probe = iceberg_runtime_probe()
         prev = self.manifest().get("iceberg_probe", {})
         self._pending_probe = (
@@ -125,6 +144,9 @@ class Warehouse:
     def _commit_manifest(self, m: dict) -> None:
         # atomic pointer swap — the parquet analog of an Iceberg snapshot
         # commit (and of the reference's temp+fsync+rename, storage/io.rs).
+        # Callers that READ the manifest before building ``m`` must hold
+        # the writer lease across read+commit (use :meth:`mutate_manifest`)
+        # or another writer's entry committed in between is dropped.
         if getattr(self, "_pending_probe", None) is not None:
             m["iceberg_probe"] = self._pending_probe
             self._pending_probe = None
@@ -134,6 +156,91 @@ class Warehouse:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())
+
+    def mutate_manifest(self, mutate) -> dict:
+        """Serialized manifest read-modify-write: re-read UNDER the writer
+        lease, apply ``mutate(m)`` in place, commit — two concurrent
+        writers on one root can never drop each other's run entries."""
+        with self.writer_lease():
+            m = self.manifest()
+            mutate(m)
+            self._commit_manifest(m)
+            return m
+
+    @contextmanager
+    def writer_lease(self, timeout_s: float = 600.0):
+        """Exclusive writer lease on this warehouse root — the
+        parquet-fallback analog of Iceberg's commit lock.
+
+        Concurrent batch writers SERIALIZE (the second blocks until the
+        first commits) instead of interleaving: the uncommitted-partition
+        sweep, the canonical-state rewrites, and the manifest
+        read-modify-write are all safe only under exclusive write access,
+        so the lease spans the whole batch, not just the manifest swap.
+        Cross-process via an O_EXCL lockfile holding the owner pid; a
+        lease whose recorded pid is dead (crashed writer) is stolen via a
+        rename so exactly one waiter wins.  Reentrant per (root, thread):
+        run_pipeline holds it while its canonical rebuild truncates state
+        tables, which take it again.  Read paths never take the lease —
+        construction and reads stay lock-free.
+        """
+        root = os.path.abspath(self.root)
+        me = threading.get_ident()
+        with _LEASE_GUARD:
+            st = _LEASE_STATE.get(root)
+            if st is not None and st[0] == me:
+                st[1] += 1
+                held = True
+            else:
+                held = False
+        if held:
+            try:
+                yield
+            finally:
+                with _LEASE_GUARD:
+                    _LEASE_STATE[root][1] -= 1
+            return
+        lock = os.path.join(self.root, ".writer.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                pid = 0
+                try:
+                    with open(lock) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pass
+                if pid and pid != os.getpid() and not _pid_alive(pid):
+                    # crashed writer: rename-steal so only ONE waiter wins
+                    try:
+                        stale = f"{lock}.stale-{pid}"
+                        os.rename(lock, stale)
+                        os.unlink(stale)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"warehouse writer lease at {lock} held by pid "
+                        f"{pid or '?'} past {timeout_s}s"
+                    )
+                time.sleep(0.05)
+        with _LEASE_GUARD:
+            _LEASE_STATE[root] = [me, 1]
+        try:
+            yield
+        finally:
+            with _LEASE_GUARD:
+                _LEASE_STATE.pop(root, None)
+            try:
+                os.unlink(lock)
+            except OSError:  # pragma: no cover - stolen after our crash
+                pass
 
     # -- IO ---------------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -259,21 +366,27 @@ def compact(wh: "Warehouse", name: str, target_partitions: int | None = None) ->
     ``.tmpnew`` dir is overwritten by the next compaction; after the commit
     but before the swap → a manifest entry with no partitions, harmless.
     Resume semantics are untouched — doc ids don't change, only file layout.
+    Holds the warehouse writer lease for the whole rewrite: an in-place
+    maintenance op must never interleave with a running batch.
     """
-    df = wh.read(name).drop("run_id")
-    n = target_partitions or wh.spark.sparkContext.defaultParallelism
-    m = wh.manifest()
-    base_rid = f"compact-{sum(1 for r in m['runs'] if str(r.get('run_id', '')).startswith('compact-'))}-{name}"
-    staged = df.repartition(n).withColumn("run_id", F.lit(base_rid))
-    staged.write.mode("overwrite").partitionBy("run_id").parquet(
-        wh.table_path(name + ".tmpnew")
-    )
-    m["runs"].append({"run_id": base_rid, "compaction": name})
-    wh._commit_manifest(m)
-    _swap(wh, name)
-    out = wh._metrics(name, wh.read(name))
-    out["compacted_to"] = base_rid
-    return out
+    with wh.writer_lease():
+        df = wh.read(name).drop("run_id")
+        n = target_partitions or wh.spark.sparkContext.defaultParallelism
+        m = wh.manifest()
+        base_rid = f"compact-{sum(1 for r in m['runs'] if str(r.get('run_id', '')).startswith('compact-'))}-{name}"
+        staged = df.repartition(n).withColumn("run_id", F.lit(base_rid))
+        staged.write.mode("overwrite").partitionBy("run_id").parquet(
+            wh.table_path(name + ".tmpnew")
+        )
+        wh.mutate_manifest(
+            lambda mm: mm["runs"].append(
+                {"run_id": base_rid, "compaction": name}
+            )
+        )
+        _swap(wh, name)
+        out = wh._metrics(name, wh.read(name))
+        out["compacted_to"] = base_rid
+        return out
 
 
 def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> int:
@@ -293,30 +406,32 @@ def delete_ids(wh: "Warehouse", name: str, id_col: str, ids_df: DataFrame) -> in
     while tier 2 still prevents duplicate rows; the state then rebuilds.
     (A delete from ``docs`` alone is NOT made re-feedable: tier 2 would
     still block the rows — delete from both tables to remove a doc.)"""
-    before = wh.read(name)
-    doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
-    # ADVICE r3: a delete that matches NOTHING must be a true no-op — no
-    # history-reset entry (which would invalidate every earlier read_as_of
-    # snapshot) and no seen_inputs truncate (which would force a full
-    # O(input) re-extraction pass on the next batch).
-    if before.join(doomed, id_col, "left_semi").limit(1).count() == 0:
-        return 0
-    if name == "doc_status" and wh.exists("seen_inputs"):
-        truncate(wh, "seen_inputs")
-    n_before = before.count()
-    kept = before.join(doomed, id_col, "left_anti")
-    writer = kept.write.mode("overwrite")
-    if "run_id" in kept.columns:
-        # preserve the run_id partition layout so later incremental appends
-        # keep landing as hive partitions (mixed layouts break reads)
-        writer = writer.partitionBy("run_id")
-    writer.parquet(wh.table_path(name + ".tmpnew"))
-    # record BEFORE the swap: a crash between the two at worst leaves a
-    # spurious reset entry (snapshots refuse conservatively), never a
-    # rewritten table with addressable-but-wrong history
-    _record_history_reset(wh, name)
-    _swap(wh, name)
-    return n_before - wh.read(name).count()
+    with wh.writer_lease():
+        before = wh.read(name)
+        doomed = ids_df.select(F.col(ids_df.columns[0]).alias(id_col))
+        # ADVICE r3: a delete that matches NOTHING must be a true no-op — no
+        # history-reset entry (which would invalidate every earlier
+        # read_as_of snapshot) and no seen_inputs truncate (which would
+        # force a full O(input) re-extraction pass on the next batch).
+        if before.join(doomed, id_col, "left_semi").limit(1).count() == 0:
+            return 0
+        if name == "doc_status" and wh.exists("seen_inputs"):
+            truncate(wh, "seen_inputs")
+        n_before = before.count()
+        kept = before.join(doomed, id_col, "left_anti")
+        writer = kept.write.mode("overwrite")
+        if "run_id" in kept.columns:
+            # preserve the run_id partition layout so later incremental
+            # appends keep landing as hive partitions (mixed layouts break
+            # reads)
+            writer = writer.partitionBy("run_id")
+        writer.parquet(wh.table_path(name + ".tmpnew"))
+        # record BEFORE the swap: a crash between the two at worst leaves a
+        # spurious reset entry (snapshots refuse conservatively), never a
+        # rewritten table with addressable-but-wrong history
+        _record_history_reset(wh, name)
+        _swap(wh, name)
+        return n_before - wh.read(name).count()
 
 
 def _record_history_reset(wh: "Warehouse", name: str) -> None:
@@ -324,12 +439,18 @@ def _record_history_reset(wh: "Warehouse", name: str) -> None:
     partitions were rewritten/removed in place, so snapshots that predate
     this point are no longer addressable (``read_as_of`` raises instead of
     returning wrong rows)."""
-    m = wh.manifest()
-    n = sum(
-        1 for r in m["runs"] if str(r.get("run_id", "")).startswith("maintenance-")
-    )
-    m["runs"].append({"run_id": f"maintenance-{n}", "history_reset": [name]})
-    wh._commit_manifest(m)
+
+    def _append(m: dict) -> None:
+        n = sum(
+            1
+            for r in m["runs"]
+            if str(r.get("run_id", "")).startswith("maintenance-")
+        )
+        m["runs"].append(
+            {"run_id": f"maintenance-{n}", "history_reset": [name]}
+        )
+
+    wh.mutate_manifest(_append)
 
 
 def truncate(wh: "Warehouse", name: str) -> None:
@@ -343,12 +464,13 @@ def truncate(wh: "Warehouse", name: str) -> None:
     re-fed pages away forever."""
     import shutil
 
-    if name == "doc_status" and wh.exists("seen_inputs"):
-        truncate(wh, "seen_inputs")
-    p = wh.table_path(name)
-    if os.path.exists(p):
-        _record_history_reset(wh, name)
-        shutil.rmtree(p)
+    with wh.writer_lease():
+        if name == "doc_status" and wh.exists("seen_inputs"):
+            truncate(wh, "seen_inputs")
+        p = wh.table_path(name)
+        if os.path.exists(p):
+            _record_history_reset(wh, name)
+            shutil.rmtree(p)
 
 
 def docs_by_track_id(status_table: DataFrame, track_id: str) -> DataFrame:
@@ -506,8 +628,10 @@ def _cleanup_uncommitted(wh: Warehouse) -> None:
     NOT in doc_status — a rerun would pass the anti-join and append the
     same rows a second time.  Sweeping uncommitted partitions at batch
     start restores exactly-once semantics (the Iceberg analog: an aborted
-    commit's data files are never referenced by a snapshot).  Single-writer
-    assumption, same as the reference's storage layer.
+    commit's data files are never referenced by a snapshot).  Runs under
+    the caller's writer lease (run_pipeline holds it for the batch), so a
+    concurrent writer's in-flight partitions can never be mistaken for a
+    crashed run's orphans.
     """
     import shutil
     from urllib.parse import unquote
@@ -565,7 +689,24 @@ def run_pipeline(
     semantics).  The extraction diamond (docs feeds chunks/status;
     extracted feeds entities/relations/triples) is persisted once per
     batch instead of recomputed per stage write.
+
+    Multi-writer safety: the whole batch runs under the warehouse writer
+    lease (:meth:`Warehouse.writer_lease`) — two concurrent batch writers
+    on one root serialize instead of interleaving, so the uncommitted
+    sweep can never remove the other writer's in-flight partitions and
+    the manifest commit can never drop the other writer's run entry.
     """
+    with wh.writer_lease():
+        return _run_pipeline_locked(spark, web_pages, wh, run_id, check_digest)
+
+
+def _run_pipeline_locked(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    wh: Warehouse,
+    run_id: str,
+    check_digest: bool,
+) -> dict:
     from pyspark.storagelevel import StorageLevel
 
     t0 = time.perf_counter()
@@ -697,11 +838,12 @@ def run_pipeline(
             "wall_s": round(time.perf_counter() - t0, 3),
             "stages": stage_metrics,
         }
-        m = wh.manifest()
-        m["runs"].append(entry)
-        if map_fp is not None:
-            m["canonical_map_fp"] = map_fp
-        wh._commit_manifest(m)
+        def _append(m: dict) -> None:
+            m["runs"].append(entry)
+            if map_fp is not None:
+                m["canonical_map_fp"] = map_fp
+
+        wh.mutate_manifest(_append)
         return entry
     finally:
         for df in persisted:

@@ -500,3 +500,77 @@ def test_delete_then_refeed_restores_deleted_docs(spark, tmp_path):
     assert e["processed_docs"] == 3
     assert wh.read("docs").drop("run_id").count() == before
     assert wh.read("docs").select("doc_id").distinct().count() == before
+
+
+# ------------------------------------------------------------- writer lease
+
+def test_two_writer_race_both_runs_survive(spark, tmp_path):
+    """Two concurrent batch writers on ONE warehouse root: the writer lease
+    serializes them, so both manifest entries survive the read-modify-write
+    and neither's sweep removes the other's in-flight partitions."""
+    import threading
+
+    wh = Warehouse(spark, str(tmp_path / "race"))
+    webs = {
+        "race-a": datagen.web_pages(spark, 15, 7),
+        "race-b": datagen.web_pages(spark, 15, 8),
+    }
+    errs: list[Exception] = []
+
+    def go(rid):
+        try:
+            materialize.run_pipeline(spark, webs[rid], wh, run_id=rid)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=(rid,)) for rid in webs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rids = [r["run_id"] for r in wh.manifest()["runs"]]
+    assert "race-a" in rids and "race-b" in rids
+    # both writers' committed partitions are present and the sweep removes
+    # nothing committed
+    docs_before = wh.read("docs").count()
+    per_run = dict(
+        wh.read("docs").groupBy("run_id").count().rdd
+        .map(lambda r: (r["run_id"], r["count"])).collect()
+    )
+    assert set(per_run) >= {"race-a", "race-b"}
+    materialize._cleanup_uncommitted(wh)
+    assert wh.read("docs").count() == docs_before
+
+
+def test_writer_lease_steals_stale_lock_and_times_out(spark, tmp_path):
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path / "lease"))
+    lock = os.path.join(wh.root, ".writer.lock")
+
+    # a crashed writer's lock (dead pid) is stolen, not waited out: a
+    # just-reaped child's pid is guaranteed dead (and not yet recycled)
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(lock, "w") as f:
+        f.write(str(child.pid))
+    with wh.writer_lease(timeout_s=5.0):
+        pass  # stolen and acquired
+
+    # a LIVE holder (this very pid, simulating another process) is honored
+    # until timeout
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with _pytest.raises(TimeoutError):
+        with wh.writer_lease(timeout_s=0.3):
+            pass
+    os.unlink(lock)
+
+    # reentrant: nested acquisition by the holding thread must not deadlock
+    with wh.writer_lease(timeout_s=2.0):
+        with wh.writer_lease(timeout_s=2.0):
+            wh.mutate_manifest(lambda m: m.setdefault("runs", []))
