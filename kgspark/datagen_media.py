@@ -11,9 +11,9 @@ files:
     seeded sample rate) followed by a ``data`` chunk of seeded int16
     samples;
 
-  * JPEG — baseline JFIF, grayscale, no subsampling: SOI/APP0/DQT/SOF0/
-    DHT/SOS with T.81 Annex K tables and real DCT-coded entropy data
-    (:mod:`kgspark.jpegcodec`);
+  * JPEG — baseline JFIF, grayscale or 4:4:4 YCbCr color (alternating by
+    seed), no subsampling: SOI/APP0/DQT/SOF0/DHT/SOS with T.81 Annex K
+    tables and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
   * Matroska — a genuine EBML tree (header, Segment, Info, one
     V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
     via :mod:`kgspark.mkvcodec`;
@@ -149,6 +149,27 @@ def make_jpeg_file(w: int, h_px: int, h: bytes) -> bytes:
     return jpegcodec.make_jpeg(w, h_px, gray)
 
 
+def jpeg_rgb_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
+    """Seeded deterministic RGB pattern for COLOR JPEGs (encoder input;
+    lossy — see the jpeg_pixel note)."""
+    return (
+        (x * 3 + y * 5 + (x // 8) * h[2]) % 256,
+        (x * 7 + y * 3 + (y // 8) * h[3]) % 256,
+        (x * 5 + y * 7 + h[4]) % 256,
+    )
+
+
+def make_jpeg_color_file(w: int, h_px: int, h: bytes) -> bytes:
+    """A VALID baseline JFIF 4:4:4 YCbCr COLOR file, seeded RGB pattern."""
+    rgb = bytes(
+        c
+        for y in range(h_px)
+        for x in range(w)
+        for c in jpeg_rgb_pixel(x, y, h)
+    )
+    return jpegcodec.make_jpeg_color(w, h_px, rgb)
+
+
 _WAV_RATES = (8000, 11025, 16000, 22050)
 
 
@@ -199,8 +220,11 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":
-        # real decodable file; dims kept <=127 so DCT block count stays small
-        payload = make_jpeg_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+        # real decodable file; dims kept <=127 so DCT block count stays small.
+        # Alternate grayscale / 4:4:4-color by seed so both entropy layouts
+        # (one- and three-component interleaved MCUs) live in the corpus.
+        mk = make_jpeg_color_file if h[5] % 2 else make_jpeg_file
+        payload = mk(24 + h[0] % 104, 24 + h[1] % 104, h)
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     # matroska: real EBML container, raw-grayscale frames, seeded count/dims
     payload = make_mkv_file(

@@ -6,11 +6,20 @@ Spec-derived from ITU-T T.81 (the public JPEG specification) plus the JFIF
 container note.  Supported profile:
 
   * baseline sequential DCT (SOF0), 8-bit precision;
-  * a single grayscale component, 1x1 sampling (no subsampling);
+  * one grayscale component OR three YCbCr components, all 1x1 sampling
+    (4:4:4 — no subsampling);
   * no restart markers / progressive / arithmetic coding — the decoder
     raises a clear :class:`ValueError` on those rather than guessing;
-  * T.81 Annex K.1 luminance quantization table and Annex K.3 luminance
-    Huffman tables (the interchange-standard tables every JPEG tool ships).
+  * T.81 Annex K.1/K.2 quantization tables and Annex K.3 luminance +
+    chrominance Huffman tables (the interchange-standard tables every
+    JPEG tool ships).
+
+Color is DEFINED over integer fixed-point JFIF transforms: the decoder's
+YCbCr→RGB is ``R = Y + ((91881*(Cr-128) + 32768) >> 16)`` etc. (constants
+``round(c * 2**16)`` of the CCIR 601 full-range matrix), all in exact
+integer arithmetic, so independent implementations of the same definition
+reproduce RGB BIT-EXACTLY — the same property the integer IDCT provides
+for the grayscale path.
 
 Decode is DEFINED over an integer fixed-point IDCT: the 1-D basis constants
 are ``round(alpha(u) * cos((2x+1)*u*pi/16) * 2**20)`` (:data:`IDCT_FIX`),
@@ -87,7 +96,81 @@ AC_VALS = (
     0xF9, 0xFA,
 )
 
+# T.81 Annex K.2 chrominance quantization table, natural (row-major) order
+QTABLE_C = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# T.81 Annex K.3 chrominance Huffman specs
+DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_VALS_C = tuple(range(12))
+AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
 _FIX_SHIFT = 20
+
+# JFIF / CCIR 601 full-range color matrix at 2^16 fixed point — the DEFINED
+# integer transforms (floor-shift with +32768 pre-add = round-half-up, exact
+# over Python ints, so independent implementations agree bit-exactly).
+_C_RV = 91881    # round(1.402    * 2**16)
+_C_GU = 22554    # round(0.344136 * 2**16)
+_C_GV = 46802    # round(0.714136 * 2**16)
+_C_BU = 116130   # round(1.772    * 2**16)
+_C_YR, _C_YG, _C_YB = 19595, 38470, 7471     # round(0.299/0.587/0.114 * 2**16)
+_C_UR, _C_UG = 11059, 21709                  # round(0.168736/0.331264 * 2**16)
+_C_VG, _C_VB = 27439, 5329                   # round(0.418688/0.081312 * 2**16)
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple:
+    """Integer JFIF forward transform (encoder side)."""
+    y = (_C_YR * r + _C_YG * g + _C_YB * b + 32768) >> 16
+    cb = 128 + ((-_C_UR * r - _C_UG * g + 32768 * b + 32768) >> 16)
+    cr = 128 + ((32768 * r - _C_VG * g - _C_VB * b + 32768) >> 16)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple:
+    """The DEFINED integer inverse transform (decoder side): bit-exact by
+    construction for any independent implementation of the same formula."""
+    cb -= 128
+    cr -= 128
+    r = y + ((_C_RV * cr + 32768) >> 16)
+    g = y - ((_C_GU * cb + _C_GV * cr + 32768) >> 16)
+    b = y + ((_C_BU * cb + 32768) >> 16)
+    return _clamp8(r), _clamp8(g), _clamp8(b)
 
 # the DEFINED integer IDCT basis: alpha(u)*cos((2x+1)*u*pi/16) at 2^20 scale
 IDCT_FIX = tuple(
@@ -159,8 +242,8 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _fdct_quant(pix: list) -> list:
-    """Level shift, float separable forward DCT, quantize by QTABLE.
+def _fdct_quant(pix: list, qtable: tuple = QTABLE) -> list:
+    """Level shift, float separable forward DCT, quantize by ``qtable``.
 
     Returns 64 natural-order coefficients."""
     t = [[0.0] * 8 for _ in range(8)]
@@ -176,7 +259,7 @@ def _fdct_quant(pix: list) -> list:
         for u in range(8):
             s = sum(t[y][u] * cv[y] for y in range(8))
             a = (r2 if u == 0 else 1.0) * (r2 if v == 0 else 1.0)
-            out[v * 8 + u] = round(s * a / (4.0 * QTABLE[v * 8 + u]))
+            out[v * 8 + u] = round(s * a / (4.0 * qtable[v * 8 + u]))
     return out
 
 
@@ -184,6 +267,51 @@ def _magnitude(v: int) -> tuple:
     """(category, value-bits) for DC-diff / AC coefficient coding."""
     cat = abs(v).bit_length()
     return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _encode_block(bw: "_BitWriter", coef: list, prev_dc: int, dc: dict, ac: dict) -> int:
+    """Entropy-code one quantized block (DC-diff + AC run-length); returns
+    this block's DC for the caller's per-component predictor."""
+    cat, bits = _magnitude(coef[0] - prev_dc)
+    code, size = dc[cat]
+    bw.write(code, size)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = coef[ZIGZAG[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, size = ac[0xF0]  # ZRL
+            bw.write(code, size)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, size = ac[(run << 4) | cat]
+        bw.write(code, size)
+        bw.write(bits, cat)
+        run = 0
+    if run:
+        code, size = ac[0x00]  # EOB
+        bw.write(code, size)
+    return coef[0]
+
+
+def _block_pixels(plane, w: int, h: int, bx: int, by: int) -> list:
+    """8x8 block at (bx, by), clamp-to-edge padded."""
+    return [
+        plane[min(h - 1, by * 8 + j) * w + min(w - 1, bx * 8 + i)]
+        for j in range(8)
+        for i in range(8)
+    ]
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
 
 
 def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
@@ -202,48 +330,63 @@ def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
     prev_dc = 0
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
-            pix = [
-                gray[min(h - 1, by * 8 + j) * w + min(w - 1, bx * 8 + i)]
-                for j in range(8)
-                for i in range(8)
-            ]
-            coef = _fdct_quant(pix)
-            cat, bits = _magnitude(coef[0] - prev_dc)
-            code, size = dc[cat]
-            bw.write(code, size)
-            if cat:
-                bw.write(bits, cat)
-            prev_dc = coef[0]
-            run = 0
-            for k in range(1, 64):
-                v = coef[ZIGZAG[k]]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, size = ac[0xF0]  # ZRL
-                    bw.write(code, size)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                code, size = ac[(run << 4) | cat]
-                bw.write(code, size)
-                bw.write(bits, cat)
-                run = 0
-            if run:
-                code, size = ac[0x00]  # EOB
-                bw.write(code, size)
-
-    def seg(marker: int, data: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+            coef = _fdct_quant(_block_pixels(gray, w, h, bx, by))
+            prev_dc = _encode_block(bw, coef, prev_dc, dc, ac)
 
     return (
         b"\xFF\xD8"
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-        + seg(0xDB, b"\x00" + bytes(QTABLE[ZIGZAG[k]] for k in range(64)))
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-        + seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, b"\x00" + bytes(QTABLE[ZIGZAG[k]] for k in range(64)))
+        + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flushed()
+        + b"\xFF\xD9"
+    )
+
+
+def make_jpeg_color(w: int, h: int, rgb: bytes) -> bytes:
+    """A VALID baseline JFIF COLOR file: 3-component YCbCr, 1x1 sampling
+    (4:4:4, no subsampling), interleaved Y/Cb/Cr blocks per MCU.  Y uses
+    the Annex K.1 quant + K.3 luminance Huffman tables (ids 0), Cb/Cr the
+    Annex K.2 quant + K.3 chrominance tables (ids 1) — the standard
+    two-table layout every JPEG tool emits for color."""
+    if w <= 0 or h <= 0:
+        raise ValueError("JPEG dims outside supported profile")
+    if len(rgb) != 3 * w * h:
+        raise ValueError("rgb buffer does not match dims")
+    n = w * h
+    planes = [bytearray(n), bytearray(n), bytearray(n)]
+    for i in range(n):
+        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
+    dc_l, ac_l = huff_codes(DC_BITS, DC_VALS), huff_codes(AC_BITS, AC_VALS)
+    dc_c, ac_c = huff_codes(DC_BITS_C, DC_VALS_C), huff_codes(AC_BITS_C, AC_VALS_C)
+    tabs = [(dc_l, ac_l, QTABLE), (dc_c, ac_c, QTABLE_C), (dc_c, ac_c, QTABLE_C)]
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for ci, (dc, ac, q) in enumerate(tabs):
+                coef = _fdct_quant(_block_pixels(planes[ci], w, h, bx, by), q)
+                prev[ci] = _encode_block(bw, coef, prev[ci], dc, ac)
+
+    return (
+        b"\xFF\xD8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, b"\x00" + bytes(QTABLE[ZIGZAG[k]] for k in range(64)))
+        + _seg(0xDB, b"\x01" + bytes(QTABLE_C[ZIGZAG[k]] for k in range(64)))
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+        + _seg(0xC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         + bw.flushed()
         + b"\xFF\xD9"
     )
@@ -281,8 +424,10 @@ def parse_dims(payload: bytes) -> tuple:
 
 
 def _parse_scan(payload: bytes) -> tuple:
-    """Walk segments to SOS; returns (w, h, qtable, dc_table, ac_table,
-    entropy bytes).  Raises on non-baseline / multi-component streams."""
+    """Walk segments to SOS; returns (w, h, comps, entropy bytes) where
+    ``comps`` is a list — in frame order — of (qtable, dc_table, ac_table)
+    per component (length 1 for grayscale, 3 for 4:4:4 YCbCr).  Raises on
+    non-baseline / subsampled / other-component-count streams."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -325,15 +470,23 @@ def _parse_scan(payload: bytes) -> tuple:
                 i += 17 + nv
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8 or nc != 1:
-                raise ValueError("unsupported JPEG profile (grayscale 8-bit only)")
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError(
+                    "unsupported JPEG profile (8-bit, 1 or 3 components only)"
+                )
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF component list truncated")
             if not w or not h or w * h > (1 << 24):
                 # cap BEFORE the decoder allocates w*h: a crafted SOF0
                 # claiming 65535x65535 must not reserve 4 GB per row
                 raise ValueError("JPEG dims outside supported profile")
-            if data[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            sof = (w, h, data[8])
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
         elif marker in _SOF_MARKERS:
             raise ValueError("not a baseline-sequential JPEG")
         elif marker == 0xDD:
@@ -341,20 +494,23 @@ def _parse_scan(payload: bytes) -> tuple:
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
-            if data[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = data[2] >> 4, data[2] & 0x0F
-            w, h, tq = sof
-            if tq not in qtables or td not in dc_tabs or ta not in ac_tabs:
-                raise ValueError("JPEG scan references undefined tables")
-            return (
-                w,
-                h,
-                qtables[tq],
-                dc_tabs[td],
-                ac_tabs[ta],
-                payload[pos + 2 + ln :],
-            )
+            w, h, fcomps = sof
+            ns = data[0]
+            if ns != len(fcomps):
+                raise ValueError("JPEG scan component count != frame")
+            comps = []
+            for c in range(ns):
+                cs, sel = data[1 + 2 * c], data[2 + 2 * c]
+                if cs != fcomps[c][0]:
+                    # interleaved decode assumes scan order == frame order
+                    # (what every baseline encoder emits)
+                    raise ValueError("JPEG scan component order != frame")
+                td, ta = sel >> 4, sel & 0x0F
+                tq = fcomps[c][1]
+                if tq not in qtables or td not in dc_tabs or ta not in ac_tabs:
+                    raise ValueError("JPEG scan references undefined tables")
+                comps.append((qtables[tq], dc_tabs[td], ac_tabs[ta]))
+            return w, h, comps, payload[pos + 2 + ln :]
         pos += 2 + ln
     raise ValueError("JPEG missing SOS")
 
@@ -428,47 +584,66 @@ def idct_block(coef: list) -> list:
     return out
 
 
+def _decode_block(br: "_BitReader", q: list, dc: dict, ac: dict, pred: int) -> tuple:
+    """One entropy-coded block → (64 dequantized natural-order coefficients,
+    new DC predictor)."""
+    coef = [0] * 64
+    cat = _read_code(br, dc)
+    pred += _extend(br.bits(cat), cat) if cat else 0
+    coef[0] = pred * q[0]
+    k = 1
+    while k < 64:
+        sym = _read_code(br, ac)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError("invalid JPEG AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        nat = ZIGZAG[k]
+        coef[nat] = _extend(br.bits(cat), cat) * q[nat]
+        k += 1
+    return coef, pred
+
+
 def decode_jpeg(payload: bytes) -> tuple:
     """REAL baseline JPEG decode for the supported profile: Huffman entropy
-    decode, dequantize, inverse zigzag, integer IDCT, crop the MCU padding.
-    Returns (width, height, grayscale bytes row-major)."""
-    w, h, q, dc, ac, scan = _parse_scan(payload)
+    decode, dequantize, inverse zigzag, integer IDCT, crop the MCU padding;
+    3-component streams additionally run the defined integer YCbCr→RGB.
+    Returns (width, height, pixel bytes row-major) — ``w*h`` grayscale
+    bytes for 1 component, ``3*w*h`` interleaved RGB bytes for 3."""
+    w, h, comps, scan = _parse_scan(payload)
     br = _BitReader(scan)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    out = bytearray(w * h)
-    prev_dc = 0
+    planes = [bytearray(w * h) for _ in comps]
+    preds = [0] * len(comps)
     for by in range(bh_):
         for bx in range(bw_):
-            coef = [0] * 64
-            cat = _read_code(br, dc)
-            prev_dc += _extend(br.bits(cat), cat) if cat else 0
-            coef[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _read_code(br, ac)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0x0F
-                if cat == 0:
-                    if run != 15:
-                        raise ValueError("invalid JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                nat = ZIGZAG[k]
-                coef[nat] = _extend(br.bits(cat), cat) * q[nat]
-                k += 1
-            pix = idct_block(coef)
-            for j in range(8):
-                y = by * 8 + j
-                if y >= h:
-                    break
-                row = pix[j * 8 : (j + 1) * 8]
-                for i in range(8):
-                    x = bx * 8 + i
-                    if x >= w:
+            for ci, (q, dc, ac) in enumerate(comps):
+                coef, preds[ci] = _decode_block(br, q, dc, ac, preds[ci])
+                pix = idct_block(coef)
+                plane = planes[ci]
+                for j in range(8):
+                    y = by * 8 + j
+                    if y >= h:
                         break
-                    out[y * w + x] = row[i]
+                    row = pix[j * 8 : (j + 1) * 8]
+                    for i in range(8):
+                        x = bx * 8 + i
+                        if x >= w:
+                            break
+                        plane[y * w + x] = row[i]
+    if len(planes) == 1:
+        return w, h, bytes(planes[0])
+    out = bytearray(3 * w * h)
+    py, pcb, pcr = planes
+    for i in range(w * h):
+        out[3 * i], out[3 * i + 1], out[3 * i + 2] = ycbcr_to_rgb(
+            py[i], pcb[i], pcr[i]
+        )
     return w, h, bytes(out)

@@ -170,22 +170,25 @@ def _jpeg_zigzag_independent() -> list:
 
 
 def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
-    """Independent restatement of the baseline grayscale JPEG decode path,
-    written against ITU-T T.81, not against the kernel: its own marker
-    walk, algorithmically derived zigzag, canonical Huffman codes keyed by
-    1-prefixed integers (vs the kernel's (size, code) tuples), whole-scan
-    0xFF00 un-stuffing up front (vs the kernel's streaming reader), and
-    the defined integer IDCT with independently recomputed fixed-point
-    constants in the opposite separable pass order.  JPEG decode is
+    """Independent restatement of the baseline JPEG decode path (grayscale
+    AND 4:4:4 YCbCr color), written against ITU-T T.81 + the JFIF note,
+    not against the kernel: its own marker walk, algorithmically derived
+    zigzag, canonical Huffman codes keyed by 1-prefixed integers (vs the
+    kernel's (size, code) tuples), whole-scan 0xFF00 un-stuffing up front
+    (vs the kernel's streaming reader), the defined integer IDCT with
+    independently recomputed fixed-point constants in the opposite
+    separable pass order, and the defined integer YCbCr→RGB with its
+    constants recomputed inline from the CCIR 601 matrix.  JPEG decode is
     DEFINED over exact integer arithmetic (kgspark.jpegcodec docstring),
     so both formulations must agree bit-exactly — any Huffman, dequant,
-    zigzag, or IDCT bug on either side breaks digest equality."""
+    zigzag, IDCT, or color-transform bug on either side breaks digest
+    equality.  Returns (w, h, gray w*h bytes | RGB 3*w*h bytes)."""
     import math
     import struct
 
     zz = _jpeg_zigzag_independent()
     assert payload[:2] == b"\xff\xd8", "oracle: payload is not a JPEG"
-    pos, q, dims, huff, scan = 2, None, None, {}, None
+    pos, qts, frame, huff, scan, sels = 2, {}, None, {}, None, None
     while scan is None:
         assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
         while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
@@ -194,14 +197,24 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
-            assert body[0] == 0, "oracle: expected 8-bit qtable 0"
-            q = [0] * 64
-            for k in range(64):
-                q[zz[k]] = body[1 + k]
+            i = 0
+            while i < len(body):
+                assert body[i] >> 4 == 0, "oracle: expected 8-bit qtable"
+                q = [0] * 64
+                for k in range(64):
+                    q[zz[k]] = body[i + 1 + k]
+                qts[body[i] & 15] = q
+                i += 65
         elif marker == 0xC0:
             _prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
-            assert nc == 1, "oracle: expected single-component JPEG"
-            dims = (ww, hh)
+            assert nc in (1, 3), "oracle: expected 1- or 3-component JPEG"
+            comps = [
+                (body[6 + 3 * c], body[8 + 3 * c]) for c in range(nc)
+            ]  # (component id, qtable id); sampling must be 1x1
+            assert all(body[7 + 3 * c] == 0x11 for c in range(nc)), (
+                "oracle: expected 4:4:4 sampling"
+            )
+            frame = (ww, hh, comps)
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -218,9 +231,13 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
                 huff[cls >> 4, cls & 15] = tab
                 i += 17 + nv
         elif marker == 0xDA:
+            assert frame is not None, "oracle: SOS before SOF"
+            ns = body[0]
+            assert ns == len(frame[2]), "oracle: scan/frame component count"
+            sels = {body[1 + 2 * c]: body[2 + 2 * c] for c in range(ns)}
             scan = payload[pos + 2 + ln :]
         pos += 2 + ln
-    w, h = dims
+    w, h, comps = frame
     data = scan.replace(b"\xff\x00", b"\xff")
     bitpos = 0
 
@@ -256,41 +273,61 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
         ]
         for u in range(8)
     ]
-    out = bytearray(w * h)
-    pred = 0
+    planes = [bytearray(w * h) for _ in comps]
+    preds = [0] * len(comps)
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
-            c = [0] * 64
-            pred += recv_ext(read_code(huff[0, 0]))
-            c[0] = pred * q[0]
-            k = 1
-            while k < 64:
-                sym = read_code(huff[1, 0])
-                run, n = sym >> 4, sym & 15
-                if n == 0:
-                    if run != 15:
+            for ci, (cid, tq) in enumerate(comps):
+                q = qts[tq]
+                sel = sels[cid]
+                c = [0] * 64
+                preds[ci] += recv_ext(read_code(huff[0, sel >> 4]))
+                c[0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = read_code(huff[1, sel & 15])
+                    run, n = sym >> 4, sym & 15
+                    if n == 0:
+                        if run != 15:
+                            break
+                        k += 16
+                        continue
+                    k += run
+                    c[zz[k]] = recv_ext(n) * q[zz[k]]
+                    k += 1
+                # defined integer IDCT, opposite pass order (u first, then v)
+                g = [
+                    [sum(c[v * 8 + u] * cf[v][y] for v in range(8)) for y in range(8)]
+                    for u in range(8)
+                ]
+                plane = planes[ci]
+                for j in range(8):
+                    y = by * 8 + j
+                    if y >= h:
                         break
-                    k += 16
-                    continue
-                k += run
-                c[zz[k]] = recv_ext(n) * q[zz[k]]
-                k += 1
-            # defined integer IDCT, opposite pass order (u first, then v)
-            g = [
-                [sum(c[v * 8 + u] * cf[v][y] for v in range(8)) for y in range(8)]
-                for u in range(8)
-            ]
-            for j in range(8):
-                y = by * 8 + j
-                if y >= h:
-                    break
-                for i in range(8):
-                    x = bx * 8 + i
-                    if x >= w:
-                        break
-                    s = sum(g[u][j] * cf[u][i] for u in range(8))
-                    p = ((s + (1 << 41)) >> 42) + 128
-                    out[y * w + x] = 0 if p < 0 else 255 if p > 255 else p
+                    for i in range(8):
+                        x = bx * 8 + i
+                        if x >= w:
+                            break
+                        s = sum(g[u][j] * cf[u][i] for u in range(8))
+                        p = ((s + (1 << 41)) >> 42) + 128
+                        plane[y * w + x] = 0 if p < 0 else 255 if p > 255 else p
+    if len(planes) == 1:
+        return w, h, bytes(planes[0])
+    # defined integer YCbCr→RGB, constants recomputed inline (CCIR 601)
+    c_rv = round(1.402 * 65536)
+    c_gu, c_gv = round(0.344136 * 65536), round(0.714136 * 65536)
+    c_bu = round(1.772 * 65536)
+
+    def cl(v: int) -> int:
+        return 0 if v < 0 else 255 if v > 255 else v
+
+    out = bytearray(3 * w * h)
+    for i in range(w * h):
+        yv, cb, cr = planes[0][i], planes[1][i] - 128, planes[2][i] - 128
+        out[3 * i] = cl(yv + ((c_rv * cr + 32768) >> 16))
+        out[3 * i + 1] = cl(yv - ((c_gu * cb + c_gv * cr + 32768) >> 16))
+        out[3 * i + 2] = cl(yv + ((c_bu * cb + 32768) >> 16))
     return w, h, bytes(out)
 
 
@@ -303,18 +340,26 @@ def _jpeg_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
 
     from . import jpegcodec
 
-    w, h, gray = _jpeg_decode_independent(payload)
+    w, h, dec = _jpeg_decode_independent(payload)
+    nch = len(dec) // (w * h)  # 1 grayscale, 3 RGB
     if w <= tw and h <= th:
         ow, oh = w, h
     elif w * th >= h * tw:
         ow, oh = tw, max(1, (h * tw) // w)
     else:
         ow, oh = max(1, (w * th) // h), th
-    rows = [gray[y * w : (y + 1) * w] for y in range(h)]
-    pix = bytes(
-        rows[j * h // oh][i * w // ow] for j in range(oh) for i in range(ow)
+    rows = [dec[y * nch * w : (y + 1) * nch * w] for y in range(h)]
+    pix = b"".join(
+        rows[j * h // oh][nch * (i * w // ow) : nch * (i * w // ow) + nch]
+        for j in range(oh)
+        for i in range(ow)
     )
-    dig = _hl.sha256(jpegcodec.make_jpeg(ow, oh, pix)).hexdigest()
+    enc = (
+        jpegcodec.make_jpeg_color(ow, oh, pix)
+        if nch == 3
+        else jpegcodec.make_jpeg(ow, oh, pix)
+    )
+    dig = _hl.sha256(enc).hexdigest()
     return w, h, ow, oh, dig
 
 

@@ -10,7 +10,8 @@ The sandbox ships no image/audio libraries.  All five kinds are
 nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
 unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
 for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
-JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video Matroska) decode
+and 4:4:4-color JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video
+Matroska) decode
 any standards-conforming file of the supported profiles; image resize and
 audio resample re-encode a valid file of the same format, and video frame
 sampling indexes genuinely demuxed SimpleBlocks.  Feature vectors are
@@ -521,16 +522,27 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
         else:  # jpeg: real decode -> sample -> re-encode (kgspark.jpegcodec)
             from . import jpegcodec
 
-            src_w, src_h, gray = jpegcodec.decode_jpeg(payload)
+            src_w, src_h, pix = jpegcodec.decode_jpeg(payload)
             out_w, out_h = fit_within(src_w, src_h, tw, th)
-            sampled = bytes(
-                gray[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
-                for j in range(out_h)
-                for i in range(out_w)
-            )
-            digest = hashlib.sha256(
-                jpegcodec.make_jpeg(out_w, out_h, sampled)
-            ).hexdigest()
+            nch = len(pix) // (src_w * src_h)  # 1 grayscale, 3 RGB (4:4:4)
+            if nch == 3:
+                sampled = b"".join(
+                    pix[
+                        3 * ((j * src_h // out_h) * src_w + (i * src_w // out_w))
+                        : 3 * ((j * src_h // out_h) * src_w + (i * src_w // out_w)) + 3
+                    ]
+                    for j in range(out_h)
+                    for i in range(out_w)
+                )
+                enc = jpegcodec.make_jpeg_color(out_w, out_h, sampled)
+            else:
+                sampled = bytes(
+                    pix[(j * src_h // out_h) * src_w + (i * src_w // out_w)]
+                    for j in range(out_h)
+                    for i in range(out_w)
+                )
+                enc = jpegcodec.make_jpeg(out_w, out_h, sampled)
+            digest = hashlib.sha256(enc).hexdigest()
     except (ValueError, IndexError, KeyError, struct.error, zlib.error):
         return None
     return {

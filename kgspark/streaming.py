@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 from . import datagen, materialize
 
 
-def read_web_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_web_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of web_pages parquet drops (Iceberg stand-in).
 
     ``maxFilesPerTrigger`` bounds micro-batch size so a backlog of crawl
@@ -34,7 +36,7 @@ def read_web_pages_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     return (
         spark.readStream.schema(datagen.SCHEMA)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
 
@@ -44,6 +46,7 @@ def ingest_available_now(
     input_path: str,
     wh: materialize.Warehouse,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
 ) -> int:
     """Drain all pending input into the warehouse; returns micro-batch count.
 
@@ -53,7 +56,7 @@ def ingest_available_now(
     warehouse manifest makes stage output durable — the two-level recovery
     the reference implements with doc/chunk status fields.
     """
-    stream = read_web_pages_stream(spark, input_path)
+    stream = read_web_pages_stream(spark, input_path, max_files_per_trigger)
     n_batches = {"n": 0}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:

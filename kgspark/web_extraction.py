@@ -138,6 +138,36 @@ _PRON_TAIL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Possessive pronoun subject heads ("Its CEO visited ...", "Their engineers
+# work at ...") — the r4-verdict-prescribed next bounded coref class: the
+# possessive resolves to an antecedent under the SAME one-sentence window and
+# type rule as the plain pronouns (his/her → Person, its → non-Person,
+# their → any), and the statement is attributed to the antecedent (genitive
+# metonymy: "Acme Corp's CEO visited Paris" is knowledge about Acme Corp in
+# this closed vocabulary, whose head nouns are never entities).  Safety is
+# unchanged: the rule fires only when the subject span contains NO entity
+# mention at all (an entity outranks, exactly like _last_pronoun_head's
+# guard — this also keeps subordinate-clause possessives from stealing a
+# main-clause entity subject) and the possessive NP directly precedes the
+# predicate (1-3 plain word tokens); an unresolvable possessive passes the
+# raw span through to die at the J2 drop-unknown join — bounded FN, never a
+# wrong triple.
+_POSS_RE = re.compile(r"\b(?P<p>his|her|its|their)\b", re.IGNORECASE)
+_POSS_TAIL_RE = re.compile(r"^(?:\s+[A-Za-z][A-Za-z'\-]*){1,3}[\s,]*$")
+_POSS_TO_PRON = {"his": "he", "her": "she", "its": "it", "their": "they"}
+
+
+def _possessive_head(span: str) -> str | None:
+    """The possessive pronoun heading a span's subject NP, if any."""
+    prons = list(_POSS_RE.finditer(span))
+    if not prons:
+        return None
+    if _ENTITY_RE.search(span):
+        return None  # an entity mention anywhere in the span outranks
+    if not _POSS_TAIL_RE.match(span[prons[-1].end() :]):
+        return None
+    return prons[-1].group("p").lower()
+
 
 def _last_pronoun_head(span: str) -> str | None:
     """The subject-head pronoun of a span, if any: the last pronoun token,
@@ -288,6 +318,7 @@ def _sentence_rels(
                 neg = prev_neg
             else:
                 pron = _last_pronoun_head(left)
+                poss = _possessive_head(left) if pron is None else None
                 if pron is not None:
                     # pronoun is the subject head: resolve it or die at the
                     # J2 drop-unknown join — never fall back to an earlier
@@ -295,6 +326,15 @@ def _sentence_rels(
                     subj = (
                         _pronoun_antecedent(pron, window + cur_subjects)
                         or pron
+                    )
+                elif poss is not None:
+                    # possessive subject head: same window/type rule via the
+                    # pronoun mapping; unresolved → raw span → J2 drop
+                    subj = (
+                        _pronoun_antecedent(
+                            _POSS_TO_PRON[poss], window + cur_subjects
+                        )
+                        or left.strip()
                     )
                 else:
                     subj = _resolve_name(left, last=True)

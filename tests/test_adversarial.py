@@ -137,6 +137,43 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
     ("pronoun-subordinate-no-antecedent",
      "Alan Turing, although he was tired, visited Paris.",
      [("Alan Turing", "visited", "Paris")]),
+    # covered since r5: possessive pronoun subject heads ("Its CEO ...") —
+    # same one-sentence window and type rule as the plain pronouns, statement
+    # attributed to the antecedent (genitive metonymy); an entity mention in
+    # the span still outranks, and an unresolvable possessive dies at the J2
+    # drop-unknown join
+    ("possessive-its",
+     "Acme Corp created the Enigma Machine. Its CEO visited Paris.",
+     [("Acme Corp", "created", "Enigma Machine"),
+      ("Acme Corp", "visited", "Paris")]),
+    ("possessive-his",
+     "Alan Turing wrote On Computable Numbers. His team visited London.",
+     [("Alan Turing", "wrote", "On Computable Numbers"),
+      ("Alan Turing", "visited", "London")]),
+    ("possessive-her",
+     "Ada Lovelace founded Globex. Her team collaborated with IBM.",
+     [("Ada Lovelace", "founded", "Globex"),
+      ("Ada Lovelace", "collaborated_with", "IBM")]),
+    ("possessive-their",
+     "Globex collaborated with IBM. Their engineers visited London.",
+     [("Globex", "collaborated_with", "IBM"),
+      ("Globex", "visited", "London")]),
+    # an entity mention in the subject span outranks the possessive — the
+    # possessive rule must not steal "His Enigma Machine"'s real subject
+    ("possessive-entity-outranks",
+     "Alan Turing founded Acme Corp. His Enigma Machine indicates Fatigue.",
+     [("Alan Turing", "founded", "Acme Corp"),
+      ("Enigma Machine", "indicates", "Fatigue")]),
+    # type rule holds for possessives: "its" wants a non-Person antecedent;
+    # a Person-only window leaves it unresolved (J2 drop — bounded FN, the
+    # alternative is the wrong triple (Ada Lovelace, visited, Paris))
+    ("possessive-type-mismatch-drops",
+     "Ada Lovelace wrote On Computable Numbers. Its CEO visited Paris.",
+     [("Ada Lovelace", "wrote", "On Computable Numbers")]),
+    # polarity still drops a resolved-possessive statement
+    ("possessive-negated",
+     "Acme Corp founded Globex. Its board never visited Paris.",
+     [("Acme Corp", "founded", "Globex")]),
     # negation polarity (covered since round 3): a negator adjoining the
     # predicate drops the statement instead of emitting a false triple
     ("negation", "Ada Lovelace never visited Paris.",

@@ -177,6 +177,27 @@ def test_jpeg_encoder_roundtrip_arbitrary_dims(w, h, seed):
 
 
 @given(
+    st.integers(1, 32),
+    st.integers(1, 32),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
+    """make_jpeg_color emits a decodable 4:4:4 file at ANY dims whose decode
+    is deterministic, dimension-exact, and 3-channel — and bit-identical to
+    the independent T.81 oracle restatement (integer-defined decode)."""
+    from kgspark import media_oracles
+
+    rgb = bytes((seed + 11 * i) % 256 for i in range(3 * w * h))
+    f = jpegcodec.make_jpeg_color(w, h, rgb)
+    dw, dh, dec = jpegcodec.decode_jpeg(f)
+    assert (dw, dh) == (w, h) and len(dec) == 3 * w * h
+    assert jpegcodec.decode_jpeg(f)[2] == dec
+    assert media_oracles._jpeg_decode_independent(f) == (w, h, dec)
+    assert jpegcodec.parse_dims(f) == (w, h)
+
+
+@given(
     st.integers(1, 24),
     st.integers(1, 24),
     st.integers(0, 20),

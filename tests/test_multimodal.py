@@ -405,20 +405,39 @@ def test_jpeg_payloads_are_real_decodable_files():
         if kind == "jpeg"
     ]
     assert jpegs, "expected jpeg payloads in the corpus"
+    seen_channels = set()
     for j, mid, payload in jpegs:
         assert payload[:4] == b"\xff\xd8\xff\xe0" and payload[6:11] == b"JFIF\x00"
         w, h = jpegcodec.parse_dims(payload)
         d = multimodal.decode_header_py(payload)
         assert (d["width"], d["height"]) == (w, h) and w * h > 0
-        dw, dh, gray = jpegcodec.decode_jpeg(payload)
-        assert (dw, dh) == (w, h) and len(gray) == w * h
+        dw, dh, pix = jpegcodec.decode_jpeg(payload)
+        nch = len(pix) // (w * h)
+        assert (dw, dh) == (w, h) and nch in (1, 3) and len(pix) == nch * w * h
+        seen_channels.add(nch)
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
-        errs = [
-            abs(gray[y * w + x] - datagen_media.jpeg_pixel(x, y, seed_hash))
-            for y in range(h)
-            for x in range(w)
-        ]
-        assert sum(errs) / len(errs) <= 8, (mid, sum(errs) / len(errs))
+        if nch == 1:
+            errs = [
+                abs(pix[y * w + x] - datagen_media.jpeg_pixel(x, y, seed_hash))
+                for y in range(h)
+                for x in range(w)
+            ]
+        else:
+            errs = [
+                abs(
+                    pix[3 * (y * w + x) + c]
+                    - datagen_media.jpeg_rgb_pixel(x, y, seed_hash)[c]
+                )
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            ]
+        # color tolerance is wider: chroma quantization (Annex K.2's 99s)
+        # is much coarser than luma, by design of the standard tables
+        tol = 8 if nch == 1 else 24
+        assert sum(errs) / len(errs) <= tol, (mid, sum(errs) / len(errs))
+    # the corpus must exercise BOTH entropy layouts (1- and 3-component MCUs)
+    assert seen_channels == {1, 3}
 
 
 def test_jpeg_resize_emits_valid_jpeg_thumbnail():
@@ -432,19 +451,26 @@ def test_jpeg_resize_emits_valid_jpeg_thumbnail():
             continue
         r = multimodal.resize_py(payload, 16, 16)
         sw, sh = r["src_width"], r["src_height"]
-        assert (r["out_width"], r["out_height"]) == multimodal.fit_within(
-            sw, sh, 16, 16
+        ow, oh = r["out_width"], r["out_height"]
+        assert (ow, oh) == multimodal.fit_within(sw, sh, 16, 16)
+        _, _, pix = jpegcodec.decode_jpeg(payload)
+        nch = len(pix) // (sw * sh)
+        sampled = b"".join(
+            pix[
+                nch * ((j * sh // oh) * sw + (i * sw // ow))
+                : nch * ((j * sh // oh) * sw + (i * sw // ow)) + nch
+            ]
+            for j in range(oh)
+            for i in range(ow)
         )
-        _, _, gray = jpegcodec.decode_jpeg(payload)
-        sampled = bytes(
-            gray[(j * sh // r["out_height"]) * sw + (i * sw // r["out_width"])]
-            for j in range(r["out_height"])
-            for i in range(r["out_width"])
+        thumb = (
+            jpegcodec.make_jpeg_color(ow, oh, sampled)
+            if nch == 3
+            else jpegcodec.make_jpeg(ow, oh, sampled)
         )
-        thumb = jpegcodec.make_jpeg(r["out_width"], r["out_height"], sampled)
         assert hashlib.sha256(thumb).hexdigest() == r["resized_sha256"]
         tw2, th2, _ = jpegcodec.decode_jpeg(thumb)
-        assert (tw2, th2) == (r["out_width"], r["out_height"])
+        assert (tw2, th2) == (ow, oh)
 
 
 def test_jpeg_parser_reads_foreign_profile():
