@@ -11,8 +11,14 @@ gitignored).  Only the three tables the headline bench reads are scaled:
     (replica 0 byte-identical) so exact/near-dup structure scales ~10x
     (duplicates stay within a replica) instead of exploding ~100x via
     10 identical copies of every page sharing one LSH bucket;
-  * embeddings: vec_id offset; element 0 nudged by 1e-3 * replica (replica
-    0 identical) so identity vectors don't collapse ANN/LSH buckets;
+  * embeddings: vec_id offset; each replica's vector is the original
+    ROTATED by k positions (replica 0 identical).  Rotation preserves the
+    norm and per-dim distribution while decorrelating replicas — a tiny
+    per-replica nudge instead leaves all 10 copies of a vector inside the
+    same LSH buckets (cosine ~1), which multiplies the TRUE near-dup pair
+    count ~100x and measures a pathological corpus, not a 10x scale-up
+    (observed: dedup_embedding_pairs_lsh 1.7s -> 165s under the nudge
+    variant vs honest ~10x structure under rotation);
   * events: event_id / user_id offset per replica — 10x distinct session
     keys with identical per-key event structure, the honest scale-up for
     the sessionize/window shuffles.
@@ -65,9 +71,8 @@ def main() -> None:
         COPY (
           SELECT e.vec_id + r.k * 10000000 AS vec_id,
                  CASE WHEN r.k = 0 THEN e.embedding
-                      ELSE list_prepend(
-                        CAST(e.embedding[1] + 0.001 * r.k AS FLOAT),
-                        e.embedding[2:]) END AS embedding,
+                      ELSE list_concat(e.embedding[r.k + 1:],
+                                       e.embedding[1:r.k]) END AS embedding,
                  e.label
           FROM '{emb}' e CROSS JOIN reps r
           ORDER BY vec_id

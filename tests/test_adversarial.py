@@ -174,6 +174,26 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
     ("possessive-negated",
      "Acme Corp founded Globex. Its board never visited Paris.",
      [("Acme Corp", "founded", "Globex")]),
+    # covered since r5: passive-agent pronouns ("was created by her") — the
+    # object-case twin of the subject rule, same window and type rule
+    ("passive-agent-her",
+     "Ada Lovelace wrote On Computable Numbers. "
+     "The Analytical Engine was created by her.",
+     [("Ada Lovelace", "wrote", "On Computable Numbers"),
+      ("Ada Lovelace", "created", "Analytical Engine")]),
+    ("passive-agent-him",
+     "Alan Turing lives in London. On Computable Numbers was written by him.",
+     [("Alan Turing", "lives_in", "London"),
+      ("Alan Turing", "wrote", "On Computable Numbers")]),
+    ("passive-agent-it",
+     "Globex collaborated with Acme Corp. The Enigma Machine was created by it.",
+     [("Globex", "collaborated_with", "Acme Corp"),
+      ("Globex", "created", "Enigma Machine")]),
+    # type rule holds for passive agents: "him" wants a Person; an
+    # Organization-only window leaves it unresolved (J2 drop, bounded FN)
+    ("passive-agent-type-mismatch-drops",
+     "Globex founded IBM. The Enigma Machine was created by him.",
+     [("Globex", "founded", "IBM")]),
     # negation polarity (covered since round 3): a negator adjoining the
     # predicate drops the statement instead of emitting a false triple
     ("negation", "Ada Lovelace never visited Paris.",
