@@ -141,13 +141,17 @@ _FIX_SHIFT = 20
 # JFIF / CCIR 601 full-range color matrix at 2^16 fixed point — the DEFINED
 # integer transforms (floor-shift with +32768 pre-add = round-half-up, exact
 # over Python ints, so independent implementations agree bit-exactly).
-_C_RV = 91881    # round(1.402    * 2**16)
-_C_GU = 22554    # round(0.344136 * 2**16)
-_C_GV = 46802    # round(0.714136 * 2**16)
-_C_BU = 116130   # round(1.772    * 2**16)
-_C_YR, _C_YG, _C_YB = 19595, 38470, 7471     # round(0.299/0.587/0.114 * 2**16)
-_C_UR, _C_UG = 11059, 21709                  # round(0.168736/0.331264 * 2**16)
-_C_VG, _C_VB = 27439, 5329                   # round(0.418688/0.081312 * 2**16)
+# Computed from the defining formula, never hard-coded: a transcribed
+# constant drifted from round() once (22554 vs the true 22553 for 0.344136,
+# caught by the Hypothesis decode-vs-independent-oracle roundtrip) and a
+# ±1 constant shows up only as a rare ±1 pixel on rounding boundaries.
+_C_RV = round(1.402 * 2**16)
+_C_GU = round(0.344136 * 2**16)
+_C_GV = round(0.714136 * 2**16)
+_C_BU = round(1.772 * 2**16)
+_C_YR, _C_YG, _C_YB = (round(c * 2**16) for c in (0.299, 0.587, 0.114))
+_C_UR, _C_UG = (round(c * 2**16) for c in (0.168736, 0.331264))
+_C_VG, _C_VB = (round(c * 2**16) for c in (0.418688, 0.081312))
 
 
 def _clamp8(v: int) -> int:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import struct
 import zlib
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from kgspark import datagen_media, gifcodec, jpegcodec, mkvcodec, multimodal
@@ -181,6 +181,10 @@ def test_jpeg_encoder_roundtrip_arbitrary_dims(w, h, seed):
     st.integers(1, 32),
     st.integers(0, 2**32 - 1),
 )
+# regression: _C_GU was transcribed as 22554 (true round(0.344136*2^16) is
+# 22553); the ±1 constant surfaced as a single ±1 green byte on a rounding
+# boundary only at this example before the constants became computed.
+@example(w=4, h=8, seed=160)
 @settings(max_examples=30, deadline=None)
 def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
     """make_jpeg_color emits a decodable 4:4:4 file at ANY dims whose decode
