@@ -70,9 +70,15 @@ def main() -> None:
         f"""
         COPY (
           SELECT e.vec_id + r.k * 10000000 AS vec_id,
+                 -- rotation amount stays in [1, dim-1] for every k>0: a
+                 -- raw k >= dim would slice to the UNROTATED original and
+                 -- recreate the pathological all-copies-one-bucket corpus
+                 -- the docstring warns about (factor > dim runs)
                  CASE WHEN r.k = 0 THEN e.embedding
-                      ELSE list_concat(e.embedding[r.k + 1:],
-                                       e.embedding[1:r.k]) END AS embedding,
+                      ELSE list_concat(
+                        e.embedding[1 + (1 + (r.k - 1) % (len(e.embedding) - 1)):],
+                        e.embedding[1:(1 + (r.k - 1) % (len(e.embedding) - 1))])
+                      END AS embedding,
                  e.label
           FROM '{emb}' e CROSS JOIN reps r
           ORDER BY vec_id

@@ -29,6 +29,7 @@ lineage + metrics rows the north rule asks for.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import threading
@@ -90,16 +91,6 @@ def iceberg_runtime_probe() -> dict:
 # rebuild may call truncate()/_record_history_reset(), which take it again.
 _LEASE_STATE: dict[str, list] = {}
 _LEASE_GUARD = threading.Lock()
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-        return True
-    except ProcessLookupError:
-        return False
-    except PermissionError:  # pragma: no cover - other-user pid exists
-        return True
 
 
 class Warehouse:
@@ -177,12 +168,19 @@ class Warehouse:
         sweep, the canonical-state rewrites, and the manifest
         read-modify-write are all safe only under exclusive write access,
         so the lease spans the whole batch, not just the manifest swap.
-        Cross-process via an O_EXCL lockfile holding the owner pid; a
-        lease whose recorded pid is dead (crashed writer) is stolen via a
-        rename so exactly one waiter wins.  Reentrant per (root, thread):
-        run_pipeline holds it while its canonical rebuild truncates state
-        tables, which take it again.  Read paths never take the lease —
-        construction and reads stay lock-free.
+        Cross-process via an exclusive ``flock`` on ``.writer.lock``: the
+        kernel drops the lock when the holder's fd closes — including on
+        crash/SIGKILL — so there is no stale-lock state to detect, and no
+        steal protocol (the earlier pid-file steal had a TOCTOU window
+        where two waiters could both "steal" a dead writer's lock, and a
+        crash between O_EXCL-create and pid-write left an unstealable
+        empty lockfile).  The pid written into the file is diagnostic
+        only.  The lockfile itself persists across leases by design:
+        unlinking it would let a later creator flock a DIFFERENT inode
+        while a waiter still spins on the old one.  Reentrant per
+        (root, thread): run_pipeline holds it while its canonical rebuild
+        truncates state tables, which take it again.  Read paths never
+        take the lease — construction and reads stay lock-free.
         """
         root = os.path.abspath(self.root)
         me = threading.get_ident()
@@ -202,34 +200,30 @@ class Warehouse:
             return
         lock = os.path.join(self.root, ".writer.lock")
         deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                pid = 0
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            while True:
                 try:
-                    with open(lock) as f:
-                        pid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    pass
-                if pid and pid != os.getpid() and not _pid_alive(pid):
-                    # crashed writer: rename-steal so only ONE waiter wins
-                    try:
-                        stale = f"{lock}.stale-{pid}"
-                        os.rename(lock, stale)
-                        os.unlink(stale)
-                    except OSError:
-                        pass
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"warehouse writer lease at {lock} held by pid "
-                        f"{pid or '?'} past {timeout_s}s"
-                    )
-                time.sleep(0.05)
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        holder = "?"
+                        try:
+                            with open(lock) as f:
+                                holder = f.read().strip() or "?"
+                        except OSError:  # pragma: no cover - fs race
+                            pass
+                        raise TimeoutError(
+                            f"warehouse writer lease at {lock} held by pid "
+                            f"{holder} past {timeout_s}s"
+                        )
+                    time.sleep(0.05)
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
+        except BaseException:
+            os.close(fd)
+            raise
         with _LEASE_GUARD:
             _LEASE_STATE[root] = [me, 1]
         try:
@@ -237,10 +231,7 @@ class Warehouse:
         finally:
             with _LEASE_GUARD:
                 _LEASE_STATE.pop(root, None)
-            try:
-                os.unlink(lock)
-            except OSError:  # pragma: no cover - stolen after our crash
-                pass
+            os.close(fd)  # releases the flock
 
     # -- IO ---------------------------------------------------------------
     def exists(self, name: str) -> bool:

@@ -277,7 +277,13 @@ def cosine_pairs_lsh(
     import pandas as pd
 
     planes = make_planes(dim, n_planes)
-    n = corpus.select(
+    # Null / wrong-length embeddings: the old pure-expression formulation
+    # yielded a null cosine that the threshold filter dropped; the numpy
+    # bucket kernel would instead raise on the ragged batch.  Restore the
+    # old tolerance by dropping such rows BEFORE they can form a bucket.
+    n = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),

@@ -152,21 +152,29 @@ _PRON_TAIL_RE = re.compile(
 # predicate (1-3 plain word tokens); an unresolvable possessive passes the
 # raw span through to die at the J2 drop-unknown join — bounded FN, never a
 # wrong triple.
-_POSS_RE = re.compile(r"\b(?P<p>his|her|its|their)\b", re.IGNORECASE)
+_POSS_RE = re.compile(r"^\s*(?P<p>his|her|its|their)\b", re.IGNORECASE)
 _POSS_TAIL_RE = re.compile(r"^(?:\s+[A-Za-z][A-Za-z'\-]*){1,3}[\s,]*$")
 _POSS_TO_PRON = {"his": "he", "her": "she", "its": "it", "their": "they"}
 
 
 def _possessive_head(span: str) -> str | None:
-    """The possessive pronoun heading a span's subject NP, if any."""
-    prons = list(_POSS_RE.finditer(span))
-    if not prons:
+    """The possessive pronoun heading a span's subject NP, if any.
+
+    "Heading" is literal: the possessive must be the span's FIRST token
+    ("Its CEO visited ..."), not merely precede the predicate.  A
+    possessive embedded inside a larger subject NP ("The town and its
+    residents visited ...") is NOT a genitive-metonymy subject — firing
+    there would attribute the statement to the PREVIOUS sentence's
+    subject, a wrong triple; the embedded case passes the raw span
+    through to die at the J2 drop-unknown join instead (bounded FN)."""
+    m = _POSS_RE.match(span)
+    if m is None:
         return None
     if _ENTITY_RE.search(span):
         return None  # an entity mention anywhere in the span outranks
-    if not _POSS_TAIL_RE.match(span[prons[-1].end() :]):
+    if not _POSS_TAIL_RE.match(span[m.end() :]):
         return None
-    return prons[-1].group("p").lower()
+    return m.group("p").lower()
 
 
 # Passive-agent pronouns ("The Engine was created by her."): the object-case

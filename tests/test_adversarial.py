@@ -174,6 +174,13 @@ FIXTURES: list[tuple[str, str, list[tuple[str, str, str]]]] = [
     ("possessive-negated",
      "Acme Corp founded Globex. Its board never visited Paris.",
      [("Acme Corp", "founded", "Globex")]),
+    # a possessive EMBEDDED inside a larger subject NP is not a genitive-
+    # metonymy head — firing would attribute the visit to Globex (wrong
+    # triple); the span must die at the J2 drop instead (bounded FN)
+    ("possessive-embedded-not-head",
+     "Globex collaborated with IBM. The town and its residents "
+     "visited Paris.",
+     [("Globex", "collaborated_with", "IBM")]),
     # covered since r5: passive-agent pronouns ("was created by her") — the
     # object-case twin of the subject rule, same window and type rule
     ("passive-agent-her",

@@ -543,32 +543,54 @@ def test_two_writer_race_both_runs_survive(spark, tmp_path):
     assert wh.read("docs").count() == docs_before
 
 
-def test_writer_lease_steals_stale_lock_and_times_out(spark, tmp_path):
+def test_writer_lease_crash_release_and_live_holder(spark, tmp_path):
     import os
+    import signal
     import subprocess
+    import sys
 
     import pytest as _pytest
 
     wh = Warehouse(spark, str(tmp_path / "lease"))
     lock = os.path.join(wh.root, ".writer.lock")
 
-    # a crashed writer's lock (dead pid) is stolen, not waited out: a
-    # just-reaped child's pid is guaranteed dead (and not yet recycled)
-    child = subprocess.Popen(["true"])
-    child.wait()
+    # a leftover lockfile with NO live flock holder (e.g. a crashed writer:
+    # the kernel already dropped its lock) is acquired immediately — there
+    # is no stale-pid state to steal
     with open(lock, "w") as f:
-        f.write(str(child.pid))
+        f.write("999999999")
     with wh.writer_lease(timeout_s=5.0):
-        pass  # stolen and acquired
+        pass
 
-    # a LIVE holder (this very pid, simulating another process) is honored
-    # until timeout
-    with open(lock, "w") as f:
-        f.write(str(os.getpid()))
-    with _pytest.raises(TimeoutError):
-        with wh.writer_lease(timeout_s=0.3):
+    # a LIVE flock holder in another process is honored until timeout ...
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            "fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('held', flush=True)\n"
+            "time.sleep(60)\n",
+            lock,
+        ],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"held"
+        with _pytest.raises(TimeoutError):
+            with wh.writer_lease(timeout_s=0.3):
+                pass
+        # ... and a SIGKILLed holder's lock is released by the kernel, so
+        # the next waiter acquires without any manual cleanup
+        holder.send_signal(signal.SIGKILL)
+        holder.wait()
+        with wh.writer_lease(timeout_s=5.0):
             pass
-    os.unlink(lock)
+    finally:
+        if holder.poll() is None:  # pragma: no cover - failure path
+            holder.kill()
+            holder.wait()
 
     # reentrant: nested acquisition by the holding thread must not deadlock
     with wh.writer_lease(timeout_s=2.0):

@@ -57,6 +57,31 @@ def test_lsh_pairs_high_recall_on_true_near_dups(planted):
     assert recall >= 0.85, f"near-dup recall {recall:.2f} below 0.85"
 
 
+def test_lsh_tolerates_null_and_ragged_embeddings(spark, planted):
+    """A null or wrong-length embedding must be dropped (the old
+    pure-expression formulation's null-cosine behavior), not crash the
+    numpy bucket kernel with a ragged batch."""
+    dirty = planted.unionByName(
+        spark.createDataFrame(
+            [(9001, None), (9002, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    clean = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs_lsh(
+            planted, dim=DIM, threshold=0.95
+        ).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in vecops.cosine_pairs_lsh(
+            dirty, dim=DIM, threshold=0.95
+        ).collect()
+    }
+    assert got == clean
+
+
 def test_multiprobe_dominates_single_probe(planted):
     base = vecops.cosine_pairs_lsh(
         planted, dim=DIM, threshold=0.95, multiprobe=0
