@@ -159,15 +159,18 @@ def jpeg_rgb_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
     )
 
 
-def make_jpeg_color_file(w: int, h_px: int, h: bytes) -> bytes:
-    """A VALID baseline JFIF 4:4:4 YCbCr COLOR file, seeded RGB pattern."""
+def make_jpeg_color_file(
+    w: int, h_px: int, h: bytes, subsampling: str = "444"
+) -> bytes:
+    """A VALID baseline JFIF YCbCr COLOR file, seeded RGB pattern —
+    4:4:4 by default, 4:2:0 (Y 2x2, chroma 1x1, 16x16 MCUs) on request."""
     rgb = bytes(
         c
         for y in range(h_px)
         for x in range(w)
         for c in jpeg_rgb_pixel(x, y, h)
     )
-    return jpegcodec.make_jpeg_color(w, h_px, rgb)
+    return jpegcodec.make_jpeg_color(w, h_px, rgb, subsampling)
 
 
 _WAV_RATES = (8000, 11025, 16000, 22050)
@@ -221,10 +224,20 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":
         # real decodable file; dims kept <=127 so DCT block count stays small.
-        # Alternate grayscale / 4:4:4-color by seed so both entropy layouts
-        # (one- and three-component interleaved MCUs) live in the corpus.
-        mk = make_jpeg_color_file if h[5] % 2 else make_jpeg_file
-        payload = mk(24 + h[0] % 104, 24 + h[1] % 104, h)
+        # Rotate grayscale / 4:4:4-color / 4:2:0-color by jpeg ordinal
+        # (i // len(_KINDS) counts this kind's rows) so all three entropy
+        # layouts — one-component, three-component 1x1, and three-component
+        # 2x2+1x1 16x16-MCU — appear within any 15 consecutive corpus rows.
+        layout = (i // len(_KINDS)) % 3
+        if layout == 0:
+            payload = make_jpeg_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+        else:
+            payload = make_jpeg_color_file(
+                24 + h[0] % 104,
+                24 + h[1] % 104,
+                h,
+                "444" if layout == 1 else "420",
+            )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     # matroska: real EBML container, raw-grayscale frames, seeded count/dims
     payload = make_mkv_file(

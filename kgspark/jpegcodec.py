@@ -6,8 +6,9 @@ Spec-derived from ITU-T T.81 (the public JPEG specification) plus the JFIF
 container note.  Supported profile:
 
   * baseline sequential DCT (SOF0), 8-bit precision;
-  * one grayscale component OR three YCbCr components, all 1x1 sampling
-    (4:4:4 — no subsampling);
+  * one grayscale component, OR three YCbCr components at 1x1 sampling
+    (4:4:4), OR three YCbCr components with Y at 2x2 and chroma at 1x1
+    (4:2:0 — the layout virtually every camera/tool emits);
   * no restart markers / progressive / arithmetic coding — the decoder
     raises a clear :class:`ValueError` on those rather than guessing;
   * T.81 Annex K.1/K.2 quantization tables and Annex K.3 luminance +
@@ -19,7 +20,11 @@ YCbCr→RGB is ``R = Y + ((91881*(Cr-128) + 32768) >> 16)`` etc. (constants
 ``round(c * 2**16)`` of the CCIR 601 full-range matrix), all in exact
 integer arithmetic, so independent implementations of the same definition
 reproduce RGB BIT-EXACTLY — the same property the integer IDCT provides
-for the grayscale path.
+for the grayscale path.  4:2:0 chroma is DEFINED the same way on both
+sides: the encoder downsample is the exact rounded 2x2 mean
+``(a+b+c+d+2) >> 2`` (clamp-to-edge on odd dims) and the decoder
+upsample is pixel replication ``C[y//2][x//2]`` — both pure integer, so
+subsampled decode stays bit-exact across independent implementations.
 
 Decode is DEFINED over an integer fixed-point IDCT: the 1-D basis constants
 are ``round(alpha(u) * cos((2x+1)*u*pi/16) * 2**20)`` (:data:`IDCT_FIX`),
@@ -350,16 +355,46 @@ def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
     )
 
 
-def make_jpeg_color(w: int, h: int, rgb: bytes) -> bytes:
-    """A VALID baseline JFIF COLOR file: 3-component YCbCr, 1x1 sampling
-    (4:4:4, no subsampling), interleaved Y/Cb/Cr blocks per MCU.  Y uses
-    the Annex K.1 quant + K.3 luminance Huffman tables (ids 0), Cb/Cr the
-    Annex K.2 quant + K.3 chrominance tables (ids 1) — the standard
-    two-table layout every JPEG tool emits for color."""
+def downsample_420(plane, w: int, h: int) -> tuple:
+    """The DEFINED integer 4:2:0 chroma downsample: each chroma sample is
+    the rounded mean ``(a+b+c+d+2) >> 2`` of its 2x2 cell, clamp-to-edge
+    replicated on odd dims.  Exact integer arithmetic — independent
+    implementations agree bit-exactly.  Returns (bytes, cw, ch)."""
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    out = bytearray(cw * ch)
+    for cy in range(ch):
+        y0 = 2 * cy
+        y1 = min(h - 1, y0 + 1)
+        for cx in range(cw):
+            x0 = 2 * cx
+            x1 = min(w - 1, x0 + 1)
+            s = (
+                plane[y0 * w + x0]
+                + plane[y0 * w + x1]
+                + plane[y1 * w + x0]
+                + plane[y1 * w + x1]
+            )
+            out[cy * cw + cx] = (s + 2) >> 2
+    return bytes(out), cw, ch
+
+
+def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
+    """A VALID baseline JFIF COLOR file: 3-component YCbCr, interleaved
+    MCUs.  Y uses the Annex K.1 quant + K.3 luminance Huffman tables (ids
+    0), Cb/Cr the Annex K.2 quant + K.3 chrominance tables (ids 1) — the
+    standard two-table layout every JPEG tool emits for color.
+
+    ``subsampling="444"`` (default): all components 1x1, one block each
+    per 8x8 MCU — byte-identical to the pre-4:2:0 encoder.
+    ``subsampling="420"``: Y at 2x2, chroma at 1x1 over the
+    :func:`downsample_420` planes — 16x16 MCUs of four Y blocks (raster
+    order per T.81 A.2.3) then one Cb and one Cr block."""
     if w <= 0 or h <= 0:
         raise ValueError("JPEG dims outside supported profile")
     if len(rgb) != 3 * w * h:
         raise ValueError("rgb buffer does not match dims")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     n = w * h
     planes = [bytearray(n), bytearray(n), bytearray(n)]
     for i in range(n):
@@ -367,14 +402,32 @@ def make_jpeg_color(w: int, h: int, rgb: bytes) -> bytes:
         planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
     dc_l, ac_l = huff_codes(DC_BITS, DC_VALS), huff_codes(AC_BITS, AC_VALS)
     dc_c, ac_c = huff_codes(DC_BITS_C, DC_VALS_C), huff_codes(AC_BITS_C, AC_VALS_C)
-    tabs = [(dc_l, ac_l, QTABLE), (dc_c, ac_c, QTABLE_C), (dc_c, ac_c, QTABLE_C)]
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
-            for ci, (dc, ac, q) in enumerate(tabs):
-                coef = _fdct_quant(_block_pixels(planes[ci], w, h, bx, by), q)
-                prev[ci] = _encode_block(bw, coef, prev[ci], dc, ac)
+    if subsampling == "444":
+        y_samp = 0x11
+        tabs = [(dc_l, ac_l, QTABLE), (dc_c, ac_c, QTABLE_C), (dc_c, ac_c, QTABLE_C)]
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                for ci, (dc, ac, q) in enumerate(tabs):
+                    coef = _fdct_quant(_block_pixels(planes[ci], w, h, bx, by), q)
+                    prev[ci] = _encode_block(bw, coef, prev[ci], dc, ac)
+    else:
+        y_samp = 0x22
+        cb, cw_, ch_ = downsample_420(planes[1], w, h)
+        cr, _, _ = downsample_420(planes[2], w, h)
+        for my in range((h + 15) // 16):
+            for mx in range((w + 15) // 16):
+                for v in range(2):  # four Y blocks, raster order (T.81 A.2.3)
+                    for u in range(2):
+                        coef = _fdct_quant(
+                            _block_pixels(planes[0], w, h, 2 * mx + u, 2 * my + v)
+                        )
+                        prev[0] = _encode_block(bw, coef, prev[0], dc_l, ac_l)
+                coef = _fdct_quant(_block_pixels(cb, cw_, ch_, mx, my), QTABLE_C)
+                prev[1] = _encode_block(bw, coef, prev[1], dc_c, ac_c)
+                coef = _fdct_quant(_block_pixels(cr, cw_, ch_, mx, my), QTABLE_C)
+                prev[2] = _encode_block(bw, coef, prev[2], dc_c, ac_c)
 
     return (
         b"\xFF\xD8"
@@ -384,7 +437,7 @@ def make_jpeg_color(w: int, h: int, rgb: bytes) -> bytes:
         + _seg(
             0xC0,
             struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
         + _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
         + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
@@ -429,9 +482,11 @@ def parse_dims(payload: bytes) -> tuple:
 
 def _parse_scan(payload: bytes) -> tuple:
     """Walk segments to SOS; returns (w, h, comps, entropy bytes) where
-    ``comps`` is a list — in frame order — of (qtable, dc_table, ac_table)
-    per component (length 1 for grayscale, 3 for 4:4:4 YCbCr).  Raises on
-    non-baseline / subsampled / other-component-count streams."""
+    ``comps`` is a list — in frame order — of
+    (qtable, dc_table, ac_table, hi, vi) per component (length 1 for
+    grayscale, 3 for color).  Sampling profiles accepted: all components
+    1x1 (grayscale / 4:4:4), or Y 2x2 + chroma 1x1 (4:2:0).  Raises on
+    non-baseline / other-sampling / other-component-count streams."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -487,9 +542,12 @@ def _parse_scan(payload: bytes) -> tuple:
             comps = []
             for c in range(nc):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
+            if samps != [(1, 1)] * nc and samps != [(2, 2), (1, 1), (1, 1)]:
+                raise ValueError(
+                    "sampling unsupported (4:4:4 or 4:2:0 YCbCr only)"
+                )
             sof = (w, h, comps)
         elif marker in _SOF_MARKERS:
             raise ValueError("not a baseline-sequential JPEG")
@@ -513,7 +571,10 @@ def _parse_scan(payload: bytes) -> tuple:
                 tq = fcomps[c][1]
                 if tq not in qtables or td not in dc_tabs or ta not in ac_tabs:
                     raise ValueError("JPEG scan references undefined tables")
-                comps.append((qtables[tq], dc_tabs[td], ac_tabs[ta]))
+                comps.append(
+                    (qtables[tq], dc_tabs[td], ac_tabs[ta],
+                     fcomps[c][2], fcomps[c][3])
+                )
             return w, h, comps, payload[pos + 2 + ln :]
         pos += 2 + ln
     raise ValueError("JPEG missing SOS")
@@ -618,36 +679,54 @@ def _decode_block(br: "_BitReader", q: list, dc: dict, ac: dict, pred: int) -> t
 def decode_jpeg(payload: bytes) -> tuple:
     """REAL baseline JPEG decode for the supported profile: Huffman entropy
     decode, dequantize, inverse zigzag, integer IDCT, crop the MCU padding;
-    3-component streams additionally run the defined integer YCbCr→RGB.
-    Returns (width, height, pixel bytes row-major) — ``w*h`` grayscale
-    bytes for 1 component, ``3*w*h`` interleaved RGB bytes for 3."""
+    3-component streams additionally run the defined integer YCbCr→RGB
+    (after replicated chroma upsample for 4:2:0).  Returns (width, height,
+    pixel bytes row-major) — ``w*h`` grayscale bytes for 1 component,
+    ``3*w*h`` interleaved RGB bytes for 3."""
     w, h, comps, scan = _parse_scan(payload)
     br = _BitReader(scan)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    planes = [bytearray(w * h) for _ in comps]
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    # per-component plane dims: ceil(w*hi/hmax) x ceil(h*vi/vmax) (T.81
+    # A.1.1); for all-1x1 profiles this is w x h and the MCU walk below is
+    # exactly the old per-8x8-block raster
+    dims = [(-(-w * hi // hmax), -(-h * vi // vmax)) for _q, _d, _a, hi, vi in comps]
+    planes = [bytearray(cw * ch) for cw, ch in dims]
     preds = [0] * len(comps)
-    for by in range(bh_):
-        for bx in range(bw_):
-            for ci, (q, dc, ac) in enumerate(comps):
-                coef, preds[ci] = _decode_block(br, q, dc, ac, preds[ci])
-                pix = idct_block(coef)
+    for my in range(-(-h // (8 * vmax))):
+        for mx in range(-(-w // (8 * hmax))):
+            for ci, (q, dc, ac, hi, vi) in enumerate(comps):
+                cw, ch = dims[ci]
                 plane = planes[ci]
-                for j in range(8):
-                    y = by * 8 + j
-                    if y >= h:
-                        break
-                    row = pix[j * 8 : (j + 1) * 8]
-                    for i in range(8):
-                        x = bx * 8 + i
-                        if x >= w:
-                            break
-                        plane[y * w + x] = row[i]
+                for v in range(vi):  # hi*vi data units, raster (T.81 A.2.3)
+                    for u in range(hi):
+                        coef, preds[ci] = _decode_block(br, q, dc, ac, preds[ci])
+                        pix = idct_block(coef)
+                        bx, by = mx * hi + u, my * vi + v
+                        for j in range(8):
+                            y = by * 8 + j
+                            if y >= ch:
+                                break
+                            row = pix[j * 8 : (j + 1) * 8]
+                            for i in range(8):
+                                x = bx * 8 + i
+                                if x >= cw:
+                                    break
+                                plane[y * cw + x] = row[i]
     if len(planes) == 1:
         return w, h, bytes(planes[0])
     out = bytearray(3 * w * h)
     py, pcb, pcr = planes
-    for i in range(w * h):
-        out[3 * i], out[3 * i + 1], out[3 * i + 2] = ycbcr_to_rgb(
-            py[i], pcb[i], pcr[i]
-        )
+    cbw = dims[1][0]
+    crw = dims[2][0]
+    _, _, _, chh, chv = comps[1]
+    for y in range(h):
+        yrow = y * w
+        cbrow = (y * chv // vmax) * cbw
+        crrow = (y * chv // vmax) * crw
+        for x in range(w):
+            cx = x * chh // hmax
+            out[3 * (yrow + x) : 3 * (yrow + x) + 3] = bytes(
+                ycbcr_to_rgb(py[yrow + x], pcb[cbrow + cx], pcr[crrow + cx])
+            )
     return w, h, bytes(out)

@@ -170,18 +170,21 @@ def _jpeg_zigzag_independent() -> list:
 
 
 def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
-    """Independent restatement of the baseline JPEG decode path (grayscale
-    AND 4:4:4 YCbCr color), written against ITU-T T.81 + the JFIF note,
-    not against the kernel: its own marker walk, algorithmically derived
-    zigzag, canonical Huffman codes keyed by 1-prefixed integers (vs the
-    kernel's (size, code) tuples), whole-scan 0xFF00 un-stuffing up front
-    (vs the kernel's streaming reader), the defined integer IDCT with
-    independently recomputed fixed-point constants in the opposite
-    separable pass order, and the defined integer YCbCr→RGB with its
-    constants recomputed inline from the CCIR 601 matrix.  JPEG decode is
-    DEFINED over exact integer arithmetic (kgspark.jpegcodec docstring),
-    so both formulations must agree bit-exactly — any Huffman, dequant,
-    zigzag, IDCT, or color-transform bug on either side breaks digest
+    """Independent restatement of the baseline JPEG decode path (grayscale,
+    4:4:4 AND 4:2:0 YCbCr color), written against ITU-T T.81 + the JFIF
+    note, not against the kernel: its own marker walk, algorithmically
+    derived zigzag, canonical Huffman codes keyed by 1-prefixed integers
+    (vs the kernel's (size, code) tuples), whole-scan 0xFF00 un-stuffing
+    up front (vs the kernel's streaming reader), the defined integer IDCT
+    with independently recomputed fixed-point constants in the opposite
+    separable pass order, MCU-PADDED component planes cropped only at the
+    final sampling step (vs the kernel's crop-on-block-write), and the
+    defined integer YCbCr→RGB with its constants recomputed inline from
+    the CCIR 601 matrix; 4:2:0 chroma upsampling is the defined
+    ``C[y//2][x//2]`` replication.  JPEG decode is DEFINED over exact
+    integer arithmetic (kgspark.jpegcodec docstring), so both
+    formulations must agree bit-exactly — any Huffman, dequant, zigzag,
+    IDCT, sampling, or color-transform bug on either side breaks digest
     equality.  Returns (w, h, gray w*h bytes | RGB 3*w*h bytes)."""
     import math
     import struct
@@ -209,10 +212,17 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
             _prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
             assert nc in (1, 3), "oracle: expected 1- or 3-component JPEG"
             comps = [
-                (body[6 + 3 * c], body[8 + 3 * c]) for c in range(nc)
-            ]  # (component id, qtable id); sampling must be 1x1
-            assert all(body[7 + 3 * c] == 0x11 for c in range(nc)), (
-                "oracle: expected 4:4:4 sampling"
+                (
+                    body[6 + 3 * c],  # component id
+                    body[8 + 3 * c],  # qtable id
+                    body[7 + 3 * c] >> 4,  # Hi
+                    body[7 + 3 * c] & 15,  # Vi
+                )
+                for c in range(nc)
+            ]
+            samps = [(c[2], c[3]) for c in comps]
+            assert samps in ([(1, 1)] * nc, [(2, 2), (1, 1), (1, 1)]), (
+                "oracle: expected 4:4:4 or 4:2:0 sampling"
             )
             frame = (ww, hh, comps)
         elif marker == 0xC4:
@@ -273,48 +283,65 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
         ]
         for u in range(8)
     ]
-    planes = [bytearray(w * h) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # MCU-PADDED planes (full block grid, no crop-on-write) — the crop to
+    # the T.81 A.1.1 component dims happens only at the sampling step below
+    pads = [(mcux * hi * 8, mcuy * vi * 8) for _cid, _tq, hi, vi in comps]
+    planes = [bytearray(pw * ph) for pw, ph in pads]
     preds = [0] * len(comps)
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
-            for ci, (cid, tq) in enumerate(comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 q = qts[tq]
                 sel = sels[cid]
-                c = [0] * 64
-                preds[ci] += recv_ext(read_code(huff[0, sel >> 4]))
-                c[0] = preds[ci] * q[0]
-                k = 1
-                while k < 64:
-                    sym = read_code(huff[1, sel & 15])
-                    run, n = sym >> 4, sym & 15
-                    if n == 0:
-                        if run != 15:
-                            break
-                        k += 16
-                        continue
-                    k += run
-                    c[zz[k]] = recv_ext(n) * q[zz[k]]
-                    k += 1
-                # defined integer IDCT, opposite pass order (u first, then v)
-                g = [
-                    [sum(c[v * 8 + u] * cf[v][y] for v in range(8)) for y in range(8)]
-                    for u in range(8)
-                ]
+                pw = pads[ci][0]
                 plane = planes[ci]
-                for j in range(8):
-                    y = by * 8 + j
-                    if y >= h:
-                        break
-                    for i in range(8):
-                        x = bx * 8 + i
-                        if x >= w:
-                            break
-                        s = sum(g[u][j] * cf[u][i] for u in range(8))
-                        p = ((s + (1 << 41)) >> 42) + 128
-                        plane[y * w + x] = 0 if p < 0 else 255 if p > 255 else p
+                for dv in range(vi):
+                    for du in range(hi):
+                        c = [0] * 64
+                        preds[ci] += recv_ext(read_code(huff[0, sel >> 4]))
+                        c[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = read_code(huff[1, sel & 15])
+                            run, n = sym >> 4, sym & 15
+                            if n == 0:
+                                if run != 15:
+                                    break
+                                k += 16
+                                continue
+                            k += run
+                            c[zz[k]] = recv_ext(n) * q[zz[k]]
+                            k += 1
+                        # defined integer IDCT, opposite pass order
+                        # (u first, then v)
+                        g = [
+                            [
+                                sum(c[v * 8 + u] * cf[v][y] for v in range(8))
+                                for y in range(8)
+                            ]
+                            for u in range(8)
+                        ]
+                        x0 = (mx * hi + du) * 8
+                        y0 = (my * vi + dv) * 8
+                        for j in range(8):
+                            for i in range(8):
+                                s = sum(g[u][j] * cf[u][i] for u in range(8))
+                                p = ((s + (1 << 41)) >> 42) + 128
+                                plane[(y0 + j) * pw + x0 + i] = (
+                                    0 if p < 0 else 255 if p > 255 else p
+                                )
     if len(planes) == 1:
-        return w, h, bytes(planes[0])
-    # defined integer YCbCr→RGB, constants recomputed inline (CCIR 601)
+        pw = pads[0][0]
+        return w, h, bytes(
+            planes[0][y * pw + x] for y in range(h) for x in range(w)
+        )
+    # defined integer YCbCr→RGB, constants recomputed inline (CCIR 601);
+    # per-component sample index (y*Vi//Vmax, x*Hi//Hmax) — identity for
+    # 4:4:4, the defined //2 replication for 4:2:0 chroma
     c_rv = round(1.402 * 65536)
     c_gu, c_gv = round(0.344136 * 65536), round(0.714136 * 65536)
     c_bu = round(1.772 * 65536)
@@ -323,11 +350,17 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
         return 0 if v < 0 else 255 if v > 255 else v
 
     out = bytearray(3 * w * h)
-    for i in range(w * h):
-        yv, cb, cr = planes[0][i], planes[1][i] - 128, planes[2][i] - 128
-        out[3 * i] = cl(yv + ((c_rv * cr + 32768) >> 16))
-        out[3 * i + 1] = cl(yv - ((c_gu * cb + c_gv * cr + 32768) >> 16))
-        out[3 * i + 2] = cl(yv + ((c_bu * cb + 32768) >> 16))
+    (_, _, yh, yv_), (_, _, cbh, cbv), (_, _, crh, crv) = comps
+    ypw, cbpw, crpw = pads[0][0], pads[1][0], pads[2][0]
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            yv = planes[0][(y * yv_ // vmax) * ypw + (x * yh // hmax)]
+            cb = planes[1][(y * cbv // vmax) * cbpw + (x * cbh // hmax)] - 128
+            cr = planes[2][(y * crv // vmax) * crpw + (x * crh // hmax)] - 128
+            out[3 * i] = cl(yv + ((c_rv * cr + 32768) >> 16))
+            out[3 * i + 1] = cl(yv - ((c_gu * cb + c_gv * cr + 32768) >> 16))
+            out[3 * i + 2] = cl(yv + ((c_bu * cb + 32768) >> 16))
     return w, h, bytes(out)
 
 

@@ -10,7 +10,7 @@ The sandbox ships no image/audio libraries.  All five kinds are
 nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
 unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
 for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
-and 4:4:4-color JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video
+and color (4:4:4 or 4:2:0) JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video
 Matroska) decode
 any standards-conforming file of the supported profiles; image resize and
 audio resample re-encode a valid file of the same format, and video frame
@@ -524,7 +524,10 @@ def resize_py(payload: bytes, tw: int, th: int) -> dict | None:
 
             src_w, src_h, pix = jpegcodec.decode_jpeg(payload)
             out_w, out_h = fit_within(src_w, src_h, tw, th)
-            nch = len(pix) // (src_w * src_h)  # 1 grayscale, 3 RGB (4:4:4)
+            nch = len(pix) // (src_w * src_h)  # 1 grayscale, 3 RGB
+            # thumbnails re-encode as 4:4:4 regardless of source subsampling
+            # (tiny images; chroma detail matters more than bytes) — the
+            # oracle restates the same policy
             if nch == 3:
                 sampled = b"".join(
                     pix[

@@ -202,6 +202,33 @@ def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
 
 
 @given(
+    st.integers(1, 32),
+    st.integers(1, 32),
+    st.integers(0, 2**32 - 1),
+)
+# odd dims make the chroma plane clamp-to-edge and the Y plane end
+# mid-16x16-MCU — the two edge behaviors specific to 4:2:0
+@example(w=17, h=9, seed=7)
+@example(w=1, h=1, seed=0)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_420_encoder_roundtrip_arbitrary_dims(w, h, seed):
+    """make_jpeg_color(subsampling='420') emits a decodable 4:2:0 file at
+    ANY dims (16x16 MCUs, four Y blocks + subsampled chroma) whose decode
+    is deterministic, dimension-exact, 3-channel — and bit-identical to the
+    independent T.81 oracle restatement (integer-defined downsample, IDCT,
+    replicated upsample, and color transform)."""
+    from kgspark import media_oracles
+
+    rgb = bytes((seed + 11 * i) % 256 for i in range(3 * w * h))
+    f = jpegcodec.make_jpeg_color(w, h, rgb, subsampling="420")
+    dw, dh, dec = jpegcodec.decode_jpeg(f)
+    assert (dw, dh) == (w, h) and len(dec) == 3 * w * h
+    assert jpegcodec.decode_jpeg(f)[2] == dec
+    assert media_oracles._jpeg_decode_independent(f) == (w, h, dec)
+    assert jpegcodec.parse_dims(f) == (w, h)
+
+
+@given(
     st.integers(1, 24),
     st.integers(1, 24),
     st.integers(0, 20),

@@ -405,7 +405,7 @@ def test_jpeg_payloads_are_real_decodable_files():
         if kind == "jpeg"
     ]
     assert jpegs, "expected jpeg payloads in the corpus"
-    seen_channels = set()
+    seen_layouts = set()
     for j, mid, payload in jpegs:
         assert payload[:4] == b"\xff\xd8\xff\xe0" and payload[6:11] == b"JFIF\x00"
         w, h = jpegcodec.parse_dims(payload)
@@ -414,7 +414,15 @@ def test_jpeg_payloads_are_real_decodable_files():
         dw, dh, pix = jpegcodec.decode_jpeg(payload)
         nch = len(pix) // (w * h)
         assert (dw, dh) == (w, h) and nch in (1, 3) and len(pix) == nch * w * h
-        seen_channels.add(nch)
+        if nch == 1:
+            seen_layouts.add("gray")
+        else:
+            # Y sampling byte inside the SOF0 component list (SOF0 precedes
+            # entropy data, and no earlier segment of these files can
+            # contain 0xFFC0: APP0 is fixed JFIF bytes, Annex K quant
+            # values max out at 121)
+            sof = payload.index(b"\xff\xc0")
+            seen_layouts.add("420" if payload[sof + 11] == 0x22 else "444")
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
         if nch == 1:
             errs = [
@@ -436,8 +444,9 @@ def test_jpeg_payloads_are_real_decodable_files():
         # is much coarser than luma, by design of the standard tables
         tol = 8 if nch == 1 else 24
         assert sum(errs) / len(errs) <= tol, (mid, sum(errs) / len(errs))
-    # the corpus must exercise BOTH entropy layouts (1- and 3-component MCUs)
-    assert seen_channels == {1, 3}
+    # the corpus must exercise ALL THREE entropy layouts: one-component,
+    # three-component 1x1 (4:4:4), and three-component 2x2+1x1 (4:2:0)
+    assert seen_layouts == {"gray", "444", "420"}
 
 
 def test_jpeg_resize_emits_valid_jpeg_thumbnail():
