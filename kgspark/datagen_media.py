@@ -11,9 +11,9 @@ files:
     seeded sample rate) followed by a ``data`` chunk of seeded int16
     samples;
 
-  * JPEG — baseline JFIF, grayscale or 4:4:4 YCbCr color (alternating by
-    seed), no subsampling: SOI/APP0/DQT/SOF0/DHT/SOS with T.81 Annex K
-    tables and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
+  * JPEG — baseline JFIF, rotating grayscale / 4:4:4 YCbCr / 4:2:0 YCbCr
+    by jpeg ordinal: SOI/APP0/DQT/SOF0/DHT/SOS with T.81 Annex K tables
+    and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
   * Matroska — a genuine EBML tree (header, Segment, Info, one
     V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
     via :mod:`kgspark.mkvcodec`;

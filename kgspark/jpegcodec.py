@@ -717,6 +717,12 @@ def decode_jpeg(payload: bytes) -> tuple:
         return w, h, bytes(planes[0])
     out = bytearray(3 * w * h)
     py, pcb, pcr = planes
+    if hmax == 1 and vmax == 1:  # 4:4:4 — the pre-subsampling flat loop
+        for i in range(w * h):
+            out[3 * i], out[3 * i + 1], out[3 * i + 2] = ycbcr_to_rgb(
+                py[i], pcb[i], pcr[i]
+            )
+        return w, h, bytes(out)
     cbw = dims[1][0]
     crw = dims[2][0]
     _, _, _, chh, chv = comps[1]
@@ -726,7 +732,8 @@ def decode_jpeg(payload: bytes) -> tuple:
         crrow = (y * chv // vmax) * crw
         for x in range(w):
             cx = x * chh // hmax
-            out[3 * (yrow + x) : 3 * (yrow + x) + 3] = bytes(
-                ycbcr_to_rgb(py[yrow + x], pcb[cbrow + cx], pcr[crrow + cx])
+            o = 3 * (yrow + x)
+            out[o], out[o + 1], out[o + 2] = ycbcr_to_rgb(
+                py[yrow + x], pcb[cbrow + cx], pcr[crrow + cx]
             )
     return w, h, bytes(out)
