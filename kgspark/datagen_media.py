@@ -6,7 +6,8 @@ files:
   * PNG — signature, IHDR with correct dimensions and CRC32, one
     zlib-compressed IDAT of filter-0 RGB scanlines, IEND;
   * GIF — GIF89a logical screen descriptor, 256-entry global color table,
-    LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer;
+    LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer —
+    alternating plain / appendix-E interlaced row order by gif ordinal;
   * WAV — canonical RIFF/WAVE container: PCM ``fmt `` chunk (mono 16-bit,
     seeded sample rate) followed by a ``data`` chunk of seeded int16
     samples;
@@ -113,10 +114,13 @@ def gif_palette(h: bytes) -> bytes:
     )
 
 
-def make_gif_file(w: int, h_px: int, h: bytes) -> bytes:
-    """A VALID single-image GIF89a with the seeded palette/index pattern."""
+def make_gif_file(
+    w: int, h_px: int, h: bytes, interlace: bool = False
+) -> bytes:
+    """A VALID single-image GIF89a with the seeded palette/index pattern,
+    plain or appendix-E interlaced row order on request."""
     idx = bytes(gif_index(x, y, h) for y in range(h_px) for x in range(w))
-    return gifcodec.make_gif(w, h_px, gif_palette(h), idx)
+    return gifcodec.make_gif(w, h_px, gif_palette(h), idx, interlace)
 
 
 def mkv_pixel(f: int, x: int, y: int, h: bytes) -> int:
@@ -214,7 +218,15 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         payload = make_png(24 + h[0] % 104, 24 + h[1] % 104, h)
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "gif":
-        payload = make_gif_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+        # alternate plain / interlaced row order by gif ordinal so both
+        # storage layouts live in the corpus (decode must de-interlace —
+        # the analytic-from-seed resize oracle checks the logical pixels)
+        payload = make_gif_file(
+            24 + h[0] % 104,
+            24 + h[1] % 104,
+            h,
+            interlace=bool((i // len(_KINDS)) % 2),
+        )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "riff":
         # real decodable WAV; seeded sample count and rate

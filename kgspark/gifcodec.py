@@ -2,9 +2,11 @@
 
 Pairs with :mod:`kgspark.datagen_media` (emits valid files) and
 :mod:`kgspark.multimodal` (decodes any conforming file of this profile).
-Supported profile: one image block, 8-bit global color table, no interlace;
-the parser additionally skips GIF89a extension blocks and honors a local
-color table, so files from standard encoders within this profile decode too.
+Supported profile: one image block, 8-bit global color table, plain or
+INTERLACED row order (the appendix-E four-pass layout, de-interlaced on
+decode); the parser additionally skips GIF89a extension blocks and honors a
+local color table, so files from standard encoders within this profile
+decode too.
 
 LZW per the GIF89a specification, appendix F:
   * variable code width starting at ``min_code_size + 1`` bits, LSB-first
@@ -132,10 +134,26 @@ def lzw_decode(
     return bytes(out)
 
 
-def make_gif(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
+def interlace_order(h: int) -> list:
+    """GIF89a appendix E four-pass row order: the y coordinates of stored
+    rows in transmission sequence (pass 1: every 8th row from 0, pass 2:
+    every 8th from 4, pass 3: every 4th from 2, pass 4: every 2nd from 1).
+    Pure arithmetic — independent implementations agree exactly."""
+    return (
+        [y for y in range(0, h, 8)]
+        + [y for y in range(4, h, 8)]
+        + [y for y in range(2, h, 4)]
+        + [y for y in range(1, h, 2)]
+    )
+
+
+def make_gif(
+    w: int, h: int, palette: bytes, indices: bytes, interlace: bool = False
+) -> bytes:
     """A VALID single-image GIF89a: logical screen descriptor, 256-entry
     global color table, image descriptor, LZW-compressed index data in
-    255-byte sub-blocks, trailer."""
+    255-byte sub-blocks, trailer.  ``interlace=True`` stores rows in the
+    appendix-E four-pass order and sets the image-descriptor flag."""
     if len(palette) != 768:
         raise ValueError("palette must be 256 RGB entries (768 bytes)")
     if len(indices) != w * h:
@@ -143,7 +161,14 @@ def make_gif(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
     # packed LSD: GCT present, 8 bits/channel color resolution, GCT size 7
     # (2^(7+1) = 256 entries)
     head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0]) + palette
-    img = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + b"\x08"
+    ipacked = 0x40 if interlace else 0x00
+    img = (
+        b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked]) + b"\x08"
+    )
+    if interlace:
+        indices = b"".join(
+            indices[y * w : (y + 1) * w] for y in interlace_order(h)
+        )
     lzw = lzw_encode(indices, 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -157,9 +182,10 @@ def make_gif(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
 def parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
     """Parse a conforming GIF of the supported profile.
 
-    Returns (width, height, palette bytes, index stream w*h) for the FIRST
-    image block; skips 0x21 extension blocks; honors a local color table.
-    Raises ValueError outside the profile (interlace, no image, bad magic).
+    Returns (width, height, palette bytes, index stream w*h in LOGICAL row
+    order — interlaced images are de-interlaced) for the FIRST image block;
+    skips 0x21 extension blocks; honors a local color table.  Raises
+    ValueError outside the profile (no image, bad magic).
     """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
@@ -182,8 +208,6 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
             iw, ih = struct.unpack("<HH", payload[pos + 5 : pos + 9])
             ipacked = payload[pos + 9]
             pos += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF outside supported profile")
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
                 palette = payload[pos : pos + 3 * n]
@@ -202,7 +226,15 @@ def parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
             idx = lzw_decode(bytes(data), mcs, max_out=iw * ih + _TABLE_CAP)
             if len(idx) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
-            return iw, ih, palette, idx[: iw * ih]
+            idx = idx[: iw * ih]
+            if ipacked & 0x40:
+                # de-interlace: stored row k is logical row
+                # interlace_order(ih)[k]
+                out = bytearray(iw * ih)
+                for k, y in enumerate(interlace_order(ih)):
+                    out[y * iw : (y + 1) * iw] = idx[k * iw : (k + 1) * iw]
+                idx = bytes(out)
+            return iw, ih, palette, idx
         elif b0 == 0x3B:
             break
         else:

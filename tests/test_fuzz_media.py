@@ -229,6 +229,27 @@ def test_jpeg_420_encoder_roundtrip_arbitrary_dims(w, h, seed):
 
 
 @given(
+    st.integers(1, 48),
+    st.integers(1, 48),
+    st.integers(0, 2**32 - 1),
+)
+# heights below 5 leave passes 1-3 short or empty; 8/9 straddle the pass-2
+# boundary — the interlace edge cases
+@example(w=3, h=1, seed=0)
+@example(w=7, h=9, seed=1)
+@settings(max_examples=30, deadline=None)
+def test_gif_interlaced_roundtrip_arbitrary_dims(w, h, seed):
+    """make_gif(interlace=True) emits a decodable file at ANY dims whose
+    parse returns the LOGICAL pixel order — identical to the plain file's
+    parse (de-interlacing is lossless for every height)."""
+    pal = bytes((seed + i) % 256 for i in range(768))
+    idx = bytes((seed + 31 * i) % 256 for i in range(w * h))
+    plain = gifcodec.parse_gif(gifcodec.make_gif(w, h, pal, idx))
+    inter = gifcodec.parse_gif(gifcodec.make_gif(w, h, pal, idx, interlace=True))
+    assert plain == inter == (w, h, pal, idx)
+
+
+@given(
     st.integers(1, 24),
     st.integers(1, 24),
     st.integers(0, 20),

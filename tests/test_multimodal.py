@@ -159,15 +159,26 @@ def test_gif_payloads_are_real_decodable_files():
         if kind == "gif"
     ]
     assert gifs, "expected gif payloads in the corpus"
+    seen_layouts = set()
     for j, mid, payload in gifs:
         w, h, palette, idx = gifcodec.parse_gif(payload)
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
         assert palette == datagen_media.gif_palette(seed_hash)
         assert len(idx) == w * h
-        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+        # the pattern check below is ALSO the de-interlace check: an
+        # interlaced payload whose rows were not unshuffled would place
+        # pattern row 8 at logical row 1
+        for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3), (0, 1)):
             assert idx[y * w + x] == datagen_media.gif_index(x, y, seed_hash)
         d = multimodal.decode_header_py(payload)
         assert (d["width"], d["height"]) == (w, h)
+        # image-descriptor packed byte: signature(6) + LSD(7) + GCT(768) +
+        # separator/geometry(9)
+        seen_layouts.add(
+            "interlaced" if payload[13 + 768 + 9] & 0x40 else "plain"
+        )
+    # the corpus must exercise BOTH storage layouts
+    assert seen_layouts == {"plain", "interlaced"}
 
 
 def test_gif_resize_emits_valid_gif_thumbnail():
@@ -201,8 +212,9 @@ def test_gif_resize_emits_valid_gif_thumbnail():
 
 def test_gif_parser_reads_foreign_profile():
     """The parser is spec-conforming beyond the corpus profile: GIF87a
-    signature, 4-color table with min code size 2, and an extension block
-    to skip."""
+    signature, 4-color table with min code size 2, an extension block to
+    skip — and an INTERLACED variant of the same image (flag 0x40, rows
+    stored in the appendix-E four-pass order)."""
     import struct
 
     from kgspark import gifcodec
@@ -218,6 +230,37 @@ def test_gif_parser_reads_foreign_profile():
     )
     w, h, p, ix = gifcodec.parse_gif(foreign)
     assert (w, h) == (7, 9) and p == pal4 and ix == idx
+
+    # interlaced: stored rows follow passes 0,8.. / 4,12.. / 2,6.. / 1,3..
+    shuffled = b"".join(
+        idx[y * 7 : (y + 1) * 7] for y in gifcodec.interlace_order(9)
+    )
+    lzw_i = gifcodec.lzw_encode(shuffled, 2)
+    foreign_i = (
+        b"GIF87a" + struct.pack("<HH", 7, 9) + bytes([0x81, 0, 0]) + pal4
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 7, 9) + b"\x40" + b"\x02"
+        + bytes([len(lzw_i)]) + lzw_i + b"\x00" + b"\x3b"
+    )
+    w, h, p, ix = gifcodec.parse_gif(foreign_i)
+    assert (w, h) == (7, 9) and p == pal4 and ix == idx
+
+
+def test_gif_interlace_order_is_a_permutation_and_roundtrips():
+    """interlace_order(h) is a permutation of range(h) for every height,
+    and interlaced encode -> parse returns the LOGICAL row order
+    byte-identically (plain and interlaced files decode equal)."""
+    from kgspark import gifcodec
+
+    for h in list(range(1, 40)) + [127, 128]:
+        assert sorted(gifcodec.interlace_order(h)) == list(range(h)), h
+    pal = bytes(range(256)) * 3
+    for (w, h) in ((24, 24), (17, 9), (1, 1), (5, 2), (3, 8)):
+        idx = bytes((x * 3 + y * 7) % 256 for y in range(h) for x in range(w))
+        plain = gifcodec.parse_gif(gifcodec.make_gif(w, h, pal, idx))
+        inter = gifcodec.parse_gif(
+            gifcodec.make_gif(w, h, pal, idx, interlace=True)
+        )
+        assert plain == inter == (w, h, pal, idx)
 
 
 def test_wav_payloads_are_real_decodable_files():
