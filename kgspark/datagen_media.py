@@ -17,7 +17,8 @@ files:
     and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
   * Matroska — a genuine EBML tree (header, Segment, Info, one
     V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
-    via :mod:`kgspark.mkvcodec`;
+    via :mod:`kgspark.mkvcodec`, rotating plain / Xiph-laced /
+    fixed-laced / EBML-laced block storage by mkv ordinal;
 
 all decodable by any standards-conforming reader (pixel/sample values
 follow a seeded deterministic pattern shared with the oracle restatement).
@@ -130,13 +131,16 @@ def mkv_pixel(f: int, x: int, y: int, h: bytes) -> int:
     return (x * 2 + y * 3 + f * 5 + h[4]) % 256
 
 
-def make_mkv_file(w: int, h_px: int, n_frames: int, h: bytes) -> bytes:
-    """A VALID Matroska file: one raw-grayscale video track, seeded frames."""
+def make_mkv_file(
+    w: int, h_px: int, n_frames: int, h: bytes, lacing: str | None = None
+) -> bytes:
+    """A VALID Matroska file: one raw-grayscale video track, seeded frames,
+    optionally with Xiph / fixed / EBML laced clusters."""
     frames = [
         bytes(mkv_pixel(f, x, y, h) for y in range(h_px) for x in range(w))
         for f in range(n_frames)
     ]
-    return mkvcodec.make_mkv(w, h_px, frames)
+    return mkvcodec.make_mkv(w, h_px, frames, lacing)
 
 
 def jpeg_pixel(x: int, y: int, h: bytes) -> int:
@@ -251,9 +255,15 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
                 "444" if layout == 1 else "420",
             )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
-    # matroska: real EBML container, raw-grayscale frames, seeded count/dims
+    # matroska: real EBML container, raw-grayscale frames, seeded count/
+    # dims — rotating plain / Xiph / fixed / EBML lacing by mkv ordinal so
+    # every SimpleBlock storage layout lives in the corpus
     payload = make_mkv_file(
-        16 + h[1] % 24, 12 + h[2] % 20, 24 * (1 + h[0] % 10), h
+        16 + h[1] % 24,
+        12 + h[2] % 20,
+        24 * (1 + h[0] % 10),
+        h,
+        lacing=(None, "xiph", "fixed", "ebml")[(i // len(_KINDS)) % 4],
     )
     media_id = "media-" + hashlib.sha256(payload).hexdigest()[:16]
     return media_id, kind, payload

@@ -432,7 +432,12 @@ def _mkv_meta_independent(payload: bytes) -> tuple[int, int, int]:
             elif eid == 0xBA:  # PixelHeight
                 state["h"] = int.from_bytes(payload[pos : pos + size], "big")
             elif eid == 0xA3:  # SimpleBlock
-                state["n"] += 1
+                # restated block header (Matroska 10.3): track vint, s16
+                # timestamp, flags; lacing bits 0x06 mean the frame count
+                # rides in the next byte as count-minus-one
+                _track, q = vint(pos, strip=True)
+                flags = payload[q + 2]
+                state["n"] += payload[q + 3] + 1 if flags & 0x06 else 1
             pos += size
 
     walk(0, len(payload))

@@ -12,8 +12,11 @@ profile:
     raw row-major grayscale bytes, so no video *codec* is involved, only
     genuine container demuxing (the same shape real pipelines use for raw
     capture);
-  * frames carried as SimpleBlocks inside any number of Clusters; lacing
-    is not used by the muxer and rejected by the demuxer.
+  * frames carried as SimpleBlocks inside any number of Clusters — one
+    frame per block, or Xiph / fixed / EBML LACED blocks (Matroska spec
+    section 10.3: count byte, per-type size data for all but the last
+    frame, last size implicit from the block end); the muxer emits laced
+    clusters on request and the demuxer splits all three lace types.
 
 The demuxer walks real EBML structure: variable-length element IDs (marker
 bit kept, per RFC 8794 §5), variable-length sizes (marker stripped),
@@ -103,10 +106,47 @@ def _uint(eid: int, value: int) -> bytes:
     return element(eid, value.to_bytes(n, "big"))
 
 
-def make_mkv(w: int, h: int, frames: list) -> bytes:
+def _lace_block(frames: list, lacing: str) -> bytes:
+    """One laced SimpleBlock body for track 1 at relative timestamp 0:
+    flags lacing bits 0x02 (Xiph), 0x04 (fixed), or 0x06 (EBML), the
+    frame-count-minus-one byte, the per-type size data, then the
+    concatenated frames (Matroska spec section 10.3)."""
+    n = len(frames)
+    if lacing == "xiph":
+        flags, sizes = 0x82, bytearray()
+        for f in frames[:-1]:  # last frame size is implicit
+            q, r = divmod(len(f), 255)
+            sizes += b"\xff" * q + bytes([r])
+    elif lacing == "fixed":
+        flags, sizes = 0x84, bytearray()
+        if len({len(f) for f in frames}) > 1:
+            raise ValueError("fixed lacing needs equal-size frames")
+    else:  # ebml: first size unsigned vint, then signed-vint deltas
+        flags, sizes = 0x86, bytearray()
+        if n > 1:  # sizes cover frames 0..n-2; a lone frame has none
+            sizes += vint_encode(len(frames[0]))
+            for prev, cur in zip(frames, frames[1:-1]):
+                delta = len(cur) - len(prev)
+                # 2-byte signed vint: value + (2^13 - 1) bias (RFC
+                # 8794-style range shifting per the Matroska lacing spec)
+                sizes += vint_encode(delta + (1 << 13) - 1, 2)
+    return (
+        b"\x81"
+        + struct.pack(">h", 0)
+        + bytes([flags, n - 1])
+        + bytes(sizes)
+        + b"".join(frames)
+    )
+
+
+def make_mkv(w: int, h: int, frames: list, lacing: str | None = None) -> bytes:
     """A VALID minimal Matroska file: EBML header (DocType matroska), one
     Segment with Info, one V_UNCOMPRESSED video track at (w, h), and one
-    Cluster per 8 frames of raw grayscale SimpleBlocks."""
+    Cluster per 8 frames of raw grayscale SimpleBlocks.  With ``lacing``
+    ("xiph" | "fixed" | "ebml") each cluster's frames ride in ONE laced
+    SimpleBlock instead of one block per frame."""
+    if lacing not in (None, "xiph", "fixed", "ebml"):
+        raise ValueError("lacing must be None, 'xiph', 'fixed', or 'ebml'")
     for f in frames:
         if len(f) != w * h:
             raise ValueError("frame buffer does not match dims")
@@ -134,13 +174,17 @@ def make_mkv(w: int, h: int, frames: list) -> bytes:
     clusters = b""
     for base in range(0, len(frames), 8):
         body = _uint(TIMESTAMP, base)
-        for k, frame in enumerate(frames[base : base + 8]):
-            # SimpleBlock: track vint (0x81 = track 1), s16 relative
-            # timestamp, flags (0x80 keyframe, no lacing), frame data
-            body += element(
-                SIMPLE_BLOCK,
-                b"\x81" + struct.pack(">h", k) + b"\x80" + bytes(frame),
-            )
+        group = [bytes(f) for f in frames[base : base + 8]]
+        if lacing:
+            body += element(SIMPLE_BLOCK, _lace_block(group, lacing))
+        else:
+            for k, frame in enumerate(group):
+                # SimpleBlock: track vint (0x81 = track 1), s16 relative
+                # timestamp, flags (0x80 keyframe, no lacing), frame data
+                body += element(
+                    SIMPLE_BLOCK,
+                    b"\x81" + struct.pack(">h", k) + b"\x80" + frame,
+                )
         clusters += element(CLUSTER, body)
     return header + element(SEGMENT, info + tracks + clusters)
 
@@ -161,8 +205,9 @@ def _walk(buf: bytes, start: int, end: int):
 def parse_mkv(payload: bytes) -> tuple:
     """REAL Matroska demux for the supported profile: walk the EBML tree,
     return (width, height, frames) where frames are the raw SimpleBlock
-    payloads in stream order.  Raises ValueError on non-matroska DocTypes,
-    laced blocks, and truncated structure rather than guessing."""
+    payloads in stream order — laced blocks (Xiph / fixed / EBML) split
+    into their individual frames.  Raises ValueError on non-matroska
+    DocTypes and truncated structure rather than guessing."""
     return _scan(payload, collect=True)
 
 
@@ -203,12 +248,71 @@ def _scan(payload: bytes, collect: bool) -> tuple:
                         if p + 1 > be:
                             raise ValueError("truncated SimpleBlock header")
                         flags = payload[p]
-                        if flags & 0x06:
-                            raise ValueError("laced SimpleBlocks unsupported")
+                        p += 1
+                        lace = flags & 0x06
+                        if not lace:
+                            if collect:
+                                frames.append(payload[p:be])
+                            else:
+                                n_frames += 1
+                            continue
+                        # laced block (Matroska 10.3): count byte, then
+                        # per-type size data for frames 0..n-2, last
+                        # frame's size implicit from the block end
+                        if p >= be:
+                            raise ValueError("truncated lace header")
+                        n = payload[p] + 1
+                        p += 1
+                        sizes = []
+                        if lace == 0x02:  # Xiph: 255-runs + terminator
+                            for _ in range(n - 1):
+                                sz = 0
+                                while True:
+                                    if p >= be:
+                                        raise ValueError(
+                                            "truncated Xiph lace sizes"
+                                        )
+                                    sz += payload[p]
+                                    last = payload[p] != 0xFF
+                                    p += 1
+                                    if last:
+                                        break
+                                sizes.append(sz)
+                        elif lace == 0x06:  # EBML: vint + signed deltas
+                            if n > 1:
+                                sz, p = vint_parse(
+                                    payload, p, keep_marker=False
+                                )
+                                sizes.append(sz)
+                                for _ in range(n - 2):
+                                    raw, q = vint_parse(
+                                        payload, p, keep_marker=False
+                                    )
+                                    # signed vint: bias 2^(7*len)-1... the
+                                    # marker-stripped width is (q - p)
+                                    sz += raw - ((1 << (7 * (q - p) - 1)) - 1)
+                                    p = q
+                                    if sz < 0:
+                                        raise ValueError(
+                                            "negative EBML lace size"
+                                        )
+                                    sizes.append(sz)
+                        else:  # 0x04 fixed: equal sizes, no size data
+                            if (be - p) % n:
+                                raise ValueError(
+                                    "fixed lacing with non-divisible body"
+                                )
+                            sizes = [(be - p) // n] * (n - 1)
+                        if p + sum(sizes) > be:
+                            raise ValueError("lace sizes overrun block")
+                        for sz in sizes:
+                            if collect:
+                                frames.append(payload[p : p + sz])
+                            p += sz
                         if collect:
-                            frames.append(payload[p + 1 : be])
+                            frames.append(payload[p:be])  # implicit last
                         else:
-                            n_frames += 1
+                            n_frames += n
     if w is None or h is None:
         raise ValueError("matroska stream has no video track dims")
     return (w, h, frames) if collect else (w, h, n_frames)

@@ -258,12 +258,14 @@ def test_gif_interlaced_roundtrip_arbitrary_dims(w, h, seed):
 @settings(max_examples=40, deadline=None)
 def test_mkv_encoder_roundtrip_arbitrary_shapes(w, h, n_frames, seed):
     """make_mkv emits a demuxable file for any dims/frame count (0 frames,
-    cluster boundaries at 8) with LOSSLESS frame round-trip."""
+    cluster boundaries at 8) with LOSSLESS frame round-trip — in every
+    block storage: plain, Xiph-laced, fixed-laced, and EBML-laced."""
     frames = [
         bytes((seed + f * 31 + i) % 256 for i in range(w * h))
         for f in range(n_frames)
     ]
-    payload = mkvcodec.make_mkv(w, h, frames)
-    pw, ph, pf = mkvcodec.parse_mkv(payload)
-    assert (pw, ph) == (w, h) and pf == frames
-    assert mkvcodec.parse_meta(payload) == (w, h, n_frames)
+    for lacing in (None, "xiph", "fixed", "ebml"):
+        payload = mkvcodec.make_mkv(w, h, frames, lacing)
+        pw, ph, pf = mkvcodec.parse_mkv(payload)
+        assert (pw, ph) == (w, h) and pf == frames, lacing
+        assert mkvcodec.parse_meta(payload) == (w, h, n_frames), lacing

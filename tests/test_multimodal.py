@@ -668,11 +668,14 @@ def test_mkv_payloads_are_real_decodable_files():
         if kind == "matroska"
     ]
     assert mkvs, "expected matroska payloads in the corpus"
+    seen_lacing = set()
     for j, mid, payload in mkvs:
         assert payload[:4] == bytes.fromhex("1A45DFA3")
         w, h, frames = mkvcodec.parse_mkv(payload)
         assert frames and all(len(f) == w * h for f in frames)
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
+        # the pattern check is ALSO the lace-split check: a wrong Xiph/
+        # fixed/EBML size walk shifts every frame boundary
         for f in (0, len(frames) // 2, len(frames) - 1):
             for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
                 assert frames[f][y * w + x] == datagen_media.mkv_pixel(
@@ -684,6 +687,31 @@ def test_mkv_payloads_are_real_decodable_files():
         assert multimodal.frame_sample_py(payload) == list(
             range(0, len(frames), 10)
         )
+        for eid, bs, be in _simpleblocks(payload):
+            _t, p = mkvcodec.vint_parse(
+                payload, bs, keep_marker=False, allow_all_ones=True
+            )
+            seen_lacing.add(payload[p + 2] & 0x06)
+    # the corpus must exercise ALL FOUR block storages: plain, Xiph,
+    # fixed, and EBML lacing
+    assert seen_lacing == {0x00, 0x02, 0x04, 0x06}
+
+
+def _simpleblocks(payload):
+    """Yield (id, body_start, body_end) of every SimpleBlock in the tree."""
+    from kgspark import mkvcodec
+
+    def rec(start, end):
+        for eid, s, e in mkvcodec._walk(payload, start, end):
+            if eid == mkvcodec.SIMPLE_BLOCK:
+                yield eid, s, e
+            elif eid in (
+                mkvcodec.SEGMENT,
+                mkvcodec.CLUSTER,
+            ):
+                yield from rec(s, e)
+
+    yield from rec(0, len(payload))
 
 
 def test_corrupt_mkv_rows_are_skipped_not_fatal():
