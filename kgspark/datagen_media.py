@@ -13,8 +13,9 @@ files:
     samples;
 
   * JPEG — baseline JFIF, rotating grayscale / 4:4:4 YCbCr / 4:2:0 YCbCr
-    by jpeg ordinal: SOI/APP0/DQT/SOF0/DHT/SOS with T.81 Annex K tables
-    and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
+    by jpeg ordinal with DRI restart markers on an independent parity
+    axis: SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS with T.81 Annex K tables and
+    real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
   * Matroska — a genuine EBML tree (header, Segment, Info, one
     V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
     via :mod:`kgspark.mkvcodec`, rotating plain / Xiph-laced /
@@ -151,10 +152,12 @@ def jpeg_pixel(x: int, y: int, h: bytes) -> int:
     return (x * 3 + y * 5 + (x // 8) * h[2] + (y // 8) * h[3]) % 256
 
 
-def make_jpeg_file(w: int, h_px: int, h: bytes) -> bytes:
+def make_jpeg_file(
+    w: int, h_px: int, h: bytes, restart_interval: int = 0
+) -> bytes:
     """A VALID baseline JFIF grayscale file with the seeded pixel pattern."""
     gray = bytes(jpeg_pixel(x, y, h) for y in range(h_px) for x in range(w))
-    return jpegcodec.make_jpeg(w, h_px, gray)
+    return jpegcodec.make_jpeg(w, h_px, gray, restart_interval)
 
 
 def jpeg_rgb_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
@@ -168,17 +171,22 @@ def jpeg_rgb_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
 
 
 def make_jpeg_color_file(
-    w: int, h_px: int, h: bytes, subsampling: str = "444"
+    w: int,
+    h_px: int,
+    h: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """A VALID baseline JFIF YCbCr COLOR file, seeded RGB pattern —
-    4:4:4 by default, 4:2:0 (Y 2x2, chroma 1x1, 16x16 MCUs) on request."""
+    4:4:4 by default, 4:2:0 (Y 2x2, chroma 1x1, 16x16 MCUs) and DRI
+    restart markers on request."""
     rgb = bytes(
         c
         for y in range(h_px)
         for x in range(w)
         for c in jpeg_rgb_pixel(x, y, h)
     )
-    return jpegcodec.make_jpeg_color(w, h_px, rgb, subsampling)
+    return jpegcodec.make_jpeg_color(w, h_px, rgb, subsampling, restart_interval)
 
 
 _WAV_RATES = (8000, 11025, 16000, 22050)
@@ -243,16 +251,23 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         # Rotate grayscale / 4:4:4-color / 4:2:0-color by jpeg ordinal
         # (i // len(_KINDS) counts this kind's rows) so all three entropy
         # layouts — one-component, three-component 1x1, and three-component
-        # 2x2+1x1 16x16-MCU — appear within any 15 consecutive corpus rows.
-        layout = (i // len(_KINDS)) % 3
+        # 2x2+1x1 16x16-MCU — appear within any 15 consecutive corpus rows;
+        # alternate DRI restart intervals on an independent parity axis so
+        # every layout occurs both with and without RST0-7 markers.
+        ordinal = i // len(_KINDS)
+        layout = ordinal % 3
+        ri = 3 if ordinal % 2 else 0
         if layout == 0:
-            payload = make_jpeg_file(24 + h[0] % 104, 24 + h[1] % 104, h)
+            payload = make_jpeg_file(
+                24 + h[0] % 104, 24 + h[1] % 104, h, restart_interval=ri
+            )
         else:
             payload = make_jpeg_color_file(
                 24 + h[0] % 104,
                 24 + h[1] % 104,
                 h,
                 "444" if layout == 1 else "420",
+                restart_interval=ri,
             )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     # matroska: real EBML container, raw-grayscale frames, seeded count/

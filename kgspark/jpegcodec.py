@@ -9,8 +9,11 @@ container note.  Supported profile:
   * one grayscale component, OR three YCbCr components at 1x1 sampling
     (4:4:4), OR three YCbCr components with Y at 2x2 and chroma at 1x1
     (4:2:0 — the layout virtually every camera/tool emits);
-  * no restart markers / progressive / arithmetic coding — the decoder
-    raises a clear :class:`ValueError` on those rather than guessing;
+  * DRI restart intervals with byte-aligned cycling RST0-7 markers and
+    DC-predictor resets (the error-resilience layout most camera JPEGs
+    carry) — emitted on request, always honored on decode;
+  * no progressive / arithmetic coding — the decoder raises a clear
+    :class:`ValueError` on those rather than guessing;
   * T.81 Annex K.1/K.2 quantization tables and Annex K.3 luminance +
     chrominance Huffman tables (the interchange-standard tables every
     JPEG tool ships).
@@ -240,7 +243,9 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flushed(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 B.2.5) — the state a
+        restart marker must be emitted in."""
         if self.n:
             pad = 8 - self.n
             b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
@@ -248,6 +253,14 @@ class _BitWriter:
             if b == 0xFF:
                 self.buf.append(0x00)
             self.acc = self.n = 0
+
+    def marker(self, m: int) -> None:
+        """Append a raw (unstuffed) marker, byte-aligned."""
+        self.align()
+        self.buf += bytes([0xFF, m])
+
+    def flushed(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -323,10 +336,13 @@ def _seg(marker: int, data: bytes) -> bytes:
 _JFIF_APP0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
 
 
-def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
+def make_jpeg(w: int, h: int, gray: bytes, restart_interval: int = 0) -> bytes:
     """A VALID baseline JFIF file: SOI, APP0, DQT, SOF0 (grayscale, 1x1),
     DHT (Annex K luminance DC+AC), SOS, entropy-coded MCUs, EOI.  Edge
-    blocks pad by clamp-to-edge replication."""
+    blocks pad by clamp-to-edge replication.  ``restart_interval`` > 0
+    additionally emits a DRI segment and a byte-aligned RST0-7 marker
+    (cycling) after every that-many MCUs, resetting the DC predictor —
+    the T.81 error-resilience layout most camera JPEGs carry."""
     if w <= 0 or h <= 0:
         # Mirror the decoder's dims guard: 0x0 would pass the length check
         # with an empty buffer yet emit a file decode_jpeg itself rejects.
@@ -337,11 +353,26 @@ def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
     ac = huff_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    total = ((h + 7) // 8) * ((w + 7) // 8)
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
             coef = _fdct_quant(_block_pixels(gray, w, h, bx, by))
             prev_dc = _encode_block(bw, coef, prev_dc, dc, ac)
+            mcu += 1
+            if (
+                restart_interval
+                and mcu % restart_interval == 0
+                and mcu < total
+            ):
+                bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                prev_dc = 0
 
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xFF\xD8"
         + _seg(0xE0, _JFIF_APP0)
@@ -349,6 +380,7 @@ def make_jpeg(w: int, h: int, gray: bytes) -> bytes:
         + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
         + _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
         + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + dri
         + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
         + bw.flushed()
         + b"\xFF\xD9"
@@ -378,7 +410,13 @@ def downsample_420(plane, w: int, h: int) -> tuple:
     return bytes(out), cw, ch
 
 
-def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
+def make_jpeg_color(
+    w: int,
+    h: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """A VALID baseline JFIF COLOR file: 3-component YCbCr, interleaved
     MCUs.  Y uses the Annex K.1 quant + K.3 luminance Huffman tables (ids
     0), Cb/Cr the Annex K.2 quant + K.3 chrominance tables (ids 1) — the
@@ -388,7 +426,9 @@ def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> byt
     per 8x8 MCU — byte-identical to the pre-4:2:0 encoder.
     ``subsampling="420"``: Y at 2x2, chroma at 1x1 over the
     :func:`downsample_420` planes — 16x16 MCUs of four Y blocks (raster
-    order per T.81 A.2.3) then one Cb and one Cr block."""
+    order per T.81 A.2.3) then one Cb and one Cr block.
+    ``restart_interval`` > 0: DRI + cycling byte-aligned RST0-7 after
+    every that-many MCUs, all DC predictors reset (see make_jpeg)."""
     if w <= 0 or h <= 0:
         raise ValueError("JPEG dims outside supported profile")
     if len(rgb) != 3 * w * h:
@@ -404,18 +444,30 @@ def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> byt
     dc_c, ac_c = huff_codes(DC_BITS_C, DC_VALS_C), huff_codes(AC_BITS_C, AC_VALS_C)
     bw = _BitWriter()
     prev = [0, 0, 0]
+    mcu = 0
+
+    def _restart(total: int) -> None:
+        nonlocal mcu
+        mcu += 1
+        if restart_interval and mcu % restart_interval == 0 and mcu < total:
+            bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+            prev[0] = prev[1] = prev[2] = 0
+
     if subsampling == "444":
         y_samp = 0x11
         tabs = [(dc_l, ac_l, QTABLE), (dc_c, ac_c, QTABLE_C), (dc_c, ac_c, QTABLE_C)]
+        total = ((h + 7) // 8) * ((w + 7) // 8)
         for by in range((h + 7) // 8):
             for bx in range((w + 7) // 8):
                 for ci, (dc, ac, q) in enumerate(tabs):
                     coef = _fdct_quant(_block_pixels(planes[ci], w, h, bx, by), q)
                     prev[ci] = _encode_block(bw, coef, prev[ci], dc, ac)
+                _restart(total)
     else:
         y_samp = 0x22
         cb, cw_, ch_ = downsample_420(planes[1], w, h)
         cr, _, _ = downsample_420(planes[2], w, h)
+        total = ((h + 15) // 16) * ((w + 15) // 16)
         for my in range((h + 15) // 16):
             for mx in range((w + 15) // 16):
                 for v in range(2):  # four Y blocks, raster order (T.81 A.2.3)
@@ -428,7 +480,13 @@ def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> byt
                 prev[1] = _encode_block(bw, coef, prev[1], dc_c, ac_c)
                 coef = _fdct_quant(_block_pixels(cr, cw_, ch_, mx, my), QTABLE_C)
                 prev[2] = _encode_block(bw, coef, prev[2], dc_c, ac_c)
+                _restart(total)
 
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xFF\xD8"
         + _seg(0xE0, _JFIF_APP0)
@@ -443,6 +501,7 @@ def make_jpeg_color(w: int, h: int, rgb: bytes, subsampling: str = "444") -> byt
         + _seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
         + _seg(0xC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
         + _seg(0xC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+        + dri
         + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         + bw.flushed()
         + b"\xFF\xD9"
@@ -481,7 +540,8 @@ def parse_dims(payload: bytes) -> tuple:
 
 
 def _parse_scan(payload: bytes) -> tuple:
-    """Walk segments to SOS; returns (w, h, comps, entropy bytes) where
+    """Walk segments to SOS; returns (w, h, comps, entropy bytes,
+    restart interval in MCUs — 0 when no DRI segment) where
     ``comps`` is a list — in frame order — of
     (qtable, dc_table, ac_table, hi, vi) per component (length 1 for
     grayscale, 3 for color).  Sampling profiles accepted: all components
@@ -494,6 +554,7 @@ def _parse_scan(payload: bytes) -> tuple:
     dc_tabs: dict = {}
     ac_tabs: dict = {}
     sof = None
+    ri = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -552,7 +613,9 @@ def _parse_scan(payload: bytes) -> tuple:
         elif marker in _SOF_MARKERS:
             raise ValueError("not a baseline-sequential JPEG")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            if ln != 4:
+                raise ValueError("bad DRI segment length")
+            (ri,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -575,7 +638,7 @@ def _parse_scan(payload: bytes) -> tuple:
                     (qtables[tq], dc_tabs[td], ac_tabs[ta],
                      fcomps[c][2], fcomps[c][3])
                 )
-            return w, h, comps, payload[pos + 2 + ln :]
+            return w, h, comps, payload[pos + 2 + ln :], ri
         pos += 2 + ln
     raise ValueError("JPEG missing SOS")
 
@@ -612,6 +675,16 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, m: int) -> None:
+        """Consume the byte-aligned RSTm marker (T.81 E.2.4): drop the
+        current byte's padding bits, then require exactly 0xFF 0xD0+m."""
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG scan at restart")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + m:
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
 
 
 def _read_code(br: _BitReader, table: dict) -> int:
@@ -683,7 +756,7 @@ def decode_jpeg(payload: bytes) -> tuple:
     (after replicated chroma upsample for 4:2:0).  Returns (width, height,
     pixel bytes row-major) — ``w*h`` grayscale bytes for 1 component,
     ``3*w*h`` interleaved RGB bytes for 3."""
-    w, h, comps, scan = _parse_scan(payload)
+    w, h, comps, scan, ri = _parse_scan(payload)
     br = _BitReader(scan)
     hmax = max(c[3] for c in comps)
     vmax = max(c[4] for c in comps)
@@ -693,8 +766,15 @@ def decode_jpeg(payload: bytes) -> tuple:
     dims = [(-(-w * hi // hmax), -(-h * vi // vmax)) for _q, _d, _a, hi, vi in comps]
     planes = [bytearray(cw * ch) for cw, ch in dims]
     preds = [0] * len(comps)
+    mcu = 0
     for my in range(-(-h // (8 * vmax))):
         for mx in range(-(-w // (8 * hmax))):
+            if ri and mcu and mcu % ri == 0:
+                # T.81 E.2.4: byte-aligned cycling RST marker between
+                # restart intervals; all DC predictors reset
+                br.restart((mcu // ri - 1) % 8)
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (q, dc, ac, hi, vi) in enumerate(comps):
                 cw, ch = dims[ci]
                 plane = planes[ci]

@@ -174,8 +174,9 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
     4:4:4 AND 4:2:0 YCbCr color), written against ITU-T T.81 + the JFIF
     note, not against the kernel: its own marker walk, algorithmically
     derived zigzag, canonical Huffman codes keyed by 1-prefixed integers
-    (vs the kernel's (size, code) tuples), whole-scan 0xFF00 un-stuffing
-    up front (vs the kernel's streaming reader), the defined integer IDCT
+    (vs the kernel's (size, code) tuples), up-front RST0-7 scan splitting
+    + per-segment 0xFF00 un-stuffing for DRI streams (vs the kernel's
+    streaming byte-aligned marker consume), the defined integer IDCT
     with independently recomputed fixed-point constants in the opposite
     separable pass order, MCU-PADDED component planes cropped only at the
     final sampling step (vs the kernel's crop-on-block-write), and the
@@ -189,9 +190,12 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
     import math
     import struct
 
+    import re
+
     zz = _jpeg_zigzag_independent()
     assert payload[:2] == b"\xff\xd8", "oracle: payload is not a JPEG"
     pos, qts, frame, huff, scan, sels = 2, {}, None, {}, None, None
+    dri = 0
     while scan is None:
         assert payload[pos] == 0xFF, "oracle: bad JPEG marker stream"
         while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
@@ -240,6 +244,8 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
                     code <<= 1
                 huff[cls >> 4, cls & 15] = tab
                 i += 17 + nv
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             assert frame is not None, "oracle: SOS before SOF"
             ns = body[0]
@@ -248,15 +254,27 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
             scan = payload[pos + 2 + ln :]
         pos += 2 + ln
     w, h, comps = frame
-    data = scan.replace(b"\xff\x00", b"\xff")
-    bitpos = 0
+    # restart handling restated DIFFERENTLY from the kernel: in a valid
+    # scan a raw 0xFF is always stuffed (0xFF00), so the two-byte RST0-7
+    # sequences are exactly the restart markers — split the scan on them
+    # up front and decode one entropy segment per restart interval (vs the
+    # kernel's streaming byte-aligned marker consume)
+    segs = re.split(rb"\xff[\xd0-\xd7]", scan) if dri else [scan]
+    st = {"data": segs[0].replace(b"\xff\x00", b"\xff"), "bit": 0, "seg": 0}
+
+    def next_segment() -> None:
+        st["seg"] += 1
+        assert st["seg"] < len(segs), "oracle: missing restart segment"
+        st["data"] = segs[st["seg"]].replace(b"\xff\x00", b"\xff")
+        st["bit"] = 0
 
     def bits(n: int) -> int:
-        nonlocal bitpos
         v = 0
+        data, bitpos = st["data"], st["bit"]
         for _ in range(n):
             v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
             bitpos += 1
+        st["bit"] = bitpos
         return v
 
     def read_code(tab: dict) -> int:
@@ -292,8 +310,13 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
     pads = [(mcux * hi * 8, mcuy * vi * 8) for _cid, _tq, hi, vi in comps]
     planes = [bytearray(pw * ph) for pw, ph in pads]
     preds = [0] * len(comps)
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                next_segment()
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (cid, tq, hi, vi) in enumerate(comps):
                 q = qts[tq]
                 sel = sels[cid]

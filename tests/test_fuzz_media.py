@@ -204,6 +204,41 @@ def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
 @given(
     st.integers(1, 32),
     st.integers(1, 32),
+    st.integers(0, 16),
+    st.integers(0, 2**32 - 1),
+)
+# ri=1 restarts after EVERY MCU (maximum marker density); an interval
+# larger than the MCU count must emit no markers at all
+@example(w=24, h=24, ri=1, seed=0)
+@example(w=8, h=8, ri=16, seed=1)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_restart_interval_roundtrip(w, h, ri, seed):
+    """Files with DRI restart intervals decode bit-identically to their
+    plain twins in all three layouts, on both the kernel and the
+    independent oracle (RST splitting + DC predictor resets cancel)."""
+    from kgspark import media_oracles
+
+    gray = bytes((seed + 37 * i) % 256 for i in range(w * h))
+    rgb = bytes((seed + 11 * i) % 256 for i in range(3 * w * h))
+    for plain, rst in (
+        (jpegcodec.make_jpeg(w, h, gray), jpegcodec.make_jpeg(w, h, gray, ri)),
+        (
+            jpegcodec.make_jpeg_color(w, h, rgb),
+            jpegcodec.make_jpeg_color(w, h, rgb, restart_interval=ri),
+        ),
+        (
+            jpegcodec.make_jpeg_color(w, h, rgb, "420"),
+            jpegcodec.make_jpeg_color(w, h, rgb, "420", restart_interval=ri),
+        ),
+    ):
+        dec = jpegcodec.decode_jpeg(plain)
+        assert jpegcodec.decode_jpeg(rst) == dec
+        assert media_oracles._jpeg_decode_independent(rst) == dec
+
+
+@given(
+    st.integers(1, 32),
+    st.integers(1, 32),
     st.integers(0, 2**32 - 1),
 )
 # odd dims make the chroma plane clamp-to-edge and the Y plane end
