@@ -4,7 +4,8 @@ Pairs with :mod:`kgspark.multimodal`.  PNG, GIF, and WAV payloads are REAL
 files:
 
   * PNG — signature, IHDR with correct dimensions and CRC32, one
-    zlib-compressed IDAT of filter-0 RGB scanlines, IEND;
+    zlib-compressed IDAT of RGB scanlines (filter-0 rows or a cycling
+    None/Sub/Up/Average/Paeth rotation by png ordinal), IEND;
   * GIF — GIF89a logical screen descriptor, 256-entry global color table,
     LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer —
     alternating plain / appendix-E interlaced row order by gif ordinal;
@@ -80,15 +81,58 @@ def png_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
     )
 
 
-def make_png(w: int, h_px: int, h: bytes) -> bytes:
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec section 9) for the forward filter."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png(w: int, h_px: int, h: bytes, filtered: bool = False) -> bytes:
     """A VALID minimal PNG: signature, IHDR (8-bit RGB, CRC-correct), one
-    IDAT of zlib-compressed filter-0 scanlines, IEND."""
+    IDAT of zlib-compressed scanlines, IEND.  ``filtered=True`` cycles the
+    scanline filter type per row (None/Sub/Up/Average/Paeth, y % 5) — the
+    shape foreign encoders emit; decode is lossless either way."""
     ihdr = struct.pack(">IIBBBBB", w, h_px, 8, 2, 0, 0, 0)
+    rows = [
+        bytes(c for x in range(w) for c in png_pixel(x, y, h))
+        for y in range(h_px)
+    ]
     raw = bytearray()
-    for y in range(h_px):
-        raw.append(0)  # filter type 0 (None)
-        for x in range(w):
-            raw.extend(png_pixel(x, y, h))
+    zero = bytes(3 * w)
+    for y, cur in enumerate(rows):
+        f = (y % 5) if filtered else 0
+        raw.append(f)
+        up = rows[y - 1] if y else zero
+        if f == 0:
+            raw.extend(cur)
+        elif f == 1:
+            raw.extend(
+                (cur[i] - (cur[i - 3] if i >= 3 else 0)) % 256
+                for i in range(len(cur))
+            )
+        elif f == 2:
+            raw.extend((cur[i] - up[i]) % 256 for i in range(len(cur)))
+        elif f == 3:
+            raw.extend(
+                (cur[i] - (((cur[i - 3] if i >= 3 else 0) + up[i]) >> 1)) % 256
+                for i in range(len(cur))
+            )
+        else:
+            raw.extend(
+                (
+                    cur[i]
+                    - _png_paeth(
+                        cur[i - 3] if i >= 3 else 0,
+                        up[i],
+                        up[i - 3] if i >= 3 else 0,
+                    )
+                )
+                % 256
+                for i in range(len(cur))
+            )
     return (
         _MAGICS["png"]
         + _png_chunk(b"IHDR", ihdr)
@@ -226,8 +270,15 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     kind = _KINDS[i % len(_KINDS)]
     h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
     if kind == "png":
-        # real decodable file; dims kept <=127 so pixel data stays small
-        payload = make_png(24 + h[0] % 104, 24 + h[1] % 104, h)
+        # real decodable file; dims kept <=127 so pixel data stays small.
+        # Alternate all-None rows / cycling Sub-Up-Average-Paeth filters by
+        # png ordinal so foreign-style filtered scanlines live in the corpus.
+        payload = make_png(
+            24 + h[0] % 104,
+            24 + h[1] % 104,
+            h,
+            filtered=bool((i // len(_KINDS)) % 2),
+        )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "gif":
         # alternate plain / interlaced row order by gif ordinal so both

@@ -44,10 +44,11 @@ def _png_dims_independent(payload: bytes) -> tuple[int, int]:
 
 
 def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
-    """Independent PNG thumbnail restatement: inflate IDAT, slice filter-0
-    scanlines, nearest-neighbour sample, re-encode, digest — written against
-    the PNG spec, not against the kernel (row-slicing formulation vs the
-    kernel's chunk-walk + flat-offset sampling)."""
+    """Independent PNG thumbnail restatement: inflate IDAT, unfilter the
+    scanlines (all five spec filters, recurrences restated from the PNG
+    spec section 9 with an inline Paeth — not a call into the kernel),
+    nearest-neighbour sample, re-encode, digest — row-slicing formulation
+    vs the kernel's chunk-walk + flat-offset sampling."""
     import struct
     import zlib
 
@@ -61,10 +62,31 @@ def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
             idat += payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
     raw = zlib.decompress(idat)
-    rows = [
-        raw[y * (1 + 3 * w) + 1 : (y + 1) * (1 + 3 * w)] for y in range(h)
-    ]
-    assert all(raw[y * (1 + 3 * w)] == 0 for y in range(h)), "filter != 0"
+    rows: list = []
+    for y in range(h):
+        f = raw[y * (1 + 3 * w)]
+        line = list(raw[y * (1 + 3 * w) + 1 : (y + 1) * (1 + 3 * w)])
+        above = rows[y - 1] if y else [0] * (3 * w)
+        for i in range(3 * w):
+            a = line[i - 3] if i >= 3 else 0  # left (already unfiltered)
+            b = above[i]  # up
+            c = above[i - 3] if i >= 3 else 0  # up-left
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                assert f == 4, f"oracle: bad PNG filter {f}"
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 0xFF
+        rows.append(line)
+    rows = [bytes(r) for r in rows]
     # fit-within box (no upscale), then nearest-neighbour by row slices
     if w <= tw and h <= th:
         ow, oh = w, h

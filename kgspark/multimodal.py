@@ -211,13 +211,24 @@ def wav_decode_pcm(payload: bytes) -> tuple[int, list[int]]:
     return fmt["sample_rate"], list(struct.unpack(f"<{n}h", data[: 2 * n]))
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec section 9, Filtering): nearest of
+    left/up/up-left to the linear estimate a + b - c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
 def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """REAL PNG decode (stdlib-only): walk the chunk stream, inflate the
     concatenated IDAT data, and unfilter the scanlines.
 
-    Supports the corpus profile — 8-bit RGB (color type 2), no interlace,
-    filter types 0 (None) and 1 (Sub) — and raises on anything else rather
-    than guessing.  Returns (width, height, rgb bytes row-major)."""
+    Supports 8-bit RGB (color type 2), no interlace, with ALL FIVE
+    scanline filter types — None/Sub/Up/Average/Paeth, the full set any
+    foreign encoder may emit — and raises on anything else rather than
+    guessing.  Returns (width, height, rgb bytes row-major)."""
     import zlib
 
     if payload[:8] != bytes.fromhex("89504E470D0A1A0A"):
@@ -251,15 +262,31 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     if len(raw) != h * stride:
         raise ValueError("PNG pixel data truncated or oversized")
     out = bytearray()
+    prev = bytes(3 * w)  # row above the first row is all zero (spec 9)
     for y in range(h):
         row = raw[y * stride : (y + 1) * stride]
         ftype, rb = row[0], bytearray(row[1:])
-        if ftype == 1:  # Sub: add left neighbour (per channel)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: add left neighbour (per channel)
             for i in range(3, len(rb)):
                 rb[i] = (rb[i] + rb[i - 3]) % 256
-        elif ftype != 0:
+        elif ftype == 2:  # Up: add the byte above
+            for i in range(len(rb)):
+                rb[i] = (rb[i] + prev[i]) % 256
+        elif ftype == 3:  # Average: add floor((left + up) / 2)
+            for i in range(len(rb)):
+                left = rb[i - 3] if i >= 3 else 0
+                rb[i] = (rb[i] + ((left + prev[i]) >> 1)) % 256
+        elif ftype == 4:  # Paeth: add the Paeth predictor
+            for i in range(len(rb)):
+                left = rb[i - 3] if i >= 3 else 0
+                upleft = prev[i - 3] if i >= 3 else 0
+                rb[i] = (rb[i] + _paeth(left, prev[i], upleft)) % 256
+        else:
             raise ValueError(f"unsupported PNG filter {ftype}")
         out.extend(rb)
+        prev = rb
     return w, h, bytes(out)
 
 

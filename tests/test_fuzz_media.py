@@ -202,6 +202,26 @@ def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
 
 
 @given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+# w=1 makes left/up-left neighbours vanish except channel 0; h>=6 cycles
+# through every filter type at least once
+@example(w=1, h=6, seed=0)
+@settings(max_examples=30, deadline=None)
+def test_png_filtered_roundtrip_arbitrary_dims(w, h, seed):
+    """Filter-cycled PNGs (Sub/Up/Average/Paeth rows) decode byte-equal to
+    their filter-0 twins at any dims — unfiltering is lossless."""
+    hsh = bytes((seed + i) % 256 for i in range(32))
+    plain = multimodal.png_decode_pixels(datagen_media.make_png(w, h, hsh))
+    filt = multimodal.png_decode_pixels(
+        datagen_media.make_png(w, h, hsh, filtered=True)
+    )
+    assert plain == filt
+
+
+@given(
     st.integers(1, 32),
     st.integers(1, 32),
     st.integers(0, 16),
