@@ -4,8 +4,9 @@ Pairs with :mod:`kgspark.multimodal`.  PNG, GIF, and WAV payloads are REAL
 files:
 
   * PNG — signature, IHDR with correct dimensions and CRC32, one
-    zlib-compressed IDAT of RGB scanlines (filter-0 rows or a cycling
-    None/Sub/Up/Average/Paeth rotation by png ordinal), IEND;
+    zlib-compressed IDAT of RGB scanlines rotating plain filter-0 rows /
+    a cycling None-Sub-Up-Average-Paeth filter mix / Adam7 interlaced
+    passes by png ordinal, IEND;
   * GIF — GIF89a logical screen descriptor, 256-entry global color table,
     LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer —
     alternating plain / appendix-E interlaced row order by gif ordinal;
@@ -90,18 +91,11 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def make_png(w: int, h_px: int, h: bytes, filtered: bool = False) -> bytes:
-    """A VALID minimal PNG: signature, IHDR (8-bit RGB, CRC-correct), one
-    IDAT of zlib-compressed scanlines, IEND.  ``filtered=True`` cycles the
-    scanline filter type per row (None/Sub/Up/Average/Paeth, y % 5) — the
-    shape foreign encoders emit; decode is lossless either way."""
-    ihdr = struct.pack(">IIBBBBB", w, h_px, 8, 2, 0, 0, 0)
-    rows = [
-        bytes(c for x in range(w) for c in png_pixel(x, y, h))
-        for y in range(h_px)
-    ]
+def _png_filter_rows(rows: list, filtered: bool) -> bytearray:
+    """Forward-filter one (sub)image's rows into raw scanline bytes:
+    filter-0 throughout, or the per-row None/Sub/Up/Average/Paeth cycle."""
     raw = bytearray()
-    zero = bytes(3 * w)
+    zero = bytes(len(rows[0])) if rows else b""
     for y, cur in enumerate(rows):
         f = (y % 5) if filtered else 0
         raw.append(f)
@@ -133,6 +127,45 @@ def make_png(w: int, h_px: int, h: bytes, filtered: bool = False) -> bytes:
                 % 256
                 for i in range(len(cur))
             )
+    return raw
+
+
+def make_png(
+    w: int,
+    h_px: int,
+    h: bytes,
+    filtered: bool = False,
+    interlaced: bool = False,
+) -> bytes:
+    """A VALID minimal PNG: signature, IHDR (8-bit RGB, CRC-correct), one
+    IDAT of zlib-compressed scanlines, IEND.  ``filtered=True`` cycles the
+    scanline filter type per row (None/Sub/Up/Average/Paeth, y % 5);
+    ``interlaced=True`` stores the seven Adam7 sub-images (spec 8.2 pass
+    geometry, each filtered independently) — the shapes foreign encoders
+    emit; decode is lossless in every combination."""
+    ihdr = struct.pack(">IIBBBBB", w, h_px, 8, 2, 0, 0, 1 if interlaced else 0)
+    rows = [
+        bytes(c for x in range(w) for c in png_pixel(x, y, h))
+        for y in range(h_px)
+    ]
+    if not interlaced:
+        raw = _png_filter_rows(rows, filtered)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = [
+                bytes(
+                    b
+                    for x in range(x0, w, dx)
+                    for b in rows[y][3 * x : 3 * x + 3]
+                )
+                for y in range(y0, h_px, dy)
+            ]
+            if sub and sub[0]:
+                raw += _png_filter_rows(sub, filtered)
     return (
         _MAGICS["png"]
         + _png_chunk(b"IHDR", ihdr)
@@ -271,13 +304,15 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
     h = hashlib.sha256(f"{seed}:media:{i}".encode()).digest()
     if kind == "png":
         # real decodable file; dims kept <=127 so pixel data stays small.
-        # Alternate all-None rows / cycling Sub-Up-Average-Paeth filters by
-        # png ordinal so foreign-style filtered scanlines live in the corpus.
+        # Rotate plain / filter-cycled / Adam7-interlaced-and-filtered by
+        # png ordinal so every foreign storage shape lives in the corpus.
+        variant = (i // len(_KINDS)) % 3
         payload = make_png(
             24 + h[0] % 104,
             24 + h[1] % 104,
             h,
-            filtered=bool((i // len(_KINDS)) % 2),
+            filtered=variant >= 1,
+            interlaced=variant == 2,
         )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "gif":

@@ -47,12 +47,15 @@ def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
     """Independent PNG thumbnail restatement: inflate IDAT, unfilter the
     scanlines (all five spec filters, recurrences restated from the PNG
     spec section 9 with an inline Paeth — not a call into the kernel),
-    nearest-neighbour sample, re-encode, digest — row-slicing formulation
-    vs the kernel's chunk-walk + flat-offset sampling."""
+    merge Adam7 passes when the IHDR says interlaced (pass geometry
+    restated from spec 8.2), nearest-neighbour sample, re-encode, digest —
+    row-slicing formulation vs the kernel's chunk-walk + flat-offset
+    sampling."""
     import struct
     import zlib
 
     w, h = _png_dims_independent(payload)
+    interlaced = payload[28]  # IHDR interlace byte (sig 8 + len/type 8 + 12)
     # collect IDAT payloads by scanning chunk headers
     idat, pos = b"", 8
     while pos < len(payload):
@@ -62,31 +65,59 @@ def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
             idat += payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
     raw = zlib.decompress(idat)
-    rows: list = []
-    for y in range(h):
-        f = raw[y * (1 + 3 * w)]
-        line = list(raw[y * (1 + 3 * w) + 1 : (y + 1) * (1 + 3 * w)])
-        above = rows[y - 1] if y else [0] * (3 * w)
-        for i in range(3 * w):
-            a = line[i - 3] if i >= 3 else 0  # left (already unfiltered)
-            b = above[i]  # up
-            c = above[i - 3] if i >= 3 else 0  # up-left
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) // 2
-            else:
-                assert f == 4, f"oracle: bad PNG filter {f}"
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            line[i] = (line[i] + pred) & 0xFF
-        rows.append(line)
-    rows = [bytes(r) for r in rows]
+
+    def unfilter(off: int, pw: int, ph: int) -> list:
+        sub: list = []
+        for y in range(ph):
+            f = raw[off + y * (1 + 3 * pw)]
+            line = list(
+                raw[off + y * (1 + 3 * pw) + 1 : off + (y + 1) * (1 + 3 * pw)]
+            )
+            above = sub[y - 1] if y else [0] * (3 * pw)
+            for i in range(3 * pw):
+                a = line[i - 3] if i >= 3 else 0  # left (already unfiltered)
+                b = above[i]  # up
+                c = above[i - 3] if i >= 3 else 0  # up-left
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    assert f == 4, f"oracle: bad PNG filter {f}"
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                line[i] = (line[i] + pred) & 0xFF
+            sub.append(line)
+        return sub
+
+    if not interlaced:
+        rows = [bytes(r) for r in unfilter(0, w, h)]
+    else:
+        grid = [[0] * (3 * w) for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j, line in enumerate(unfilter(off, pw, ph)):
+                for i in range(pw):
+                    x = x0 + i * dx
+                    grid[y0 + j * dy][3 * x : 3 * x + 3] = line[
+                        3 * i : 3 * i + 3
+                    ]
+            off += ph * (1 + 3 * pw)
+        rows = [bytes(r) for r in grid]
     # fit-within box (no upscale), then nearest-neighbour by row slices
     if w <= tw and h <= th:
         ow, oh = w, h

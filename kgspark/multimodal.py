@@ -221,50 +221,27 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL PNG decode (stdlib-only): walk the chunk stream, inflate the
-    concatenated IDAT data, and unfilter the scanlines.
+# Adam7 pass geometry (PNG spec section 8.2): (x0, y0, dx, dy) per pass
+PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Supports 8-bit RGB (color type 2), no interlace, with ALL FIVE
-    scanline filter types — None/Sub/Up/Average/Paeth, the full set any
-    foreign encoder may emit — and raises on anything else rather than
-    guessing.  Returns (width, height, rgb bytes row-major)."""
-    import zlib
 
-    if payload[:8] != bytes.fromhex("89504E470D0A1A0A"):
-        raise ValueError("not a PNG signature")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError("unsupported PNG profile")
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if not w or not h or w * h > (1 << 24):
-        raise ValueError("PNG dims outside supported profile")
+def _png_unfilter(raw: bytes, off: int, w: int, h: int) -> list:
+    """Unfilter ``h`` scanlines of a ``w``-pixel-wide (sub)image starting
+    at byte ``off`` of the inflated stream — all five spec filters.
+    Returns the list of unfiltered rows (3*w bytes each)."""
     stride = 1 + 3 * w
-    # bounded inflate: cap at the size the IHDR promises (+1 to detect
-    # overrun) so a crafted deflate bomb cannot balloon memory
-    dec = zlib.decompressobj()
-    raw = dec.decompress(bytes(idat), h * stride + 1)
-    if len(raw) != h * stride:
-        raise ValueError("PNG pixel data truncated or oversized")
-    out = bytearray()
+    rows: list = []
     prev = bytes(3 * w)  # row above the first row is all zero (spec 9)
     for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
+        row = raw[off + y * stride : off + (y + 1) * stride]
         ftype, rb = row[0], bytearray(row[1:])
         if ftype == 0:
             pass
@@ -285,8 +262,75 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
                 rb[i] = (rb[i] + _paeth(left, prev[i], upleft)) % 256
         else:
             raise ValueError(f"unsupported PNG filter {ftype}")
-        out.extend(rb)
+        rows.append(rb)
         prev = rb
+    return rows
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode (stdlib-only): walk the chunk stream, inflate the
+    concatenated IDAT data, and unfilter the scanlines.
+
+    Supports 8-bit RGB (color type 2) with ALL FIVE scanline filter types
+    (None/Sub/Up/Average/Paeth) in BOTH storage orders — sequential and
+    Adam7 interlaced (seven sub-images, each filtered independently,
+    merged by the spec-8.2 pass geometry) — and raises on anything else
+    rather than guessing.  Returns (width, height, rgb bytes row-major)."""
+    import zlib
+
+    if payload[:8] != bytes.fromhex("89504E470D0A1A0A"):
+        raise ValueError("not a PNG signature")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt) != (8, 2, 0, 0) or interlace > 1:
+                raise ValueError("unsupported PNG profile")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if not w or not h or w * h > (1 << 24):
+        raise ValueError("PNG dims outside supported profile")
+    if interlace:
+        # Adam7: seven sub-images, pass k holding the pixels at
+        # (x0 + i*dx, y0 + j*dy); empty passes contribute no scanlines
+        passes = [
+            (x0, y0, dx, dy, -(-(w - x0) // dx), -(-(h - y0) // dy))
+            for x0, y0, dx, dy in PNG_ADAM7
+            if x0 < w and y0 < h
+        ]
+        expect = sum(ph * (1 + 3 * pw) for _, _, _, _, pw, ph in passes)
+    else:
+        expect = h * (1 + 3 * w)
+    # bounded inflate: cap at the size the IHDR promises (+1 to detect
+    # overrun) so a crafted deflate bomb cannot balloon memory
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect + 1)
+    if len(raw) != expect:
+        raise ValueError("PNG pixel data truncated or oversized")
+    if not interlace:
+        return w, h, b"".join(_png_unfilter(raw, 0, w, h))
+    out = bytearray(3 * w * h)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        for j, rb in enumerate(_png_unfilter(raw, off, pw, ph)):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = rb[
+                    3 * i : 3 * i + 3
+                ]
+        off += ph * (1 + 3 * pw)
     return w, h, bytes(out)
 
 

@@ -211,14 +211,16 @@ def test_jpeg_color_encoder_roundtrip_arbitrary_dims(w, h, seed):
 @example(w=1, h=6, seed=0)
 @settings(max_examples=30, deadline=None)
 def test_png_filtered_roundtrip_arbitrary_dims(w, h, seed):
-    """Filter-cycled PNGs (Sub/Up/Average/Paeth rows) decode byte-equal to
-    their filter-0 twins at any dims — unfiltering is lossless."""
+    """Filter-cycled and Adam7-interlaced PNGs decode byte-equal to their
+    sequential filter-0 twins at any dims — unfiltering and the pass
+    merge are lossless."""
     hsh = bytes((seed + i) % 256 for i in range(32))
     plain = multimodal.png_decode_pixels(datagen_media.make_png(w, h, hsh))
-    filt = multimodal.png_decode_pixels(
-        datagen_media.make_png(w, h, hsh, filtered=True)
-    )
-    assert plain == filt
+    for filt, il in ((True, False), (False, True), (True, True)):
+        got = multimodal.png_decode_pixels(
+            datagen_media.make_png(w, h, hsh, filtered=filt, interlaced=il)
+        )
+        assert got == plain, (filt, il)
 
 
 @given(

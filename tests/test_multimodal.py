@@ -93,24 +93,32 @@ def test_png_payloads_are_real_decodable_files():
             for j, (m2, _, _) in enumerate(datagen_media.media_rows(N))
             if m2 == mid
         )
-        # the pattern check is ALSO the unfilter check: a wrong Sub/Up/
-        # Average/Paeth recurrence corrupts every later pixel of the row
+        # the pattern check is ALSO the unfilter check (and for interlaced
+        # files the Adam7 pass-merge check): a wrong Sub/Up/Average/Paeth
+        # recurrence corrupts every later pixel of the row, a wrong pass
+        # geometry scatters pixels to wrong coordinates
         for (x, y) in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
             k = (y * w + x) * 3
             assert tuple(rgb[k : k + 3]) == datagen_media.png_pixel(x, y, seed_hash)
-        # filter byte of scanline 2 (IDAT inflates to 1+3w per row)
-        import zlib as _z
+        interlaced = payload[28]  # IHDR interlace byte
+        seen_filters.add("interlaced" if interlaced else "sequential")
+        if not interlaced:
+            # filter byte per scanline (IDAT inflates to 1+3w per row)
+            import zlib as _z
 
-        idat, pos = b"", 8
-        while pos < len(payload):
-            (ln,) = __import__("struct").unpack(">I", payload[pos : pos + 4])
-            if payload[pos + 4 : pos + 8] == b"IDAT":
-                idat += payload[pos + 8 : pos + 8 + ln]
-            pos += 12 + ln
-        raw = _z.decompress(idat)
-        seen_filters.update(raw[y * (1 + 3 * w)] for y in range(h))
-    # the corpus must exercise ALL FIVE scanline filters
-    assert seen_filters == {0, 1, 2, 3, 4}
+            idat, pos = b"", 8
+            while pos < len(payload):
+                (ln,) = __import__("struct").unpack(
+                    ">I", payload[pos : pos + 4]
+                )
+                if payload[pos + 4 : pos + 8] == b"IDAT":
+                    idat += payload[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+            raw = _z.decompress(idat)
+            seen_filters.update(raw[y * (1 + 3 * w)] for y in range(h))
+    # the corpus must exercise ALL FIVE scanline filters and BOTH storage
+    # orders (sequential and Adam7 interlaced)
+    assert seen_filters == {0, 1, 2, 3, 4, "sequential", "interlaced"}
 
 
 def test_png_resize_emits_valid_png_thumbnail():
