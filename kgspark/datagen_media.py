@@ -36,6 +36,7 @@ import struct
 import zlib
 
 from . import gifcodec, jpegcodec, mkvcodec
+from .multimodal import PNG_ADAM7, _paeth as _png_paeth
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -80,15 +81,6 @@ def png_pixel(x: int, y: int, h: bytes) -> tuple[int, int, int]:
         (x * 7 + y * 11 + h[3]) % 256,
         (x * 13 + y * 17 + h[4]) % 256,
     )
-
-
-def _png_paeth(a: int, b: int, c: int) -> int:
-    """PNG Paeth predictor (spec section 9) for the forward filter."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
 
 
 def _png_filter_rows(rows: list, filtered: bool) -> bytearray:
@@ -152,10 +144,7 @@ def make_png(
         raw = _png_filter_rows(rows, filtered)
     else:
         raw = bytearray()
-        for x0, y0, dx, dy in (
-            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-        ):
+        for x0, y0, dx, dy in PNG_ADAM7:
             sub = [
                 bytes(
                     b

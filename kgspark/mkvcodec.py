@@ -127,9 +127,14 @@ def _lace_block(frames: list, lacing: str) -> bytes:
             sizes += vint_encode(len(frames[0]))
             for prev, cur in zip(frames, frames[1:-1]):
                 delta = len(cur) - len(prev)
-                # 2-byte signed vint: value + (2^13 - 1) bias (RFC
-                # 8794-style range shifting per the Matroska lacing spec)
-                sizes += vint_encode(delta + (1 << 13) - 1, 2)
+                # signed vint: bias 2^(7L-1)-1 for the SMALLEST L that
+                # holds |delta| (range shifting per the Matroska lacing
+                # spec) — a fixed width would silently widen past the
+                # bias for large deltas and corrupt the stream
+                ln = 1
+                while abs(delta) > (1 << (7 * ln - 1)) - 1:
+                    ln += 1
+                sizes += vint_encode(delta + (1 << (7 * ln - 1)) - 1, ln)
     return (
         b"\x81"
         + struct.pack(">h", 0)
@@ -280,13 +285,22 @@ def _scan(payload: bytes, collect: bool) -> tuple:
                                 sizes.append(sz)
                         elif lace == 0x06:  # EBML: vint + signed deltas
                             if n > 1:
+                                # all-ones is a legal lace-size value (the
+                                # unknown-size form has no meaning here),
+                                # same as the track-number vint above
                                 sz, p = vint_parse(
-                                    payload, p, keep_marker=False
+                                    payload,
+                                    p,
+                                    keep_marker=False,
+                                    allow_all_ones=True,
                                 )
                                 sizes.append(sz)
                                 for _ in range(n - 2):
                                     raw, q = vint_parse(
-                                        payload, p, keep_marker=False
+                                        payload,
+                                        p,
+                                        keep_marker=False,
+                                        allow_all_ones=True,
                                     )
                                     # signed vint: bias 2^(7*len)-1... the
                                     # marker-stripped width is (q - p)

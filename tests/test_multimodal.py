@@ -738,6 +738,51 @@ def _simpleblocks(payload):
     yield from rec(0, len(payload))
 
 
+def test_mkv_foreign_laced_blocks_variable_sizes():
+    """Foreign-style laced SimpleBlocks with VARIABLE frame sizes (our
+    muxer only emits equal-size video frames) split correctly: Xiph
+    255-run sizes, EBML signed deltas spanning vint widths (+8192 needs a
+    2-byte delta; review-caught: a fixed-width encode corrupted it), and
+    the all-ones minimal lace vints (127 as 1-byte 0xFF) that are legal
+    lace sizes despite being the reserved unknown-size SIZE form."""
+    from kgspark import mkvcodec as mc
+
+    hdr = mc.element(mc.EBML_HEADER, mc.element(mc.DOCTYPE, b"matroska"))
+    info = mc.element(mc.INFO, mc._uint(mc.TIMESTAMP_SCALE, 1_000_000))
+    tracks = mc.element(
+        mc.TRACKS,
+        mc.element(
+            mc.TRACK_ENTRY,
+            mc._uint(mc.TRACK_NUMBER, 1)
+            + mc._uint(mc.TRACK_TYPE, 1)
+            + mc.element(mc.CODEC_ID, b"V_UNCOMPRESSED")
+            + mc.element(
+                mc.VIDEO,
+                mc._uint(mc.PIXEL_WIDTH, 3) + mc._uint(mc.PIXEL_HEIGHT, 2),
+            ),
+        ),
+    )
+
+    def wrap(block_body: bytes) -> bytes:
+        clus = mc.element(
+            mc.CLUSTER,
+            mc._uint(mc.TIMESTAMP, 0)
+            + mc.element(mc.SIMPLE_BLOCK, block_body),
+        )
+        return hdr + mc.element(mc.SEGMENT, info + tracks + clus)
+
+    for frames in (
+        [b"a" * 300, b"b" * 5, b"c" * 123, b"d"],  # multi-run Xiph sizes
+        [b"a" * 127, b"b" * 5, b"c" * 3],  # all-ones 1-byte lace vint
+        [b"x" * 10, b"y" * 8202, b"z" * 5, b"w" * 9000],  # wide deltas
+        [b"only"],  # lone laced frame: no size data at all
+    ):
+        for lacing in ("xiph", "ebml"):
+            payload = wrap(mc._lace_block(frames, lacing))
+            assert mc.parse_mkv(payload)[2] == frames, (lacing, frames)
+            assert mc.parse_meta(payload)[2] == len(frames)
+
+
 def test_corrupt_mkv_rows_are_skipped_not_fatal():
     """A valid EBML magic with a malformed body must degrade to null dims
     in decode_header_py, never raise out of the kernel."""
