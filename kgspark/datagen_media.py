@@ -14,10 +14,10 @@ files:
     seeded sample rate) followed by a ``data`` chunk of seeded int16
     samples;
 
-  * JPEG — baseline JFIF, rotating grayscale / 4:4:4 YCbCr / 4:2:0 YCbCr
-    by jpeg ordinal with DRI restart markers on an independent parity
-    axis: SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS with T.81 Annex K tables and
-    real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
+  * JPEG — baseline JFIF, rotating grayscale / 4:4:4 / 4:2:0 / 4:2:2
+    YCbCr by jpeg ordinal with DRI restart markers on an independent
+    parity axis: SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS with T.81 Annex K
+    tables and real DCT-coded entropy data (:mod:`kgspark.jpegcodec`);
   * Matroska — a genuine EBML tree (header, Segment, Info, one
     V_UNCOMPRESSED video track, Clusters of raw-grayscale SimpleBlocks)
     via :mod:`kgspark.mkvcodec`, rotating plain / Xiph-laced /
@@ -323,14 +323,14 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":
         # real decodable file; dims kept <=127 so DCT block count stays small.
-        # Rotate grayscale / 4:4:4-color / 4:2:0-color by jpeg ordinal
-        # (i // len(_KINDS) counts this kind's rows) so all three entropy
-        # layouts — one-component, three-component 1x1, and three-component
-        # 2x2+1x1 16x16-MCU — appear within any 15 consecutive corpus rows;
-        # alternate DRI restart intervals on an independent parity axis so
-        # every layout occurs both with and without RST0-7 markers.
+        # Rotate grayscale / 4:4:4 / 4:2:0 / 4:2:2 by jpeg ordinal
+        # (i // len(_KINDS) counts this kind's rows) so all four entropy
+        # layouts — one-component, three-component 1x1, 2x2+1x1 16x16-MCU,
+        # and 2x1+1x1 16x8-MCU — appear within any 20 consecutive corpus
+        # rows; alternate DRI restart intervals on an independent parity
+        # axis so layouts occur both with and without RST0-7 markers.
         ordinal = i // len(_KINDS)
-        layout = ordinal % 3
+        layout = ordinal % 4
         ri = 3 if ordinal % 2 else 0
         if layout == 0:
             payload = make_jpeg_file(
@@ -341,7 +341,7 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
                 24 + h[0] % 104,
                 24 + h[1] % 104,
                 h,
-                "444" if layout == 1 else "420",
+                ("444", "420", "422")[layout - 1],
                 restart_interval=ri,
             )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload

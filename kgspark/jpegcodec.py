@@ -7,8 +7,9 @@ container note.  Supported profile:
 
   * baseline sequential DCT (SOF0), 8-bit precision;
   * one grayscale component, OR three YCbCr components at 1x1 sampling
-    (4:4:4), OR three YCbCr components with Y at 2x2 and chroma at 1x1
-    (4:2:0 — the layout virtually every camera/tool emits);
+    (4:4:4), OR three YCbCr components with chroma at 1x1 and Y at 2x2
+    (4:2:0 — the layout virtually every camera/tool emits) or 2x1
+    (4:2:2 — the broadcast-video layout);
   * DRI restart intervals with byte-aligned cycling RST0-7 markers and
     DC-predictor resets (the error-resilience layout most camera JPEGs
     carry) — emitted on request, always honored on decode;
@@ -23,11 +24,12 @@ YCbCr→RGB is ``R = Y + ((91881*(Cr-128) + 32768) >> 16)`` etc. (constants
 ``round(c * 2**16)`` of the CCIR 601 full-range matrix), all in exact
 integer arithmetic, so independent implementations of the same definition
 reproduce RGB BIT-EXACTLY — the same property the integer IDCT provides
-for the grayscale path.  4:2:0 chroma is DEFINED the same way on both
-sides: the encoder downsample is the exact rounded 2x2 mean
-``(a+b+c+d+2) >> 2`` (clamp-to-edge on odd dims) and the decoder
-upsample is pixel replication ``C[y//2][x//2]`` — both pure integer, so
-subsampled decode stays bit-exact across independent implementations.
+for the grayscale path.  Subsampled chroma is DEFINED the same way on
+both sides: the encoder downsample is the exact rounded mean of the cell
+(2x2 ``(a+b+c+d+2) >> 2`` for 4:2:0, 2x1 ``(a+b+1) >> 1`` for 4:2:2,
+clamp-to-edge on odd dims) and the decoder upsample is pixel replication
+(``C[y//2][x//2]`` / ``C[y][x//2]``) — both pure integer, so subsampled
+decode stays bit-exact across independent implementations.
 
 Decode is DEFINED over an integer fixed-point IDCT: the 1-D basis constants
 are ``round(alpha(u) * cos((2x+1)*u*pi/16) * 2**20)`` (:data:`IDCT_FIX`),
@@ -410,6 +412,20 @@ def downsample_420(plane, w: int, h: int) -> tuple:
     return bytes(out), cw, ch
 
 
+def downsample_422(plane, w: int, h: int) -> tuple:
+    """The DEFINED integer 4:2:2 chroma downsample: each chroma sample is
+    the rounded horizontal mean ``(a+b+1) >> 1`` of its 2x1 cell,
+    clamp-to-edge on odd widths.  Returns (bytes, cw, h)."""
+    cw = (w + 1) // 2
+    out = bytearray(cw * h)
+    for y in range(h):
+        for cx in range(cw):
+            x0 = 2 * cx
+            x1 = min(w - 1, x0 + 1)
+            out[y * cw + cx] = (plane[y * w + x0] + plane[y * w + x1] + 1) >> 1
+    return bytes(out), cw, h
+
+
 def make_jpeg_color(
     w: int,
     h: int,
@@ -427,14 +443,17 @@ def make_jpeg_color(
     ``subsampling="420"``: Y at 2x2, chroma at 1x1 over the
     :func:`downsample_420` planes — 16x16 MCUs of four Y blocks (raster
     order per T.81 A.2.3) then one Cb and one Cr block.
+    ``subsampling="422"``: Y at 2x1, chroma at 1x1 over the
+    :func:`downsample_422` planes — 16x8 MCUs of two Y blocks then one
+    Cb and one Cr block (the broadcast-video layout).
     ``restart_interval`` > 0: DRI + cycling byte-aligned RST0-7 after
     every that-many MCUs, all DC predictors reset (see make_jpeg)."""
     if w <= 0 or h <= 0:
         raise ValueError("JPEG dims outside supported profile")
     if len(rgb) != 3 * w * h:
         raise ValueError("rgb buffer does not match dims")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     n = w * h
     planes = [bytearray(n), bytearray(n), bytearray(n)]
     for i in range(n):
@@ -464,16 +483,22 @@ def make_jpeg_color(
                     prev[ci] = _encode_block(bw, coef, prev[ci], dc, ac)
                 _restart(total)
     else:
-        y_samp = 0x22
-        cb, cw_, ch_ = downsample_420(planes[1], w, h)
-        cr, _, _ = downsample_420(planes[2], w, h)
-        total = ((h + 15) // 16) * ((w + 15) // 16)
-        for my in range((h + 15) // 16):
-            for mx in range((w + 15) // 16):
-                for v in range(2):  # four Y blocks, raster order (T.81 A.2.3)
-                    for u in range(2):
+        yh, yv = (2, 2) if subsampling == "420" else (2, 1)
+        y_samp = (yh << 4) | yv
+        down = downsample_420 if subsampling == "420" else downsample_422
+        cb, cw_, ch_ = down(planes[1], w, h)
+        cr, _, _ = down(planes[2], w, h)
+        mcux = (w + 8 * yh - 1) // (8 * yh)
+        mcuy = (h + 8 * yv - 1) // (8 * yv)
+        total = mcux * mcuy
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(yv):  # Y blocks, raster order (T.81 A.2.3)
+                    for u in range(yh):
                         coef = _fdct_quant(
-                            _block_pixels(planes[0], w, h, 2 * mx + u, 2 * my + v)
+                            _block_pixels(
+                                planes[0], w, h, yh * mx + u, yv * my + v
+                            )
                         )
                         prev[0] = _encode_block(bw, coef, prev[0], dc_l, ac_l)
                 coef = _fdct_quant(_block_pixels(cb, cw_, ch_, mx, my), QTABLE_C)
@@ -605,9 +630,13 @@ def _parse_scan(payload: bytes) -> tuple:
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
             samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
-            if samps != [(1, 1)] * nc and samps != [(2, 2), (1, 1), (1, 1)]:
+            if samps not in (
+                [(1, 1)] * nc,  # grayscale / 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+            ):
                 raise ValueError(
-                    "sampling unsupported (4:4:4 or 4:2:0 YCbCr only)"
+                    "sampling unsupported (4:4:4, 4:2:2 or 4:2:0 YCbCr only)"
                 )
             sof = (w, h, comps)
         elif marker in _SOF_MARKERS:

@@ -278,9 +278,11 @@ def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
                 for c in range(nc)
             ]
             samps = [(c[2], c[3]) for c in comps]
-            assert samps in ([(1, 1)] * nc, [(2, 2), (1, 1), (1, 1)]), (
-                "oracle: expected 4:4:4 or 4:2:0 sampling"
-            )
+            assert samps in (
+                [(1, 1)] * nc,
+                [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],
+            ), "oracle: expected 4:4:4, 4:2:2 or 4:2:0 sampling"
             frame = (ww, hh, comps)
         elif marker == 0xC4:
             i = 0

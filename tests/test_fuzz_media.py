@@ -252,6 +252,10 @@ def test_jpeg_restart_interval_roundtrip(w, h, ri, seed):
             jpegcodec.make_jpeg_color(w, h, rgb, "420"),
             jpegcodec.make_jpeg_color(w, h, rgb, "420", restart_interval=ri),
         ),
+        (
+            jpegcodec.make_jpeg_color(w, h, rgb, "422"),
+            jpegcodec.make_jpeg_color(w, h, rgb, "422", restart_interval=ri),
+        ),
     ):
         dec = jpegcodec.decode_jpeg(plain)
         assert jpegcodec.decode_jpeg(rst) == dec
@@ -268,21 +272,22 @@ def test_jpeg_restart_interval_roundtrip(w, h, ri, seed):
 @example(w=17, h=9, seed=7)
 @example(w=1, h=1, seed=0)
 @settings(max_examples=30, deadline=None)
-def test_jpeg_420_encoder_roundtrip_arbitrary_dims(w, h, seed):
-    """make_jpeg_color(subsampling='420') emits a decodable 4:2:0 file at
-    ANY dims (16x16 MCUs, four Y blocks + subsampled chroma) whose decode
-    is deterministic, dimension-exact, 3-channel — and bit-identical to the
-    independent T.81 oracle restatement (integer-defined downsample, IDCT,
-    replicated upsample, and color transform)."""
+def test_jpeg_subsampled_encoder_roundtrip_arbitrary_dims(w, h, seed):
+    """make_jpeg_color with 4:2:0 (16x16 MCUs, four Y blocks) or 4:2:2
+    (16x8 MCUs, two Y blocks) emits a decodable file at ANY dims whose
+    decode is deterministic, dimension-exact, 3-channel — and bit-identical
+    to the independent T.81 oracle restatement (integer-defined downsample,
+    IDCT, replicated upsample, and color transform)."""
     from kgspark import media_oracles
 
     rgb = bytes((seed + 11 * i) % 256 for i in range(3 * w * h))
-    f = jpegcodec.make_jpeg_color(w, h, rgb, subsampling="420")
-    dw, dh, dec = jpegcodec.decode_jpeg(f)
-    assert (dw, dh) == (w, h) and len(dec) == 3 * w * h
-    assert jpegcodec.decode_jpeg(f)[2] == dec
-    assert media_oracles._jpeg_decode_independent(f) == (w, h, dec)
-    assert jpegcodec.parse_dims(f) == (w, h)
+    for ss in ("420", "422"):
+        f = jpegcodec.make_jpeg_color(w, h, rgb, subsampling=ss)
+        dw, dh, dec = jpegcodec.decode_jpeg(f)
+        assert (dw, dh) == (w, h) and len(dec) == 3 * w * h, ss
+        assert jpegcodec.decode_jpeg(f)[2] == dec, ss
+        assert media_oracles._jpeg_decode_independent(f) == (w, h, dec), ss
+        assert jpegcodec.parse_dims(f) == (w, h), ss
 
 
 @given(

@@ -489,7 +489,9 @@ def test_jpeg_payloads_are_real_decodable_files():
             # contain 0xFFC0: APP0 is fixed JFIF bytes, Annex K quant
             # values max out at 121)
             sof = payload.index(b"\xff\xc0")
-            seen_layouts.add("420" if payload[sof + 11] == 0x22 else "444")
+            seen_layouts.add(
+                {0x11: "444", 0x22: "420", 0x21: "422"}[payload[sof + 11]]
+            )
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
         if nch == 1:
             errs = [
@@ -511,9 +513,9 @@ def test_jpeg_payloads_are_real_decodable_files():
         # is much coarser than luma, by design of the standard tables
         tol = 8 if nch == 1 else 24
         assert sum(errs) / len(errs) <= tol, (mid, sum(errs) / len(errs))
-    # the corpus must exercise ALL THREE entropy layouts: one-component,
-    # three-component 1x1 (4:4:4), and three-component 2x2+1x1 (4:2:0)
-    assert seen_layouts == {"gray", "444", "420"}
+    # the corpus must exercise ALL FOUR entropy layouts: one-component,
+    # three-component 1x1 (4:4:4), 2x2+1x1 (4:2:0), and 2x1+1x1 (4:2:2)
+    assert seen_layouts == {"gray", "444", "420", "422"}
 
 
 def test_jpeg_resize_emits_valid_jpeg_thumbnail():
