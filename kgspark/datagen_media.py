@@ -10,9 +10,9 @@ files:
   * GIF — GIF89a logical screen descriptor, 256-entry global color table,
     LZW-compressed index data (:mod:`kgspark.gifcodec`), trailer —
     alternating plain / appendix-E interlaced row order by gif ordinal;
-  * WAV — canonical RIFF/WAVE container: PCM ``fmt `` chunk (mono 16-bit,
-    seeded sample rate) followed by a ``data`` chunk of seeded int16
-    samples;
+  * WAV — canonical RIFF/WAVE container: PCM ``fmt `` chunk followed by
+    a ``data`` chunk of seeded samples, rotating mono-16 / stereo-16 /
+    mono-8 layouts by wav ordinal;
 
   * JPEG — baseline JFIF, rotating grayscale / 4:4:4 / 4:2:0 / 4:2:2
     YCbCr by jpeg ordinal with DRI restart markers on an independent
@@ -264,28 +264,49 @@ def wav_sample(i: int, h: bytes) -> int:
     return ((i * i * (1 + h[5] % 3) + i * (3 + h[2]) + h[3] * 257) % 65536) - 32768
 
 
-def make_wav(sample_rate: int, pcm: bytes) -> bytes:
-    """A VALID canonical RIFF/WAVE file: PCM mono 16-bit ``fmt `` chunk at
-    offset 12, ``data`` chunk at offset 36.  Any conforming WAV reader
-    (including stdlib :mod:`wave`) decodes it."""
+def make_wav(
+    sample_rate: int, pcm: bytes, channels: int = 1, bits: int = 16
+) -> bytes:
+    """A VALID canonical RIFF/WAVE file: PCM ``fmt `` chunk at offset 12,
+    ``data`` chunk at offset 36.  Any conforming WAV reader (including
+    stdlib :mod:`wave`) decodes it.  Defaults to the mono-16 profile;
+    ``channels``/``bits`` produce the stereo and 8-bit foreign variants."""
     n_bytes = len(pcm)
+    block = channels * bits // 8
     return (
         b"RIFF"
         + struct.pack("<I", 36 + n_bytes)
         + b"WAVE"
         + b"fmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate, sample_rate * block, block, bits,
+        )
         + b"data"
         + struct.pack("<I", n_bytes)
         + pcm
     )
 
 
-def make_wav_file(n_samples: int, sample_rate: int, h: bytes) -> bytes:
-    pcm = b"".join(
-        struct.pack("<h", wav_sample(i, h)) for i in range(n_samples)
-    )
-    return make_wav(sample_rate, pcm)
+def make_wav_file(
+    n_samples: int,
+    sample_rate: int,
+    h: bytes,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Seeded PCM: raw sample index i carries wav_sample(i) regardless of
+    layout (stereo interleaves consecutive indices as L/R; 8-bit stores
+    the DEFINED narrowing ``((s >> 8) + 128) & 0xFF``), so the decoded
+    canonical mono-16 stream stays analytically derivable per variant."""
+    n_raw = n_samples * channels
+    if bits == 16:
+        pcm = b"".join(
+            struct.pack("<h", wav_sample(i, h)) for i in range(n_raw)
+        )
+    else:
+        pcm = bytes(((wav_sample(i, h) >> 8) + 128) & 0xFF for i in range(n_raw))
+    return make_wav(sample_rate, pcm, channels, bits)
 
 
 def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
@@ -316,9 +337,16 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "riff":
-        # real decodable WAV; seeded sample count and rate
+        # real decodable WAV; seeded sample count and rate — rotating the
+        # canonical mono-16 / stereo-16 / mono-8 PCM layouts by wav
+        # ordinal so the downmix and widening decode paths are corpus-fed
+        ch, bits = ((1, 16), (2, 16), (1, 8))[(i // len(_KINDS)) % 3]
         payload = make_wav_file(
-            4000 + h[0] * 64, _WAV_RATES[h[1] % len(_WAV_RATES)], h
+            4000 + h[0] * 64,
+            _WAV_RATES[h[1] % len(_WAV_RATES)],
+            h,
+            channels=ch,
+            bits=bits,
         )
         return "media-" + hashlib.sha256(payload).hexdigest()[:16], kind, payload
     if kind == "jpeg":

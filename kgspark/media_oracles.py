@@ -556,16 +556,30 @@ def _wav_resample_independent(i: int, payload: bytes, target_rate: int) -> tuple
     import struct
 
     rate, n = _wav_meta_independent(payload)
+    (channels,) = struct.unpack("<H", payload[22:24])
+    (bits,) = struct.unpack("<H", payload[34:36])
     hsh = _hl.sha256(f"{MEDIA_SEED}:media:{i}".encode()).digest()
+
+    def mono(j: int) -> int:
+        # the ANALYTIC canonical mono-16 sample at frame j per variant:
+        # stereo downmixes the floor mean of the interleaved L/R raw
+        # indices; 8-bit widens the narrowed byte back by *256
+        if channels == 2:
+            return (
+                datagen_media.wav_sample(2 * j, hsh)
+                + datagen_media.wav_sample(2 * j + 1, hsh)
+            ) >> 1
+        if bits == 8:
+            return (datagen_media.wav_sample(j, hsh) >> 8) * 256
+        return datagen_media.wav_sample(j, hsh)
+
     if rate <= target_rate:
         out_rate, idx = rate, range(n)
     else:
         out_rate = target_rate
         out_n = max(1, (n * target_rate) // rate)
         idx = [j * n // out_n for j in range(out_n)]
-    pcm = b"".join(
-        struct.pack("<h", datagen_media.wav_sample(j, hsh)) for j in idx
-    )
+    pcm = b"".join(struct.pack("<h", mono(j)) for j in idx)
     dig = _hl.sha256(datagen_media.make_wav(out_rate, pcm)).hexdigest()
     return rate, n, out_rate, len(pcm) // 2, dig
 

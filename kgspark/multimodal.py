@@ -201,14 +201,30 @@ def wav_parse_chunks(payload: bytes) -> tuple[dict, bytes]:
 
 
 def wav_decode_pcm(payload: bytes) -> tuple[int, list[int]]:
-    """REAL WAV decode for the supported profile — PCM mono 16-bit — and a
-    hard error on anything else rather than guessing.  Returns
-    (sample_rate, int16 samples)."""
+    """REAL WAV decode: PCM, mono or stereo, 8- or 16-bit — a hard error
+    on anything else rather than guessing.  Returns (sample_rate, int16
+    samples) normalized to the canonical mono-16 stream by DEFINED
+    integer maps: stereo downmixes to the floor mean ``(l + r) >> 1``
+    per frame, 8-bit (unsigned per the WAV spec) widens via
+    ``(b - 128) * 256`` — both exact integer, so independent
+    implementations agree sample-for-sample."""
     fmt, data = wav_parse_chunks(payload)
-    if (fmt["audio_format"], fmt["channels"], fmt["bits_per_sample"]) != (1, 1, 16):
+    if (
+        fmt["audio_format"] != 1
+        or fmt["channels"] not in (1, 2)
+        or fmt["bits_per_sample"] not in (8, 16)
+    ):
         raise ValueError("unsupported WAV profile")
-    n = len(data) // 2
-    return fmt["sample_rate"], list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    if fmt["bits_per_sample"] == 16:
+        n = len(data) // 2
+        raw = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    else:
+        raw = [(b - 128) * 256 for b in data]
+    if fmt["channels"] == 2:
+        raw = [
+            (raw[2 * i] + raw[2 * i + 1]) >> 1 for i in range(len(raw) // 2)
+        ]
+    return fmt["sample_rate"], raw
 
 
 def _paeth(a: int, b: int, c: int) -> int:

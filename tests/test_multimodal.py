@@ -288,8 +288,10 @@ def test_gif_interlace_order_is_a_permutation_and_roundtrips():
 
 
 def test_wav_payloads_are_real_decodable_files():
-    """Corpus WAVs are standards-conforming: stdlib wave reads them, and the
-    decoded PCM reproduces the seeded sample pattern exactly."""
+    """Corpus WAVs are standards-conforming: stdlib wave reads all three
+    PCM layouts (mono-16, stereo-16, mono-8), and the decoded canonical
+    mono-16 stream reproduces the seeded pattern through the DEFINED
+    downmix/widening maps exactly."""
     import hashlib
     import io
     import wave
@@ -300,14 +302,29 @@ def test_wav_payloads_are_real_decodable_files():
         if kind == "riff"
     ]
     assert wavs, "expected wav payloads in the corpus"
+    seen_layouts = set()
     for j, payload in wavs:
         w = wave.open(io.BytesIO(payload))
-        assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
+        ch, sw = w.getnchannels(), w.getsampwidth()
+        seen_layouts.add((ch, sw))
         rate, samples = multimodal.wav_decode_pcm(payload)
         assert rate == w.getframerate() and len(samples) == w.getnframes()
         seed_hash = hashlib.sha256(f"42:media:{j}".encode()).digest()
+
+        def expected(i: int) -> int:
+            if ch == 2:  # floor-mean downmix of interleaved L/R
+                return (
+                    datagen_media.wav_sample(2 * i, seed_hash)
+                    + datagen_media.wav_sample(2 * i + 1, seed_hash)
+                ) >> 1
+            if sw == 1:  # 8-bit narrow + defined (b-128)*256 widening
+                return (datagen_media.wav_sample(i, seed_hash) >> 8) * 256
+            return datagen_media.wav_sample(i, seed_hash)
+
         for i in (0, len(samples) // 2, len(samples) - 1):
-            assert samples[i] == datagen_media.wav_sample(i, seed_hash)
+            assert samples[i] == expected(i)
+    # the corpus must exercise all three PCM layouts
+    assert seen_layouts == {(1, 2), (2, 2), (1, 1)}
 
 
 def test_wav_kernel_reads_stdlib_wave_written_file():
