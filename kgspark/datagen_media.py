@@ -244,8 +244,8 @@ def make_jpeg_color_file(
     restart_interval: int = 0,
 ) -> bytes:
     """A VALID baseline JFIF YCbCr COLOR file, seeded RGB pattern —
-    4:4:4 by default, 4:2:0 (Y 2x2, chroma 1x1, 16x16 MCUs) and DRI
-    restart markers on request."""
+    4:4:4 by default, 4:2:0 (Y 2x2, 16x16 MCUs) or 4:2:2 (Y 2x1, 16x8
+    MCUs) and DRI restart markers on request."""
     rgb = bytes(
         c
         for y in range(h_px)
@@ -273,9 +273,12 @@ def make_wav(
     ``channels``/``bits`` produce the stereo and 8-bit foreign variants."""
     n_bytes = len(pcm)
     block = channels * bits // 8
+    # RIFF chunks are word-aligned: an odd-size data chunk (possible for
+    # 8-bit PCM) carries a trailing pad byte NOT counted in its size field
+    pad = b"\x00" if n_bytes % 2 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 36 + n_bytes)
+        + struct.pack("<I", 36 + n_bytes + len(pad))
         + b"WAVE"
         + b"fmt "
         + struct.pack(
@@ -285,6 +288,7 @@ def make_wav(
         + b"data"
         + struct.pack("<I", n_bytes)
         + pcm
+        + pad
     )
 
 
@@ -355,11 +359,14 @@ def _payload(seed: int, i: int) -> tuple[str, str, bytes]:
         # (i // len(_KINDS) counts this kind's rows) so all four entropy
         # layouts — one-component, three-component 1x1, 2x2+1x1 16x16-MCU,
         # and 2x1+1x1 16x8-MCU — appear within any 20 consecutive corpus
-        # rows; alternate DRI restart intervals on an independent parity
-        # axis so layouts occur both with and without RST0-7 markers.
+        # rows; alternate DRI restart intervals on an INDEPENDENT axis —
+        # (ordinal // 4) parity, coprime with the 4-way layout cycle — so
+        # every layout occurs both with and without RST0-7 markers across
+        # 8 jpeg ordinals (review catch: ordinal % 2 was fully determined
+        # by layout parity, leaving gray/4:2:0 never restart-marked).
         ordinal = i // len(_KINDS)
         layout = ordinal % 4
-        ri = 3 if ordinal % 2 else 0
+        ri = 3 if (ordinal // 4) % 2 else 0
         if layout == 0:
             payload = make_jpeg_file(
                 24 + h[0] % 104, 24 + h[1] % 104, h, restart_interval=ri

@@ -570,8 +570,9 @@ def _parse_scan(payload: bytes) -> tuple:
     ``comps`` is a list — in frame order — of
     (qtable, dc_table, ac_table, hi, vi) per component (length 1 for
     grayscale, 3 for color).  Sampling profiles accepted: all components
-    1x1 (grayscale / 4:4:4), or Y 2x2 + chroma 1x1 (4:2:0).  Raises on
-    non-baseline / other-sampling / other-component-count streams."""
+    1x1 (grayscale / 4:4:4), or chroma 1x1 with Y 2x2 (4:2:0) or 2x1
+    (4:2:2).  Raises on non-baseline / other-sampling /
+    other-component-count streams."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -782,7 +783,7 @@ def decode_jpeg(payload: bytes) -> tuple:
     """REAL baseline JPEG decode for the supported profile: Huffman entropy
     decode, dequantize, inverse zigzag, integer IDCT, crop the MCU padding;
     3-component streams additionally run the defined integer YCbCr→RGB
-    (after replicated chroma upsample for 4:2:0).  Returns (width, height,
+    (after replicated chroma upsample for 4:2:0 / 4:2:2).  Returns (width, height,
     pixel bytes row-major) — ``w*h`` grayscale bytes for 1 component,
     ``3*w*h`` interleaved RGB bytes for 3."""
     w, h, comps, scan, ri = _parse_scan(payload)

@@ -224,7 +224,7 @@ def _jpeg_zigzag_independent() -> list:
 
 def _jpeg_decode_independent(payload: bytes) -> tuple[int, int, bytes]:
     """Independent restatement of the baseline JPEG decode path (grayscale,
-    4:4:4 AND 4:2:0 YCbCr color), written against ITU-T T.81 + the JFIF
+    4:4:4, 4:2:0 AND 4:2:2 YCbCr color), written against ITU-T T.81 + the JFIF
     note, not against the kernel: its own marker walk, algorithmically
     derived zigzag, canonical Huffman codes keyed by 1-prefixed integers
     (vs the kernel's (size, code) tuples), up-front RST0-7 scan splitting
@@ -558,6 +558,13 @@ def _wav_resample_independent(i: int, payload: bytes, target_rate: int) -> tuple
     rate, n = _wav_meta_independent(payload)
     (channels,) = struct.unpack("<H", payload[22:24])
     (bits,) = struct.unpack("<H", payload[34:36])
+    # the mono() map below is written for exactly the corpus layouts; an
+    # unlisted combination (e.g. stereo 8-bit, which the KERNEL would
+    # happily decode) must fail loudly here rather than silently restate
+    # the wrong analytic expectation
+    assert (channels, bits) in ((1, 16), (2, 16), (1, 8)), (
+        f"oracle: unexpected WAV layout {channels}ch/{bits}bit"
+    )
     hsh = _hl.sha256(f"{MEDIA_SEED}:media:{i}".encode()).digest()
 
     def mono(j: int) -> int:

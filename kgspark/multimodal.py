@@ -10,7 +10,7 @@ The sandbox ships no image/audio libraries.  All five kinds are
 nonetheless REAL end-to-end — stdlib codecs (zlib inflate + scanline
 unfilter for PNG, :mod:`kgspark.gifcodec` LZW for GIF, a RIFF chunk walk
 for WAV PCM, :mod:`kgspark.jpegcodec` baseline Huffman+IDCT for grayscale
-and color (4:4:4 or 4:2:0) JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video
+and color (4:4:4, 4:2:0 or 4:2:2) JPEG, :mod:`kgspark.mkvcodec` EBML demux for raw-video
 Matroska) decode
 any standards-conforming file of the supported profiles; image resize and
 audio resample re-encode a valid file of the same format, and video frame

@@ -535,6 +535,34 @@ def test_jpeg_payloads_are_real_decodable_files():
     assert seen_layouts == {"gray", "444", "420", "422"}
 
 
+def test_jpeg_oracle_corpus_covers_every_layout_restart_combo():
+    """At the ORACLE corpus size (MEDIA_N=40: 8 jpeg ordinals) every
+    (layout, restart) combination must appear AND decode bit-identically
+    on the kernel and the independent oracle — the restart axis must stay
+    independent of the layout axis (review catch: an ordinal%2 restart
+    parity was fully determined by a 4-way layout cycle, leaving half the
+    layouts never restart-marked in any driver-oracled file)."""
+    from kgspark import jpegcodec
+    from kgspark.media_oracles import (
+        MEDIA_N,
+        MEDIA_SEED,
+        _jpeg_decode_independent,
+    )
+
+    combos = set()
+    for i, (mid, kind, payload) in enumerate(
+        datagen_media.media_rows(MEDIA_N, MEDIA_SEED)
+    ):
+        if kind != "jpeg":
+            continue
+        assert jpegcodec.decode_jpeg(payload) == _jpeg_decode_independent(
+            payload
+        ), mid
+        ordinal = i // 5
+        combos.add((ordinal % 4, bool((ordinal // 4) % 2)))
+    assert combos == {(lay, ri) for lay in range(4) for ri in (False, True)}
+
+
 def test_jpeg_resize_emits_valid_jpeg_thumbnail():
     """resize_py's JPEG branch re-encodes a VALID baseline JPEG at the
     fit-within box: the digest equals sha256 of a file our own conforming
