@@ -349,3 +349,92 @@ def count_by_type(vertex_table: DataFrame) -> DataFrame:
     return vertex_table.groupBy(
         F.lower("entity_type").alias("entity_type")
     ).agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+# ------------------------------------------------- name-level graph analytics
+#
+# The reference's graph surface stops at traversal (BFS / neighbors / DOT,
+# graph.rs:375-461); these are the beyond-reference analytics a KG consumer
+# runs next: degree centrality and triangle (co-occurrence clustering)
+# counts.  Both operate on the NAME-level projection of the triple set —
+# entity ids are per-doc content-addressed, so the id-level graph is a
+# disjoint union of per-document stars, while the name projection is the
+# cross-document knowledge graph users actually query.
+#
+# Scale shape: everything reduces to distinct-pair sets and hash aggregates
+# on name keys — no driver collects, no cartesian anything.  The triangle
+# join chain is the standard a<b<c oriented-edge enumeration, which bounds
+# the join fan-out by the arboricity of the graph (each triangle counted
+# exactly once).
+
+
+def name_edges(triples: DataFrame) -> DataFrame:
+    """Undirected, deduplicated name-level edge set from a triple table:
+    one row per unordered pair {subj, obj}, canonically oriented a < b."""
+    return (
+        triples.select(
+            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """Per-name degree centrality over the distinct name-level edge sets:
+    out_degree (distinct objects the name relates to), in_degree (distinct
+    subjects relating to it), and undirected degree (distinct neighbors —
+    NOT out+in, since a reciprocal pair collapses to one neighbor).
+
+    Two hash-aggregate shuffles on name keys, then a coalesced full outer
+    merge — every stage is a plain shuffle-on-key that scales linearly.
+    """
+    d = triples.select("subj", "obj").filter(F.col("subj") != F.col("obj")).distinct()
+    outd = d.groupBy(F.col("subj").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree")
+    )
+    ind = d.groupBy(F.col("obj").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    und = (
+        d.select(F.col("subj").alias("name"), F.col("obj").alias("nb"))
+        .union(d.select(F.col("obj").alias("name"), F.col("subj").alias("nb")))
+        .distinct()
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        und.join(outd, "name", "full_outer")
+        .join(ind, "name", "full_outer")
+        .select(
+            "name",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def triangle_counts(triples: DataFrame) -> DataFrame:
+    """Per-name triangle participation count over the undirected name graph.
+
+    Standard oriented enumeration: with edges canonically a < b, a triangle
+    a < b < c is found exactly once as (a,b) ⋈ (b,c) ⋈ (a,c) — three
+    equi-joins on name keys, no orientation double-counting to divide out.
+    Names in no triangle are omitted (join semantics, mirrored by the
+    oracle).  Fan-out is Σ d(v)² in the worst case; at web scale the hub
+    names that dominate that bound are exactly the heads the skew module
+    salts (kgspark.skew), and AQE's skew-join split handles the rest.
+    """
+    e = name_edges(triples)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("name")
+        )
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

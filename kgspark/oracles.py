@@ -203,6 +203,58 @@ WITH {TOK},
 SELECT DISTINCT subj, predicate AS pred, obj, kg_doc_id AS doc_id FROM rel2
 """.strip()
 
+    # Name-level graph analytics (kgspark.graph.degrees / triangle_counts):
+    # the directed distinct pair set d and the canonically-oriented (a < b)
+    # undirected edge set e are restated from the relation fold, then degree
+    # and triangle counts are plain SQL aggregates/joins — independent of
+    # the Spark formulation's union/explode shapes.
+    _PAIRS = """
+d AS (SELECT DISTINCT subj, obj FROM rel2 WHERE subj <> obj),
+e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b FROM d)
+""".strip()
+
+    q["graph_degree"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+{_PAIRS},
+und AS (
+  SELECT name, count(*) AS degree FROM (
+    SELECT subj AS name, obj AS nb FROM d
+    UNION
+    SELECT obj AS name, subj AS nb FROM d
+  ) GROUP BY name
+),
+outd AS (SELECT subj AS name, count(*) AS out_degree FROM d GROUP BY subj),
+ind  AS (SELECT obj  AS name, count(*) AS in_degree  FROM d GROUP BY obj)
+SELECT und.name,
+       und.degree,
+       CAST(coalesce(outd.out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(ind.in_degree, 0) AS BIGINT) AS in_degree
+FROM und
+LEFT JOIN outd ON und.name = outd.name
+LEFT JOIN ind  ON und.name = ind.name
+""".strip()
+    # every directed pair contributes an undirected neighbor, so `und` is a
+    # superset of outd/ind name sets — LEFT JOIN from und is lossless (the
+    # Spark side's full_outer merge agrees by the same argument).
+
+    q["graph_triangles"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+{_PAIRS},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT name, count(*) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS name FROM tri)
+GROUP BY name
+""".strip()
+
     q["kg_entity_type_counts"] = f"""
 WITH {TOK},
 {_M},
