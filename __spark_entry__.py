@@ -505,6 +505,12 @@ def _q_graph_render_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition profile: per-(doc, n) top-n-gram and duplicate-
+    n-gram occurrence fractions (n in textops.REPETITION_NS), long format."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: degree centrality (out/in/undirected)
     over the documents-corpus KG name projection — the cross-document graph
@@ -603,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # don't consume one of the 50 driver evidence rows.
         "graph_degree": _q_graph_degree,
         "graph_triangles": _q_graph_triangles,
+        "text_repetition": _q_text_repetition,
     }
 
 

@@ -21,6 +21,7 @@ from .textops import (
     LSH_BAND_ROWS,
     MINHASH_K,
     MINHASH_P,
+    REPETITION_NS,
     minhash_perm_coeffs,
 )
 
@@ -380,6 +381,34 @@ SELECT kg_doc_id,
        round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
        sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fingerprint
 FROM tok
+""".strip()
+
+    # Gopher repetition profile (kgspark.textops.repetition_stats): the
+    # oracle re-derives the tagged gram stream with DuckDB 1-based inclusive
+    # list slices (vs Spark's zip_with shifted-slice build) and the same
+    # two-level count aggregation.  range(len - n + 1) is empty for short
+    # docs, so <n-token documents emit no row for that n on both engines.
+    ns_list = ", ".join(str(n) for n in REPETITION_NS)
+    q["text_repetition"] = f"""
+WITH {TOK},
+g AS (
+  SELECT src_row, kg_doc_id, n, unnest(grams) AS gram FROM (
+    SELECT src_row, kg_doc_id, n,
+           list_transform(range(len(toks) - n + 1),
+                          i -> array_to_string(toks[i + 1 : i + n], ' ')) AS grams
+    FROM tok, (SELECT unnest([{ns_list}]) AS n) ns
+  )
+),
+c AS (
+  SELECT src_row, kg_doc_id, n, gram, count(*) AS c
+  FROM g GROUP BY src_row, kg_doc_id, n, gram
+)
+SELECT kg_doc_id,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       round(max(c) / sum(c), 6) AS top_ngram_frac,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) AS dup_ngram_frac
+FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
     stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)

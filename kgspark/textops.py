@@ -328,6 +328,69 @@ def _ngrams(t: Column, n: int) -> Column:
     )
 
 
+REPETITION_NS = [2, 3, 5, 10]
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document n-gram repetition signals, long format:
+    one row per (document, n) for n in :data:`REPETITION_NS` with
+
+      * ``top_ngram_frac`` — fraction of n-gram occurrences taken by the
+        single most frequent n-gram (Gopher's top-n-gram rule, n=2..4);
+      * ``dup_ngram_frac`` — fraction of occurrences belonging to n-grams
+        that appear more than once (Gopher's duplicate-n-gram rule, n=5..10).
+
+    ``quality_score`` carries the cheap narrow variants (distinct-count
+    ratios); this is the full frequency-profile version, shaped for scale:
+    one explode over all four gram widths tagged in a single pass of the
+    token array, then two hash aggregates keyed on (row, n, gram) — the
+    same partial-aggregate shuffle discipline as exact dedup, never a
+    per-row quadratic distinct scan.  Documents shorter than n tokens emit
+    no row for that n (explode of an empty gram list).
+
+    Per-row semantics (duplicate raw rows emit duplicate output rows), so
+    the grouping key is the caller's unique ``key_col``, not the
+    content-addressed id — same contract as the rest of the operator
+    family (see the TOK fragment note in kgspark.oracles).
+    """
+    t = _toks(text_col)
+
+    def _tag(n: int):
+        # NB: bind n OUTSIDE the lambda — a two-parameter lambda (even with
+        # a default) makes F.transform pass the ARRAY INDEX as the second
+        # argument, silently replacing the tag.
+        return lambda g: F.struct(F.lit(n).cast("long").alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_ngrams(t, n), _tag(n)) for n in REPETITION_NS])
+    )
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(key_col).alias("_k"),
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        F.explode(tagged).alias("g"),
+    )
+    cnt = base.groupBy(
+        "_k", "kg_doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("_k", "kg_doc_id", "n")
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.max("c").alias("_top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "kg_doc_id",
+            "n",
+            "n_ngrams",
+            F.round(F.col("_top") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
+            F.round(F.col("_dup") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def _doc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Catalyst-side identity + trim feeding every Python kernel.
 
