@@ -511,6 +511,12 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by TF-IDF; integer-only ranking
+    (count desc, df asc, term asc) keeps row selection engine-exact."""
+    return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: degree centrality (out/in/undirected)
     over the documents-corpus KG name projection — the cross-document graph
@@ -610,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": _q_graph_degree,
         "graph_triangles": _q_graph_triangles,
         "text_repetition": _q_text_repetition,
+        "text_tfidf_topk": _q_text_tfidf_topk,
     }
 
 

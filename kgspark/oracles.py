@@ -411,6 +411,39 @@ SELECT kg_doc_id,
 FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
+    # TF-IDF top-k (kgspark.textops.tfidf_topk): ranking is integer-only
+    # (c desc, df asc, term asc) so the selected row set is engine-exact;
+    # the float score column uses the same ln/round arithmetic on both
+    # sides.  n_docs is the nonempty-row count (per-row semantics).
+    q["text_tfidf_topk"] = f"""
+WITH {TOK},
+tf AS (
+  SELECT src_row, kg_doc_id, n_tokens, term, count(*) AS c
+  FROM (
+    SELECT src_row, kg_doc_id, len(toks) AS n_tokens, unnest(toks) AS term
+    FROM tok
+  )
+  GROUP BY src_row, kg_doc_id, n_tokens, term
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM tok),
+r AS (
+  SELECT tf.*, dfx.df, nd.n_docs,
+         row_number() OVER (
+           PARTITION BY src_row ORDER BY c DESC, df ASC, term ASC
+         ) AS rank
+  FROM tf JOIN dfx USING (term), nd
+)
+SELECT kg_doc_id,
+       CAST(rank AS BIGINT) AS rank,
+       term,
+       CAST(c AS BIGINT) AS term_count,
+       CAST(df AS BIGINT) AS doc_freq,
+       round((c * 1.0 / n_tokens) *
+             (ln((n_docs + 1) * 1.0 / (df + 1)) + 1), 6) AS tfidf
+FROM r WHERE rank <= 3
+""".strip()
+
     stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     q["text_quality"] = f"""
 WITH {TOK}, d AS (

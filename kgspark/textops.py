@@ -391,6 +391,60 @@ def repetition_stats(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF (smoothed sklearn-style
+    idf = ln((N+1)/(df+1)) + 1), with the RANKING computed over integers only
+    — (term_count desc, doc_freq asc, term asc) — so row selection is
+    engine-exact; the float tfidf score rides along as a value column
+    (round 6, compared at 6 significant digits like every other ratio).
+
+    Scale shape: explode → per-(row, term) hash aggregate (one shuffle on
+    content keys), document frequencies as a second hash aggregate joined
+    back on the term key (plain shuffle join — the vocabulary is unbounded
+    at corpus scale, so it is NOT force-broadcast; AQE may still choose to),
+    the corpus size as a broadcast 1-row aggregate (same pattern as the
+    salted-join median threshold — no driver collect), and a top-k window
+    per row key.  Per-row semantics: duplicate raw rows emit duplicate rows.
+    """
+    from pyspark.sql import Window
+
+    t = _toks(text_col)
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(key_col).alias("_k"),
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        F.size(t).alias("n_tokens"),
+        F.explode(t).alias("term"),
+    )
+    tf = base.groupBy("_k", "kg_doc_id", "n_tokens", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("_k").alias("n_docs"))
+    w = Window.partitionBy("_k").orderBy(
+        F.desc("c"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfx, "term")
+        .join(F.broadcast(nd))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "kg_doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("c").cast("long").alias("term_count"),
+            F.col("df").cast("long").alias("doc_freq"),
+            F.round(
+                (F.col("c") / F.col("n_tokens"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def _doc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Catalyst-side identity + trim feeding every Python kernel.
 
