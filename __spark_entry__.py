@@ -517,6 +517,14 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain crawl rollup over the raw web corpus (fixed
+    corpus — sf_dir deliberately unused); the planted hot domain makes this
+    the aggregation-skew surface too."""
+    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    return pipeline.domain_stats(web)
+
+
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: degree centrality (out/in/undirected)
     over the documents-corpus KG name projection — the cross-document graph
@@ -617,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "text_repetition": _q_text_repetition,
         "text_tfidf_topk": _q_text_tfidf_topk,
+        "web_domain_stats": _q_web_domain_stats,
     }
 
 

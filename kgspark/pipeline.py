@@ -341,3 +341,27 @@ def build(
     r = relations(x, e)
     t = triples(r)
     return {"docs": d, "chunks": c, "entities": e, "relations": r, "triples": t}
+
+
+def domain_stats(web_pages: DataFrame) -> DataFrame:
+    """C4-style per-domain rollup of a raw page corpus: page counts,
+    non-empty extraction counts, distinct-content counts, total extracted
+    chars, and language spread — the crawl-health table a corpus curator
+    reads before any KG construction starts.
+
+    ONE hash aggregate on the domain key (partial aggregation map-side);
+    the synthetic corpus plants a hot domain (~20% of pages on one site,
+    datagen._render_doc), so at scale this is exactly the aggregation-skew
+    shape AQE's skew handling — or kgspark.skew salting for joins — absorbs.
+    """
+    dom = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    nonempty = F.length("text") > 0
+    return web_pages.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.when(nonempty, 1).otherwise(0)).cast("long").alias("n_nonempty"),
+        F.countDistinct(F.when(nonempty, F.col("text")))
+        .cast("long")
+        .alias("n_distinct_texts"),
+        F.sum(F.length("text")).cast("long").alias("total_text_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

@@ -299,8 +299,35 @@ def build() -> dict[str, str]:
         for d, r in g.docs.items()
     ]
 
+    # Per-domain crawl rollup (kgspark.pipeline.domain_stats): independent
+    # direct aggregation over the raw generated rows — no shared code with
+    # the Spark groupBy beyond corpus generation itself.
+    import re as _re
+
+    dom_acc: dict[str, list] = {}
+    for url, _ts, _html, text, lang in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        d = _re.match(r"^https?://([^/]+)", url).group(1)
+        rec = dom_acc.setdefault(d, [0, 0, set(), 0, set()])
+        rec[0] += 1
+        if len(text) > 0:
+            rec[1] += 1
+            rec[2].add(text)
+        rec[3] += len(text)
+        rec[4].add(lang)
+    domain_rows = [
+        (d, r[0], r[1], len(r[2]), r[3], len(r[4])) for d, r in dom_acc.items()
+    ]
+
     n_docs = len(g.docs)
     return {
+        "web_domain_stats": _values(
+            domain_rows,
+            [
+                "domain", "n_pages", "n_nonempty", "n_distinct_texts",
+                "total_text_chars", "n_langs",
+            ],
+            ["s", "i", "i", "i", "i", "i"],
+        ),
         "web_neighbors": _values(nbr_rows, ["id", "neighbor"], ["s", "s"]),
         "web_doc_summaries": _values(
             summary_rows,
