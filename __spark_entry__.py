@@ -517,6 +517,12 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-list: hash-min components over Jaccard-verified LSH
+    pairs; one row per distinct-content doc with cluster id + keep flag."""
+    return textops.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain crawl rollup over the raw web corpus (fixed
     corpus — sf_dir deliberately unused); the planted hot domain makes this
@@ -626,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_tfidf_topk": _q_text_tfidf_topk,
         "web_domain_stats": _q_web_domain_stats,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 

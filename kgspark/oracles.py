@@ -680,6 +680,46 @@ JOIN sh sa ON sa.kg_doc_id = doc_a
 JOIN sh sb ON sb.kg_doc_id = doc_b
 """.strip()
 
+    # Near-dup keep-list (kgspark.textops.dedup_clusters): the verified pair
+    # set is restated exactly as in dedup_jaccard_pairs (filtered at the
+    # ROUNDED score, matching the Spark filter), then transitively closed
+    # with a recursive CTE (set-semantics UNION terminates it) — an
+    # independent formulation of the hash-min component loop.
+    q["dedup_clusters"] = f"""
+WITH RECURSIVE {TOK},
+{_SHINGLES},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.kg_doc_id AS doc_a, b.kg_doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.kg_doc_id < b.kg_doc_id
+),
+vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.kg_doc_id = doc_a
+    JOIN sh sb ON sb.kg_doc_id = doc_b
+  ) WHERE jaccard >= 0.5
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+reach AS (
+  SELECT a AS node, b AS r FROM und
+  UNION
+  SELECT reach.node, und.b AS r FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+alld AS (SELECT DISTINCT kg_doc_id FROM tok)
+SELECT alld.kg_doc_id,
+       coalesce(comp.cluster_id, alld.kg_doc_id) AS cluster_id,
+       coalesce(comp.cluster_id, alld.kg_doc_id) = alld.kg_doc_id AS is_representative
+FROM alld LEFT JOIN comp ON alld.kg_doc_id = comp.node
+""".strip()
+
     _cos = """
 round(
   list_aggregate(list_transform(range(len(a.embedding)),

@@ -750,6 +750,46 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate KEEP-LIST — the end product of the dedup pipeline:
+    connected components over Jaccard-verified LSH candidate pairs, one row
+    per distinct-content document with its cluster id (component-minimum
+    kg_doc_id) and an ``is_representative`` keep flag.
+
+    Chain: LSH banding (O(n·bucket) candidate space) → exact shingle-Jaccard
+    verify at ``threshold`` (on the ROUNDED score, so the oracle's filter is
+    bit-identical) → hash-min label propagation (:func:`canon.connected_
+    components`, one shuffle join + aggregate per round, O(diameter) rounds
+    — near-dup clusters have tiny diameters) → left join back onto the
+    distinct-content doc set so untouched documents form singleton clusters.
+    Downstream keeps ``is_representative`` rows: a deterministic,
+    engine-reproducible dedup decision.
+    """
+    from . import canon
+
+    pairs = ngram_jaccard_pairs(docs, text_col, threshold=threshold).select(
+        F.col("doc_a").alias("name_a"), F.col("doc_b").alias("name_b")
+    )
+    comp = canon.connected_components(pairs)
+    alld = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"))
+        .distinct()
+    )
+    return (
+        alld.join(comp, alld["kg_doc_id"] == comp["node"], "left")
+        .select(
+            "kg_doc_id",
+            F.coalesce("comp", F.col("kg_doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_representative", F.col("kg_doc_id") == F.col("cluster_id")
+        )
+    )
+
+
 def simhash_row_py(text: str, bits: int = 32) -> int | None:
     """Reference kernel: one document's simhash (None for empty text) — the
     scalar unit-test spec of the vectorized batch kernel below.
