@@ -1,0 +1,138 @@
+"""Hand-built-input semantics tests for the round-5 analytics operators.
+
+The oracle-parity gate proves Spark == DuckDB on the shared corpora; these
+pin the SEMANTICS themselves on inputs small enough to verify by hand, so a
+matched pair of engine bugs can't slip through the parity gate unnoticed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgspark import graph, pipeline, textops
+
+
+def _triples(spark, pairs):
+    return spark.createDataFrame(
+        [(a, "rel", b, "d1") for a, b in pairs], ["subj", "pred", "obj", "doc_id"]
+    )
+
+
+def test_degrees_directed_vs_undirected(spark):
+    # A->B, B->A (reciprocal pair collapses to ONE undirected neighbor),
+    # A->C, D->A; duplicate (A,B) rows must not double-count.
+    t = _triples(spark, [("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"), ("D", "A")])
+    got = {r["name"]: r for r in graph.degrees(t).collect()}
+    assert got["A"]["out_degree"] == 2 and got["A"]["in_degree"] == 2
+    assert got["A"]["degree"] == 3  # B, C, D — reciprocal B counted once
+    assert got["B"]["degree"] == 1 and got["C"]["degree"] == 1
+    assert got["C"]["out_degree"] == 0 and got["C"]["in_degree"] == 1
+
+
+def test_degrees_ignores_self_loops(spark):
+    t = _triples(spark, [("A", "A"), ("A", "B")])
+    got = {r["name"]: r for r in graph.degrees(t).collect()}
+    assert got["A"]["degree"] == 1 and got["A"]["out_degree"] == 1
+
+
+def test_triangle_counts_k4(spark):
+    # K4 has C(4,3)=4 triangles; every node participates in exactly 3.
+    nodes = ["A", "B", "C", "D"]
+    edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    got = {r["name"]: r["n_triangles"] for r in
+           graph.triangle_counts(_triples(spark, edges)).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_direction_blind_no_doubles(spark):
+    # Triangle closed through MIXED edge directions + a reciprocal edge:
+    # still exactly one triangle, nodes outside it absent from the output.
+    t = _triples(spark, [("A", "B"), ("C", "B"), ("C", "A"), ("B", "A"), ("C", "D")])
+    got = {r["name"]: r["n_triangles"] for r in graph.triangle_counts(t).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1}
+
+
+def test_repetition_stats_hand_counts(spark):
+    # "a b a b c" -> 2-grams [a b, b a, a b, b c]: top 2/4, dup 2/4;
+    # 3-grams [a b a, b a b, a b c]: top 1/3, dup 0.
+    docs = spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"])
+    got = {r["n"]: r for r in textops.repetition_stats(docs).collect()}
+    assert got[2]["n_ngrams"] == 4
+    assert got[2]["top_ngram_frac"] == 0.5 and got[2]["dup_ngram_frac"] == 0.5
+    assert got[3]["top_ngram_frac"] == 0.333333 and got[3]["dup_ngram_frac"] == 0.0
+    assert 10 not in got  # 5-token doc emits no 10-gram row
+
+
+def test_repetition_stats_per_row_duplicates(spark):
+    # Two raw rows with identical content: per-row semantics — two identical
+    # output rows per n, counts NOT merged across the copies.
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y x y")], ["doc_id", "text"]
+    )
+    rows = [r for r in textops.repetition_stats(docs).collect() if r["n"] == 2]
+    assert len(rows) == 2
+    assert all(r["n_ngrams"] == 3 for r in rows)
+
+
+def test_tfidf_topk_ranking_and_score(spark):
+    import math
+
+    # doc1 dominated by "spark" (3x), "the" appears in both docs (df=2).
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark the"), (2, "the quick fox")],
+        ["doc_id", "text"],
+    )
+    out = textops.tfidf_topk(docs, k=2).collect()
+    top1 = [r for r in out if r["rank"] == 1 and r["term"] == "spark"]
+    assert len(top1) == 1 and top1[0]["term_count"] == 3 and top1[0]["doc_freq"] == 1
+    expected = round((3 / 4) * (math.log((2 + 1) / (1 + 1)) + 1), 6)
+    assert abs(top1[0]["tfidf"] - expected) < 1e-9
+    # ties broken by rarity then term: doc2's terms all count 1; "fox"/"quick"
+    # (df=1) must take both k=2 slots over "the" (df=2).
+    d2_id = top1[0]["kg_doc_id"]
+    d2 = sorted(r["term"] for r in out if r["kg_doc_id"] != d2_id)
+    assert d2 == ["fox", "quick"]
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # A~B and B~C near-dups (shared shingles) must land in ONE cluster even
+    # if A~C never collides; the unrelated doc stays a singleton rep.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one"),
+            (2, base + " one two"),
+            (3, base + " one two three"),
+            (4, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.dedup_clusters(docs, threshold=0.3).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    sizes = sorted(len(v) for v in clusters.values())
+    assert sizes == [1, 3]
+    for members in clusters.values():
+        reps = [r for r in members if r["is_representative"]]
+        assert len(reps) == 1 and reps[0]["kg_doc_id"] == min(
+            m["kg_doc_id"] for m in members
+        )
+
+
+def test_domain_stats_hand_counts(spark):
+    web = spark.createDataFrame(
+        [
+            ("https://example-hot.test/a/1", "hello world", "en"),
+            ("https://example-hot.test/b/2", "hello world", "de"),
+            ("https://example-hot.test/c/3", "", "en"),
+            ("http://other.test/x", "different text", "en"),
+        ],
+        ["url", "text", "lang"],
+    )
+    got = {r["domain"]: r for r in pipeline.domain_stats(web).collect()}
+    hot = got["example-hot.test"]
+    assert hot["n_pages"] == 3 and hot["n_nonempty"] == 2
+    assert hot["n_distinct_texts"] == 1  # duplicate content counted once
+    assert hot["total_text_chars"] == 22 and hot["n_langs"] == 2
+    assert got["other.test"]["n_pages"] == 1
