@@ -507,8 +507,13 @@ def _q_graph_render_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition profile: per-(doc, n) top-n-gram and duplicate-
-    n-gram occurrence fractions (n in textops.REPETITION_NS), long format."""
-    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+    n-gram occurrence fractions (n in textops.REPETITION_NS), long format.
+
+    Uses the Arrow-kernel twin: repetition is per-document, so the narrow
+    zero-shuffle kernel beats the distributed gram-explode spec twin
+    (measured at sf0.1 — BENCH/BASELINE.md round-5 section); both twins are
+    exceptAll-gated row-identical and hash the same oracle."""
+    return textops.repetition_stats_arrow(_t(spark, sf_dir, "documents"))
 
 
 def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -343,12 +343,19 @@ def repetition_stats(
         that appear more than once (Gopher's duplicate-n-gram rule, n=5..10).
 
     ``quality_score`` carries the cheap narrow variants (distinct-count
-    ratios); this is the full frequency-profile version, shaped for scale:
-    one explode over all four gram widths tagged in a single pass of the
-    token array, then two hash aggregates keyed on (row, n, gram) — the
-    same partial-aggregate shuffle discipline as exact dedup, never a
-    per-row quadratic distinct scan.  Documents shorter than n tokens emit
-    no row for that n (explode of an empty gram list).
+    ratios); this is the full frequency-profile version: one explode over
+    all four gram widths tagged in a single pass of the token array, then
+    two hash aggregates keyed on (row, n, gram).  Documents shorter than n
+    tokens emit no row for that n (explode of an empty gram list).
+
+    SPEC TWIN: the shipped fast path is :func:`repetition_stats_arrow` (the
+    registered ``text_repetition`` query uses it) — repetition is strictly
+    per-document, so a narrow zero-shuffle kernel beats this formulation's
+    gram explode, which shuffles ~4x the corpus token volume (measured at
+    sf0.1, BENCH/BASELINE.md round-5 section).  This distributed-aggregation
+    form is kept as the executable specification, exceptAll-gated against
+    the kernel in ``tests/test_twins.py``; it is also the shape to prefer if
+    single documents ever exceed one task's memory.
 
     Per-row semantics (duplicate raw rows emit duplicate output rows), so
     the grouping key is the caller's unique ``key_col``, not the
@@ -388,6 +395,65 @@ def repetition_stats(
             F.round(F.col("_top") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
             F.round(F.col("_dup") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
         )
+    )
+
+
+def _repetition_counts_kernel():
+    """Batch kernel for :func:`repetition_stats_arrow`: per-(row, n) INTEGER
+    counts only (total / top / duplicated n-gram occurrences) — all division
+    and rounding stays in Catalyst, identical expressions to the distributed
+    twin, so the kernel cannot drift from the DuckDB oracle on float
+    formatting.  n-grams are counted as token TUPLES (tokens cannot contain
+    whitespace, so tuple identity == joined-string identity)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "kg_doc_id": [], "n": [], "n_ngrams": [],
+                "top_cnt": [], "dup_cnt": [],
+            }
+            for doc_id, text in zip(pdf["kg_doc_id"], pdf["_text"]):
+                toks = _split_ascii_ws(text) if text else []
+                for n in REPETITION_NS:
+                    total = len(toks) - n + 1
+                    if total <= 0:
+                        continue
+                    c = Counter(tuple(toks[i : i + n]) for i in range(total))
+                    out["kg_doc_id"].append(doc_id)
+                    out["n"].append(n)
+                    out["n_ngrams"].append(total)
+                    out["top_cnt"].append(max(c.values()))
+                    out["dup_cnt"].append(sum(v for v in c.values() if v > 1))
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def repetition_stats_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-kernel twin of :func:`repetition_stats` (same output, same
+    oracle) — and the SHIPPED path: repetition is a strictly per-document
+    profile, so the scalable shape is a narrow zero-shuffle pass, not the
+    distributed twin's gram explode (which shuffles ~4x the corpus token
+    volume through two hash aggregates).  Measured at sf0.1, interleaved
+    same-session best-of-3: explode twin 18.70s median / 7.46s min vs this
+    kernel 0.80s median — see BENCH/BASELINE.md round-5 new-operator
+    section.  exceptAll-gated against the distributed spec twin in
+    tests/test_twins.py."""
+    counts = _doc_text(docs, text_col).mapInPandas(
+        _repetition_counts_kernel(),
+        schema=(
+            "kg_doc_id string, n long, n_ngrams long, top_cnt long, dup_cnt long"
+        ),
+    )
+    return counts.select(
+        "kg_doc_id",
+        "n",
+        "n_ngrams",
+        F.round(F.col("top_cnt") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
+        F.round(F.col("dup_cnt") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
     )
 
 

@@ -22,3 +22,15 @@ def test_quality_score_twins_row_identical(spark):
     assert catalyst.columns == arrow.columns
     assert catalyst.exceptAll(arrow).isEmpty()
     assert arrow.exceptAll(catalyst).isEmpty()
+
+
+def test_repetition_twins_row_identical(spark):
+    """textops.repetition_stats (distributed gram-explode aggregation) is
+    the SPEC for repetition_stats_arrow (the shipped zero-shuffle kernel
+    that the registered text_repetition query uses)."""
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    dist = textops.repetition_stats(docs)
+    arrow = textops.repetition_stats_arrow(docs)
+    assert dist.columns == arrow.columns
+    assert dist.exceptAll(arrow).isEmpty()
+    assert arrow.exceptAll(dist).isEmpty()
