@@ -522,6 +522,12 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view→click→purchase) per user:
+    strictly-after earliest-event picks, steps_completed + converted flag."""
+    return events.funnel(_t(spark, sf_dir, "events"))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup keep-list: hash-min components over Jaccard-verified LSH
     pairs; one row per distinct-content doc with cluster id + keep flag."""
@@ -638,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_text_tfidf_topk,
         "web_domain_stats": _q_web_domain_stats,
         "dedup_clusters": _q_dedup_clusters,
+        "events_funnel": _q_events_funnel,
     }
 
 

@@ -145,3 +145,68 @@ def topk_by_type(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-step conversion funnel per user: the earliest step-1 event,
+    then the earliest step-2 event STRICTLY after it, then the earliest
+    step-3 event strictly after that — one row per user who reached step 1,
+    with per-step timestamps, steps_completed, and a converted flag.
+
+    Timestamps compare as native timestamps (microsecond-exact, timezone-
+    free — the sessionize lesson: never via epoch seconds) and render as
+    'yyyy-MM-dd HH:mm:ss' strings in the output.
+
+    Scale shape: three (groupBy user_id + join user_id) rounds — after the
+    first shuffle everything is co-partitioned on the user key, so steps 2
+    and 3 are local joins under AQE; no windows over whole user histories,
+    no driver collects.
+    """
+    s1, s2, s3 = steps
+    v = (
+        events.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    c = (
+        v.join(
+            events.filter(F.col("event_type") == s2).select(
+                "user_id", F.col("ts").alias("_t")
+            ),
+            "user_id",
+        )
+        .filter(F.col("_t") > F.col("ts1"))
+        .groupBy("user_id", "ts1")
+        .agg(F.min("_t").alias("ts2"))
+    )
+    f2 = v.join(c, ["user_id", "ts1"], "left")
+    p = (
+        f2.filter(F.col("ts2").isNotNull())
+        .join(
+            events.filter(F.col("event_type") == s3).select(
+                "user_id", F.col("ts").alias("_t")
+            ),
+            "user_id",
+        )
+        .filter(F.col("_t") > F.col("ts2"))
+        .groupBy("user_id", "ts1", "ts2")
+        .agg(F.min("_t").alias("ts3"))
+    )
+    f3 = f2.join(p, ["user_id", "ts1", "ts2"], "left")
+    return f3.select(
+        "user_id",
+        F.date_format("ts1", "yyyy-MM-dd HH:mm:ss").alias("step1_ts"),
+        F.date_format("ts2", "yyyy-MM-dd HH:mm:ss").alias("step2_ts"),
+        F.date_format("ts3", "yyyy-MM-dd HH:mm:ss").alias("step3_ts"),
+        (
+            F.lit(1)
+            + F.col("ts2").isNotNull().cast("int")
+            + F.col("ts3").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("steps_completed"),
+        F.col("ts3").isNotNull().alias("converted"),
+    )

@@ -627,6 +627,40 @@ SELECT event_type, event_id, value, rank FROM (
 ) WHERE rank <= 3
 """.strip()
 
+    # Conversion funnel (kgspark.events.funnel): step CTEs mirror the
+    # strictly-after min-pick; per-CTE user_id is unique, so the final
+    # left joins key on user_id alone.  Null step timestamps render NULL
+    # through strftime on both engines.
+    q["events_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.ts1, min(e.ts) AS ts2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.ts1
+  GROUP BY e.user_id, v.ts1
+),
+p AS (
+  SELECT e.user_id, c.ts1, c.ts2, min(e.ts) AS ts3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts2
+  GROUP BY e.user_id, c.ts1, c.ts2
+)
+SELECT v.user_id,
+       strftime(v.ts1, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+       strftime(c.ts2, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+       strftime(p.ts3, '%Y-%m-%d %H:%M:%S') AS step3_ts,
+       CAST(1 + (CASE WHEN c.ts2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.ts3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS steps_completed,
+       p.ts3 IS NOT NULL AS converted
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""".strip()
+
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

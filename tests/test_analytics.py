@@ -136,3 +136,36 @@ def test_domain_stats_hand_counts(spark):
     assert hot["n_distinct_texts"] == 1  # duplicate content counted once
     assert hot["total_text_chars"] == 22 and hot["n_langs"] == 2
     assert got["other.test"]["n_pages"] == 1
+
+
+def test_events_funnel_ordering_and_partials(spark):
+    import datetime as dt
+
+    from kgspark import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(uid, typ, minutes):
+        return (uid, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # u1: full funnel in order
+        row(1, "view", 0), row(1, "click", 5), row(1, "purchase", 9),
+        # u2: click BEFORE the first view never counts; no later click
+        row(2, "click", 0), row(2, "view", 3),
+        # u3: view+click, purchase before click doesn't count
+        row(3, "purchase", 0), row(3, "view", 1), row(3, "click", 2),
+        # u4: no view at all -> absent from the funnel entirely
+        row(4, "click", 0), row(4, "purchase", 1),
+        # u1 noise: a second, earlier-irrelevant purchase after the first
+        row(1, "purchase", 30),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: r for r in ev.funnel(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["steps_completed"] == 3 and got[1]["converted"]
+    assert got[1]["step3_ts"] == "2024-01-01 12:09:00"  # earliest, not 12:30
+    assert got[2]["steps_completed"] == 1 and not got[2]["converted"]
+    assert got[2]["step2_ts"] is None
+    assert got[3]["steps_completed"] == 2 and not got[3]["converted"]
+    assert got[3]["step3_ts"] is None
