@@ -522,6 +522,12 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PMI collocations (adjacent pairs, n_pair >= 5): the row
+    set is integer-determined; PMI rides as a round-6 value column."""
+    return textops.collocations(_t(spark, sf_dir, "documents"))
+
+
 def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel (view→click→purchase) per user:
     strictly-after earliest-event picks, steps_completed + converted flag."""
@@ -645,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_stats": _q_web_domain_stats,
         "dedup_clusters": _q_dedup_clusters,
         "events_funnel": _q_events_funnel,
+        "text_collocations": _q_text_collocations,
     }
 
 

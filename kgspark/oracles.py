@@ -411,6 +411,39 @@ SELECT kg_doc_id,
 FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
+    # PMI collocations (kgspark.textops.collocations): the row set is
+    # integer-determined (n_pair >= 5); totals and the PMI ln ride the same
+    # arithmetic on both engines.  Bigrams re-derived with 1-based inclusive
+    # slices; B counts every bigram occurrence (len-1 per doc with >=2 toks).
+    q["text_collocations"] = f"""
+WITH {TOK},
+uni AS (
+  SELECT w, count(*) AS n_w FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+),
+big AS (
+  SELECT w1, w2, count(*) AS n_pair FROM (
+    SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+    FROM tok, unnest(range(len(toks) - 1)) AS r(i)
+  ) GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS t_tokens FROM uni),
+btot AS (
+  SELECT CAST(sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) AS DOUBLE)
+           AS b_pairs
+  FROM tok
+)
+SELECT big.w1, big.w2,
+       CAST(big.n_pair AS BIGINT) AS n_pair,
+       CAST(u1.n_w AS BIGINT) AS n_w1,
+       CAST(u2.n_w AS BIGINT) AS n_w2,
+       round(ln((big.n_pair / btot.b_pairs) /
+                ((u1.n_w / tot.t_tokens) * (u2.n_w / tot.t_tokens))), 6) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w, tot, btot
+""".strip()
+
     # TF-IDF top-k (kgspark.textops.tfidf_topk): ranking is integer-only
     # (c desc, df asc, term asc) so the selected row set is engine-exact;
     # the float score column uses the same ln/round arithmetic on both

@@ -398,6 +398,71 @@ def repetition_stats(
     )
 
 
+def collocations(
+    docs: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus-level collocation mining: every adjacent word pair occurring
+    at least ``min_count`` times, with its PMI
+    ``ln((n_pair/B) / ((n_w1/T) * (n_w2/T)))`` (T total tokens, B total
+    bigram occurrences, both corpus-wide).
+
+    The emitted ROW SET is integer-determined (the min_count filter), so
+    engine comparison never rides on float ordering; PMI is a value column
+    (round 6) like every other ratio.  Scale shape: two hash aggregates
+    (bigram, unigram) on content keys, totals as broadcast 1-row
+    aggregates, two term-key joins back — no windows, no driver collects.
+    """
+    t = _toks(text_col)
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    uni = (
+        base.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    big = (
+        base.select(F.explode(_ngrams(t, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        # tokens cannot contain whitespace (they come from a \s+ split), so
+        # splitting the joined gram recovers the pair exactly.
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+            "n_pair",
+        )
+    )
+    tot = uni.agg(
+        F.sum("n_w").cast("double").alias("t_tokens")
+    )
+    btot = (
+        base.select(F.size(_ngrams(t, 2)).alias("nb"))
+        .agg(F.sum("nb").cast("double").alias("b_pairs"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("b_pairs"))
+                    / ((F.col("n_w1") / F.col("t_tokens")) * (F.col("n_w2") / F.col("t_tokens")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def _repetition_counts_kernel():
     """Batch kernel for :func:`repetition_stats_arrow`: per-(row, n) INTEGER
     counts only (total / top / duplicated n-gram occurrences) — all division

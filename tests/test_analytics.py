@@ -169,3 +169,20 @@ def test_events_funnel_ordering_and_partials(spark):
     assert got[2]["step2_ts"] is None
     assert got[3]["steps_completed"] == 2 and not got[3]["converted"]
     assert got[3]["step3_ts"] is None
+
+
+def test_collocations_pmi_hand_value(spark):
+    import math
+
+    # "a b a b": T=4 (a:2, b:2), bigrams [a b, b a, a b] -> B=3;
+    # pair (a,b) n=2 -> pmi = ln((2/3) / ((2/4)*(2/4))).
+    docs = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           textops.collocations(docs, min_count=1).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_pair"] == 2 and ab["n_w1"] == 2 and ab["n_w2"] == 2
+    assert abs(ab["pmi"] - round(math.log((2 / 3) / (0.5 * 0.5)), 6)) < 1e-9
+    assert out[("b", "a")]["n_pair"] == 1
+    # min_count filter drops the singleton pair
+    kept = textops.collocations(docs, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in kept] == [("a", "b")]
