@@ -522,6 +522,11 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 + extrema per event type."""
+    return events.value_quantiles(_t(spark, sf_dir, "events"))
+
+
 def _q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level PMI collocations (adjacent pairs, n_pair >= 5): the row
     set is integer-determined; PMI rides as a round-6 value column."""
@@ -652,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "events_funnel": _q_events_funnel,
         "text_collocations": _q_text_collocations,
+        "events_value_quantiles": _q_events_value_quantiles,
     }
 
 

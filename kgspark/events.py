@@ -210,3 +210,23 @@ def funnel(
         .alias("steps_completed"),
         F.col("ts3").isNotNull().alias("converted"),
     )
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated value percentiles (p50/p90/p99) + extrema per
+    event type — the metric-distribution rollup an event pipeline reports.
+
+    Uses EXACT ``percentile`` (both engines implement the standard
+    (n-1)*p linear interpolation on the sorted values, so the arithmetic
+    is formula-identical); at 100 TB the drop-in scale path is
+    ``approx_percentile`` with a documented error bound — exact
+    percentiles need a per-group sort, approx is a t-digest merge.
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

@@ -694,6 +694,20 @@ LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id
 """.strip()
 
+    # Value quantiles (kgspark.events.value_quantiles): quantile_cont is
+    # DuckDB's exact (n-1)*p linear interpolation — the same formula as
+    # Spark's exact `percentile`.
+    q["events_value_quantiles"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""".strip()
+
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

@@ -186,3 +186,20 @@ def test_collocations_pmi_hand_value(spark):
     # min_count filter drops the singleton pair
     kept = textops.collocations(docs, min_count=2).collect()
     assert [(r["w1"], r["w2"]) for r in kept] == [("a", "b")]
+
+
+def test_value_quantiles_interpolation(spark):
+    import datetime as dt
+
+    from kgspark import events as ev
+
+    # values 1..10: p50 = 5.5, p90 = 9.1, p99 = 9.91 ((n-1)*p interpolation)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 7, "view", float(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = ev.value_quantiles(df).collect()[0]
+    assert got["n_events"] == 10
+    assert got["p50"] == 5.5 and got["p90"] == 9.1 and got["p99"] == 9.91
+    assert got["min_value"] == 1.0 and got["max_value"] == 10.0
