@@ -522,6 +522,17 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split + 10%-sample flag."""
+    return textops.train_split(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap vs the deterministic
+    pseudo-benchmark (doc_id % 50 == 0), one row per train doc."""
+    return textops.contamination(_t(spark, sf_dir, "documents"))
+
+
 def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p90/p99 + extrema per event type."""
     return events.value_quantiles(_t(spark, sf_dir, "events"))
@@ -658,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "text_collocations": _q_text_collocations,
         "events_value_quantiles": _q_events_value_quantiles,
+        "docs_train_split": _q_docs_train_split,
+        "dedup_contamination": _q_dedup_contamination,
     }
 
 

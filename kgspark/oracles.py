@@ -411,6 +411,58 @@ SELECT kg_doc_id,
 FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
+    # Deterministic split (kgspark.textops.train_split): the md5-derived
+    # 60-bit content hash mod 100 is the engine-portable bucket.
+    q["docs_train_split"] = f"""
+SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+       lang,
+       h % 100 AS bucket,
+       CASE WHEN h % 100 < 80 THEN 'train'
+            WHEN h % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       (h % 100) % 10 = 0 AS in_10pct_sample
+FROM (
+  SELECT *, {_H60.format(x="trim(text)")} AS h
+  FROM documents WHERE length(trim(text)) > 0
+)
+""".strip()
+
+    # Decontamination (kgspark.textops.contamination): distinct 8-grams per
+    # side, eval-wins resolution for content duplicates split across sides,
+    # one gram-key join, count-distinct per train doc.
+    q["dedup_contamination"] = f"""
+WITH {TOK},
+g AS (
+  SELECT DISTINCT kg_doc_id, src_row % 50 = 0 AS is_eval_row, gram
+  FROM (
+    SELECT kg_doc_id, src_row,
+           unnest(list_distinct(list_transform(range(len(toks) - 7),
+               i -> array_to_string(toks[i + 1 : i + 8], ' ')))) AS gram
+    FROM tok
+  )
+),
+doc_eval AS (
+  SELECT kg_doc_id,
+         max(CASE WHEN is_eval_row THEN 1 ELSE 0 END) = 1 AS is_eval
+  FROM g GROUP BY kg_doc_id
+),
+grams AS (
+  SELECT DISTINCT g.kg_doc_id, g.gram, de.is_eval
+  FROM g JOIN doc_eval de USING (kg_doc_id)
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+tr AS (SELECT kg_doc_id, gram FROM grams WHERE NOT is_eval),
+hits AS (
+  SELECT kg_doc_id, count(*) AS n FROM tr JOIN ev USING (gram)
+  GROUP BY kg_doc_id
+),
+td AS (SELECT DISTINCT kg_doc_id FROM tr)
+SELECT td.kg_doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM td LEFT JOIN hits USING (kg_doc_id)
+""".strip()
+
     # PMI collocations (kgspark.textops.collocations): the row set is
     # integer-determined (n_pair >= 5); totals and the PMI ln ride the same
     # arithmetic on both engines.  Bigrams re-derived with 1-based inclusive

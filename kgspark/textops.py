@@ -463,6 +463,91 @@ def collocations(
     )
 
 
+def train_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic content-hash train/val/test split + a 10%-sample flag —
+    the curation step between dedup and training.
+
+    The bucket is the md5-derived 60-bit content hash mod 100 (the same
+    engine-portable primitive as MinHash), so the assignment is a pure
+    narrow projection: reproducible across engines, runs, and cluster
+    sizes, and stable under re-partitioning — re-feeding the corpus can
+    never migrate a document across splits (the leakage failure mode of
+    rand()-based splitting).  Duplicate-content rows land in the same split
+    by construction.
+    """
+    t = F.trim(F.col(text_col))
+    bucket = _hash60(t) % 100
+    return docs.filter(F.length(t) > 0).select(
+        ids.doc_id(t).alias("kg_doc_id"),
+        "lang",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        (bucket % 10 == 0).alias("in_10pct_sample"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram_n: int = 8,
+    eval_mod: int = 50,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every candidate-training document
+    that shares at least one token ``gram_n``-gram with the held-out eval
+    set (here the deterministic pseudo-benchmark ``key_col % eval_mod == 0``
+    — in production, the real benchmark suite).
+
+    The standard n-gram-overlap decontamination filter (GPT-3 appendix C /
+    Gopher style).  Scale shape: distinct grams per side (narrow), one
+    equi-join on the gram key, one count-distinct aggregate per train doc —
+    the same bucketed-join discipline as LSH dedup, never doc x doc.
+    Output: one row per distinct-content train doc, n_shared_grams (distinct
+    grams shared with ANY eval doc) and the contaminated flag.
+    """
+    t = _toks(text_col)
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        (F.col(key_col) % eval_mod == 0).alias("is_eval"),
+        F.explode(F.array_distinct(_ngrams(t, gram_n))).alias("gram"),
+    )
+    # a content-duplicate pair split across eval/train makes the doc BOTH —
+    # resolve at the distinct-content level: eval wins (strictest).
+    sides = base.groupBy("kg_doc_id", "gram").agg(
+        F.max(F.col("is_eval").cast("int")).alias("any_eval")
+    )
+    doc_eval = sides.groupBy("kg_doc_id").agg(
+        (F.max("any_eval") == 1).alias("is_eval")
+    )
+    grams = sides.join(doc_eval, "kg_doc_id").select(
+        "kg_doc_id", "gram", "is_eval"
+    )
+    ev = grams.filter(F.col("is_eval")).select("gram").distinct()
+    tr = grams.filter(~F.col("is_eval"))
+    hits = (
+        tr.join(ev, "gram")
+        .groupBy("kg_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    train_docs = tr.select("kg_doc_id").distinct()
+    return (
+        train_docs.join(hits, "kg_doc_id", "left")
+        .select(
+            "kg_doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def _repetition_counts_kernel():
     """Batch kernel for :func:`repetition_stats_arrow`: per-(row, n) INTEGER
     counts only (total / top / duplicated n-gram occurrences) — all division

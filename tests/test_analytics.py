@@ -203,3 +203,57 @@ def test_value_quantiles_interpolation(spark):
     assert got["n_events"] == 10
     assert got["p50"] == 5.5 and got["p90"] == 9.1 and got["p99"] == 9.91
     assert got["min_value"] == 1.0 and got["max_value"] == 10.0
+
+
+def test_train_split_deterministic_and_content_keyed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(40)]
+        + [(99, "document number 7 body text")],  # content dup of doc 7
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en"))
+    out = textops.train_split(docs).collect()
+    by_content = {}
+    for r in out:
+        by_content.setdefault(r["kg_doc_id"], set()).add(
+            (r["split"], r["bucket"], r["in_10pct_sample"])
+        )
+    # duplicate content -> identical assignment (two rows, one assignment)
+    assert all(len(v) == 1 for v in by_content.values())
+    # split follows the bucket thresholds exactly
+    for r in out:
+        want = "train" if r["bucket"] < 80 else ("val" if r["bucket"] < 90 else "test")
+        assert r["split"] == want
+        assert r["in_10pct_sample"] == (r["bucket"] % 10 == 0)
+    # re-running on a repartitioned frame cannot migrate splits
+    again = {r["kg_doc_id"]: r["split"]
+             for r in textops.train_split(docs.repartition(7)).collect()}
+    assert all(again[k] == next(iter(v))[0] for k, v in by_content.items())
+
+
+def test_contamination_flags_exact_8gram_overlap(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (0, eight + " eval tail words here"),        # doc_id % 50 == 0 -> eval
+        (1, "lead in " + eight + " train side"),     # shares the 8-gram -> hit
+        (2, "totally unrelated train content with enough tokens to gram"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 different"),       # 7-token prefix only -> clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["kg_doc_id"]: r for r in textops.contamination(docs).collect()}
+    assert len(got) == 3  # eval doc itself is not in the train output
+    flags = sorted((r["contaminated"], r["n_shared_grams"]) for r in got.values())
+    assert flags == [(False, 0), (False, 0), (True, 1)]
+
+
+def test_contamination_eval_wins_for_duplicate_content(spark):
+    text = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, "b1 b2 " + text)],
+        ["doc_id", "text"],
+    )
+    got = {r["kg_doc_id"]: r for r in textops.contamination(docs).collect()}
+    # the duplicated content (doc 0 eval + doc 1 train) resolves to EVAL, so
+    # only doc 2 remains on the train side — and it is contaminated.
+    assert len(got) == 1
+    (only,) = got.values()
+    assert only["contaminated"] and only["n_shared_grams"] == 2
