@@ -514,24 +514,33 @@ def contamination(
     grams shared with ANY eval doc) and the contaminated flag.
     """
     t = _toks(text_col)
-    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
-        (F.col(key_col) % eval_mod == 0).alias("is_eval"),
-        F.explode(F.array_distinct(_ngrams(t, gram_n))).alias("gram"),
-    )
+    nonempty = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
     # a content-duplicate pair split across eval/train makes the doc BOTH —
-    # resolve at the distinct-content level: eval wins (strictest).
-    sides = base.groupBy("kg_doc_id", "gram").agg(
-        F.max(F.col("is_eval").cast("int")).alias("any_eval")
+    # resolve at the distinct-content level BEFORE the gram explosion: eval
+    # wins (strictest).  Doc-granularity rows, not gram-granularity — two
+    # orders of magnitude fewer rows through this shuffle.
+    doc_eval = (
+        nonempty.select(
+            ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+            (F.col(key_col) % eval_mod == 0).cast("int").alias("e"),
+        )
+        .groupBy("kg_doc_id")
+        .agg((F.max("e") == 1).alias("is_eval"))
     )
-    doc_eval = sides.groupBy("kg_doc_id").agg(
-        (F.max("any_eval") == 1).alias("is_eval")
+    grams = (
+        nonempty.select(
+            ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+            F.explode(F.array_distinct(_ngrams(t, gram_n))).alias("gram"),
+        )
+        .distinct()  # content-level: duplicate raw rows collapse here
+        .join(doc_eval, "kg_doc_id")
     )
-    grams = sides.join(doc_eval, "kg_doc_id").select(
-        "kg_doc_id", "gram", "is_eval"
-    )
+    # three downstream branches (eval grams, train grams, train doc set)
+    # read this frame — persist it or the md5 + gram construction re-runs
+    # once per branch (measured 19.9s -> see BENCH/BASELINE.md).
+    grams = cache.keyed_persist(grams, "contamination_grams")
     ev = grams.filter(F.col("is_eval")).select("gram").distinct()
-    tr = grams.filter(~F.col("is_eval"))
+    tr = grams.filter(~F.col("is_eval")).select("kg_doc_id", "gram")
     hits = (
         tr.join(ev, "gram")
         .groupBy("kg_doc_id")
