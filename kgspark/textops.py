@@ -419,6 +419,9 @@ def collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
+    # uni feeds three branches (totals, w1 side, w2 side) — persist it so
+    # the token explode + aggregate runs once (the contamination lesson).
+    uni = cache.keyed_persist(uni, "collocations_uni")
     big = (
         base.select(F.explode(_ngrams(t, 2)).alias("g"))
         .groupBy("g")
@@ -645,6 +648,10 @@ def tfidf_topk(
     tf = base.groupBy("_k", "kg_doc_id", "n_tokens", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # three branches (the join spine, document frequencies, corpus size)
+    # read tf — persist it or the explode + first aggregate re-run per
+    # branch (the contamination lesson, BENCH/BASELINE.md round-5 section).
+    tf = cache.keyed_persist(tf, "tfidf_tf")
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("_k").alias("n_docs"))
     w = Window.partitionBy("_k").orderBy(
