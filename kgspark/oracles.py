@@ -432,22 +432,24 @@ FROM (
     # one gram-key join, count-distinct per train doc.
     q["dedup_contamination"] = f"""
 WITH {TOK},
+doc_eval AS (
+  -- doc-granularity, from ALL nonempty docs: a train doc shorter than the
+  -- gram width has zero grams but still owes its contaminated=false row
+  SELECT kg_doc_id,
+         max(CASE WHEN src_row % 50 = 0 THEN 1 ELSE 0 END) = 1 AS is_eval
+  FROM tok GROUP BY kg_doc_id
+),
 g AS (
-  SELECT DISTINCT kg_doc_id, src_row % 50 = 0 AS is_eval_row, gram
+  SELECT DISTINCT kg_doc_id, gram
   FROM (
-    SELECT kg_doc_id, src_row,
+    SELECT kg_doc_id,
            unnest(list_distinct(list_transform(range(len(toks) - 7),
                i -> array_to_string(toks[i + 1 : i + 8], ' ')))) AS gram
     FROM tok
   )
 ),
-doc_eval AS (
-  SELECT kg_doc_id,
-         max(CASE WHEN is_eval_row THEN 1 ELSE 0 END) = 1 AS is_eval
-  FROM g GROUP BY kg_doc_id
-),
 grams AS (
-  SELECT DISTINCT g.kg_doc_id, g.gram, de.is_eval
+  SELECT g.kg_doc_id, g.gram, de.is_eval
   FROM g JOIN doc_eval de USING (kg_doc_id)
 ),
 ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
@@ -456,7 +458,7 @@ hits AS (
   SELECT kg_doc_id, count(*) AS n FROM tr JOIN ev USING (gram)
   GROUP BY kg_doc_id
 ),
-td AS (SELECT DISTINCT kg_doc_id FROM tr)
+td AS (SELECT kg_doc_id FROM doc_eval WHERE NOT is_eval)
 SELECT td.kg_doc_id,
        CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_grams,
        coalesce(hits.n, 0) > 0 AS contaminated

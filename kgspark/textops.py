@@ -530,6 +530,11 @@ def contamination(
         .groupBy("kg_doc_id")
         .agg((F.max("e") == 1).alias("is_eval"))
     )
+    # two branches read doc_eval: the gram join below AND the train-doc
+    # universe (which must come from here, not the gram frame — a train doc
+    # with fewer than gram_n tokens has zero grams but still owes its
+    # contaminated=false row).
+    doc_eval = cache.keyed_persist(doc_eval, "contamination_doc_eval")
     grams = (
         nonempty.select(
             ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
@@ -549,7 +554,7 @@ def contamination(
         .groupBy("kg_doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
-    train_docs = tr.select("kg_doc_id").distinct()
+    train_docs = doc_eval.filter(~F.col("is_eval")).select("kg_doc_id")
     return (
         train_docs.join(hits, "kg_doc_id", "left")
         .select(

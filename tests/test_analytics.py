@@ -237,12 +237,14 @@ def test_contamination_flags_exact_8gram_overlap(spark):
         (1, "lead in " + eight + " train side"),     # shares the 8-gram -> hit
         (2, "totally unrelated train content with enough tokens to gram"),
         (3, "w1 w2 w3 w4 w5 w6 w7 different"),       # 7-token prefix only -> clean
+        (4, "too short to gram"),                    # < 8 tokens: zero grams,
+                                                     # still owes a clean row
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["kg_doc_id"]: r for r in textops.contamination(docs).collect()}
-    assert len(got) == 3  # eval doc itself is not in the train output
+    assert len(got) == 4  # eval doc itself is not in the train output
     flags = sorted((r["contaminated"], r["n_shared_grams"]) for r in got.values())
-    assert flags == [(False, 0), (False, 0), (True, 1)]
+    assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
 def test_contamination_eval_wins_for_duplicate_content(spark):
