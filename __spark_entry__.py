@@ -533,6 +533,13 @@ def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.contamination(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction per document (email/SSN/phone/IPv4):
+    sequential count+redact regex chain, full rewrite pinned by a sha256
+    of the redacted text.  Pure Catalyst, zero shuffle, zero Python."""
+    return textops.pii_scan(_t(spark, sf_dir, "documents"))
+
+
 def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p90/p99 + extrema per event type."""
     return events.value_quantiles(_t(spark, sf_dir, "events"))
@@ -674,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "docs_train_split": _q_docs_train_split,
         "dedup_contamination": _q_dedup_contamination,
+        "text_pii_scan": _q_text_pii_scan,
     }
 
 

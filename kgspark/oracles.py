@@ -21,6 +21,7 @@ from .textops import (
     LSH_BAND_ROWS,
     MINHASH_K,
     MINHASH_P,
+    PII_PATTERNS,
     REPETITION_NS,
     minhash_perm_coeffs,
 )
@@ -464,6 +465,36 @@ SELECT td.kg_doc_id,
        coalesce(hits.n, 0) > 0 AS contaminated
 FROM td LEFT JOIN hits USING (kg_doc_id)
 """.strip()
+
+    # PII scrub (kgspark.textops.pii_scan): sequential count+redact chain —
+    # each stage counts against, then rewrites, the previous stage's text,
+    # byte-identical patterns on both engines (Java-regex ∩ RE2 subset).
+    # DuckDB regexp_replace needs the 'g' flag (Spark's is always global).
+    pii_ctes, pii_carry = [], []
+    prev = "tok"
+    prev_text = "ttext"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        carry = ", ".join(pii_carry + [""]) if pii_carry else ""
+        pii_ctes.append(
+            f"p{i} AS (\n"
+            f"  SELECT kg_doc_id, {carry}"
+            f"len(regexp_extract_all({prev_text}, '{pat}')) AS n_{name},\n"
+            f"         regexp_replace({prev_text}, '{pat}', '{repl}', 'g') AS t\n"
+            f"  FROM {prev}\n)"
+        )
+        pii_carry.append(f"n_{name}")
+        prev, prev_text = f"p{i}", "t"
+    pii_sum = " + ".join(pii_carry)
+    pii_casts = ",\n       ".join(
+        f"CAST(n_{name} AS BIGINT) AS n_{name}" for name, _, _ in PII_PATTERNS
+    )
+    q["text_pii_scan"] = (
+        f"WITH {TOK},\n"
+        + ",\n".join(pii_ctes)
+        + f"\nSELECT kg_doc_id,\n       {pii_casts},\n"
+        f"       ({pii_sum}) > 0 AS has_pii,\n"
+        f"       sha256(t) AS redacted_sha256\nFROM {prev}"
+    )
 
     # PMI collocations (kgspark.textops.collocations): the row set is
     # integer-determined (n_pair >= 5); totals and the PMI ln ride the same

@@ -254,6 +254,50 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII categories for the curation scrub pass, applied IN THIS ORDER (each
+# category counts against, then redacts, the output of the previous one —
+# so an email's digit-bearing local part cannot double-count as a phone).
+# Patterns restricted to the Java-regex ∩ RE2 common subset (\b, \d, ASCII
+# classes, bounded repetition) so Spark and the DuckDB oracle execute the
+# byte-identical pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction per document (the standard pre-training
+    curation scrub: emails, SSN-style ids, NANP-style phones, IPv4s).
+
+    Pure Catalyst: four sequential ``regexp_count`` / ``regexp_replace``
+    stages over the trimmed text — counts are taken against the running
+    redacted text, so categories never double-count each other's spans
+    (order pinned by :data:`PII_PATTERNS`).  The full redaction rewrite is
+    pinned by ``redacted_sha256`` — the oracle verifies every replaced byte
+    without the query shipping the (corpus-sized) redacted text column.
+
+    Scale shape: narrow projection, zero shuffle, zero Python — regex
+    evaluation rides whole-stage codegen over the pruned (text) column.
+    """
+    cur = F.trim(F.col(text_col))
+    cols = []
+    total = F.lit(0).cast("long")
+    for name, pat, repl in PII_PATTERNS:
+        n = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cols.append(n.alias(f"n_{name}"))
+        total = total + n
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        *cols,
+        (total > 0).alias("has_pii"),
+        F.sha2(cur, 256).alias("redacted_sha256"),
+    )
+
+
 # BPE-ish pre-tokenization classes: letter runs, digit runs, single
 # punctuation marks (the GPT-2 pattern family minus unicode categories).
 BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -247,6 +247,40 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_pii_scan_counts_and_redaction(spark):
+    """Counts, sequencing (no double-count across categories), and the
+    redacted-text sha — expectation computed independently with Python
+    ``re`` over the same sequential chain."""
+    import hashlib
+    import re as _re
+
+    rows = [
+        (0, "contact bob.smith+x@sub.example.co.uk or 555-123-4567 today"),
+        (1, "ssn 123-45-6789 ip 10.0.255.1 phone 555.123.4567"),
+        (2, "email-ish 123-456-7890@example.com trailing"),  # email, NOT phone
+        (3, "v1.2.3.4 not-an-ip? and 999-99-9999"),  # \b blocks mid-word ip
+        (4, "edge a@b.co 1.2.3.4.5 twice 1.2.3.4 9.9.9.9"),
+        (5, "nothing personal here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["kg_doc_id"]: r for r in textops.pii_scan(docs).collect()}
+    assert len(got) == len(rows)
+    for _, text in rows:
+        t = text.strip()
+        exp = {}
+        for name, pat, repl in textops.PII_PATTERNS:
+            exp[f"n_{name}"] = len(_re.findall(pat, t))
+            t = _re.sub(pat, repl, t)
+        r = got["doc-" + hashlib.sha256(text.strip().encode()).hexdigest()]
+        for k, v in exp.items():
+            assert r[k] == v, (text, k, r[k], v)
+        assert r["has_pii"] == (sum(exp.values()) > 0)
+        assert r["redacted_sha256"] == hashlib.sha256(t.encode()).hexdigest()
+    # the email local part did not double-count as a phone (row 2)
+    hit = got["doc-" + hashlib.sha256(rows[2][1].encode()).hexdigest()]
+    assert hit["n_email"] == 1 and hit["n_phone"] == 0
+
+
 def test_contamination_eval_wins_for_duplicate_content(spark):
     text = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
     docs = spark.createDataFrame(

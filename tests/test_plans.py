@@ -86,6 +86,21 @@ def test_exact_dedup_aggregates_without_python(spark):
     assert "HashAggregate" in plan
 
 
+def test_pii_scan_is_pure_catalyst_zero_shuffle(spark):
+    """text_pii_scan is a narrow per-row projection: the whole regex chain
+    must ride whole-stage codegen — no Python node of any kind and no
+    Exchange (zero shuffle) belong in its plan."""
+    plan = _plan(spark, "text_pii_scan")
+    for node in (
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "BatchEvalPython",
+    ):
+        assert node not in plan, f"text_pii_scan: unexpected {node}"
+    assert "Exchange" not in plan, "text_pii_scan: unexpected shuffle"
+
+
 def test_time_travel_prunes_partitions(spark, tmp_path):
     """read_as_of filters on the hive partition key: the excluded run's
     files must be absent from the scan's partition list (pruned at
