@@ -533,6 +533,13 @@ def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.contamination(_t(spark, sf_dir, "documents"))
 
 
+def _q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization + first-wins dedup over the messy
+    URL-variant fixture (fixed corpus — sf_dir deliberately unused): pure
+    Catalyst parse_url/regex normalization, one hash aggregate."""
+    return pipeline.url_dedup(datagen.crawl_url_variants(spark))
+
+
 def _q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction per document (email/SSN/phone/IPv4):
     sequential count+redact regex chain, full rewrite pinned by a sha256
@@ -682,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_train_split": _q_docs_train_split,
         "dedup_contamination": _q_dedup_contamination,
         "text_pii_scan": _q_text_pii_scan,
+        "web_url_dedup": _q_web_url_dedup,
     }
 
 

@@ -248,3 +248,62 @@ def planted_embeddings(spark: SparkSession, **kw) -> DataFrame:
     return spark.createDataFrame(
         planted_embeddings_rows(**kw), "vec_id long, embedding array<double>"
     )
+
+# ------------------------------------------------ messy crawl-URL variants
+
+# Tracking parameters a crawl canonicalizer strips (the common CC/C4 set).
+URL_TRACKING_PARAMS = (
+    "utm_source=feed",
+    "utm_medium=email",
+    "utm_campaign=q3",
+    "gclid=g123",
+    "fbclid=f9",
+    "ref=home",
+)
+
+CRAWL_URL_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def crawl_url_variants_rows(n_base: int = 120, seed: int = 7) -> list[tuple[str, str]]:
+    """Messy crawl-frontier URLs: each base page re-appears under 0-3
+    syntactic variants (tracking params, fragments, ``www.``/case noise,
+    default ports, trailing slashes, shuffled param order) carrying the
+    SAME text — the input shape URL canonicalization exists to collapse.
+    Separate from :func:`web_pages` (which feeds the driver-scoreboard
+    queries and must stay byte-stable); fully seeded and driver-side.
+    """
+    r = random.Random(seed)
+    rows: list[tuple[str, str]] = []
+    for i in range(n_base):
+        site = r.randrange(6)
+        text = f"crawl page {i} body content from site {site}"
+        params = [f"id={i}"] if r.random() < 0.3 else []
+        base_q = "?" + "&".join(params) if params else ""
+        rows.append((f"https://example-site{site}.test/page/{i}{base_q}", text))
+        for _ in range(r.randrange(4)):
+            scheme = "HTTPS" if r.random() < 0.2 else "https"
+            host = f"example-site{site}.test"
+            if r.random() < 0.3:
+                host = "www." + host
+            if r.random() < 0.3:
+                host = host.upper()
+            port = ":443" if r.random() < 0.25 else ""
+            path = f"/page/{i}" + ("/" if r.random() < 0.4 else "")
+            ps = list(params)
+            for tp in URL_TRACKING_PARAMS:
+                if r.random() < 0.3:
+                    ps.append(tp)
+            r.shuffle(ps)
+            q = "?" + "&".join(ps) if ps else ""
+            frag = "#top" if r.random() < 0.3 else ""
+            rows.append((f"{scheme}://{host}{port}{path}{q}{frag}", text))
+    return rows
+
+
+def crawl_url_variants(spark: SparkSession, n_base: int = 120, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(crawl_url_variants_rows(n_base, seed), CRAWL_URL_SCHEMA)

@@ -343,6 +343,64 @@ def build(
     return {"docs": d, "chunks": c, "entities": e, "relations": r, "triples": t}
 
 
+# Tracking query-params stripped by URL canonicalization (matches
+# datagen.URL_TRACKING_PARAMS keys; the common CC/C4 strip list).
+URL_TRACKING_KEY_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def normalize_url(url_col: str = "url"):
+    """Canonical form of a crawl URL, pure Catalyst (parse_url + regex +
+    array HOFs, all codegen): lowercase scheme/host, strip ``www.``, drop
+    default ports (http:80 / https:443), drop the fragment, strip a
+    trailing slash (root path becomes empty), drop tracking query params
+    (:data:`URL_TRACKING_KEY_RE`), sort the surviving params.
+
+    The canonical key for crawl-frontier dedup — syntactic variants of one
+    page collapse BEFORE any content fetch/hash is spent on them.
+    """
+    scheme = F.lower(F.parse_url(url_col, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url_col, F.lit("HOST"))), r"^www\.", ""
+    )
+    port = F.regexp_extract(F.parse_url(url_col, F.lit("AUTHORITY")), r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    rawpath = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit(""))
+    path = F.when(rawpath == "/", F.lit("")).otherwise(
+        F.regexp_replace(rawpath, "/$", "")
+    )
+    query = F.parse_url(url_col, F.lit("QUERY"))
+    params = F.filter(
+        F.split(query, "&"), lambda p: ~p.rlike(URL_TRACKING_KEY_RE)
+    )
+    qpart = F.when(query.isNull() | (F.size(params) == 0), F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-frontier URL dedup: group by the canonical URL, count the
+    syntactic variants, elect the lexicographically-first raw URL as the
+    canonical representative (deterministic first-wins), and count distinct
+    texts per group (1 everywhere when the variants really are one page).
+
+    ONE hash aggregate on the normalized key (map-side partial); the
+    normalization itself is a narrow codegen projection — at crawl scale
+    this collapses refetch candidates before any content processing.
+    """
+    return pages.groupBy(normalize_url(url_col).alias("norm_url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct(url_col).cast("long").alias("n_distinct_urls"),
+        F.min(url_col).alias("canonical_url"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+    )
+
+
 def domain_stats(web_pages: DataFrame) -> DataFrame:
     """C4-style per-domain rollup of a raw page corpus: page counts,
     non-empty extraction counts, distinct-content counts, total extracted

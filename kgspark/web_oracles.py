@@ -318,8 +318,54 @@ def build() -> dict[str, str]:
         (d, r[0], r[1], len(r[2]), r[3], len(r[4])) for d, r in dom_acc.items()
     ]
 
+    # URL canonicalization dedup (kgspark.pipeline.url_dedup): independent
+    # restatement with urllib.parse (vs Spark's parse_url/regex chain) over
+    # the messy crawl-variant fixture.
+    from urllib.parse import urlsplit
+
+    def _py_norm_url(u: str) -> str:
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = (sp.hostname or "").lower()
+        if host.startswith("www."):
+            host = host[4:]
+        port = ""
+        if sp.port is not None and not (
+            (scheme == "http" and sp.port == 80)
+            or (scheme == "https" and sp.port == 443)
+        ):
+            port = f":{sp.port}"
+        path = sp.path
+        if path == "/":
+            path = ""
+        elif path.endswith("/"):
+            path = path[:-1]
+        params = [
+            p
+            for p in sp.query.split("&")
+            if p and not _re.match(r"^(utm_[^=]*|gclid|fbclid|ref)=", p)
+        ]
+        q = "?" + "&".join(sorted(params)) if params else ""
+        return f"{scheme}://{host}{port}{path}{q}"
+
+    url_acc: dict[str, list] = {}
+    for url, text in datagen.crawl_url_variants_rows():
+        rec = url_acc.setdefault(_py_norm_url(url), [0, set(), set()])
+        rec[0] += 1
+        rec[1].add(url)
+        rec[2].add(text)
+    url_rows = [
+        (k, r[0], len(r[1]), min(r[1]), len(r[2])) for k, r in url_acc.items()
+    ]
+
     n_docs = len(g.docs)
     return {
+        "web_url_dedup": _values(
+            url_rows,
+            ["norm_url", "n_pages", "n_distinct_urls", "canonical_url",
+             "n_distinct_texts"],
+            ["s", "i", "i", "s", "i"],
+        ),
         "web_domain_stats": _values(
             domain_rows,
             [

@@ -247,6 +247,35 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_url_dedup_collapses_syntactic_variants(spark):
+    """Every normalization rule on a hand-built frame: tracking params,
+    fragment, www/case, default port, trailing slash, param order."""
+    rows = [
+        ("https://Example.test/a/1?utm_source=x&b=2&a=1#frag", "t1"),
+        ("HTTPS://WWW.example.test:443/a/1/?a=1&b=2", "t1"),
+        ("https://example.test/a/1?b=2&a=1&gclid=g", "t1"),
+        ("http://example.test:80/a/1?a=1&b=2", "t1"),  # http != https scheme
+        ("https://other.test/", "t2"),
+        ("https://other.test", "t2"),
+        ("https://other.test/x?id=1", "t3"),
+    ]
+    from kgspark import pipeline as pl
+
+    df = spark.createDataFrame(rows, ["url", "text"])
+    got = {r["norm_url"]: r for r in pl.url_dedup(df).collect()}
+    assert set(got) == {
+        "https://example.test/a/1?a=1&b=2",
+        "http://example.test/a/1?a=1&b=2",
+        "https://other.test",
+        "https://other.test/x?id=1",
+    }
+    g = got["https://example.test/a/1?a=1&b=2"]
+    assert g["n_pages"] == 3 and g["n_distinct_urls"] == 3
+    assert g["canonical_url"] == "HTTPS://WWW.example.test:443/a/1/?a=1&b=2"
+    assert g["n_distinct_texts"] == 1
+    assert got["https://other.test"]["n_pages"] == 2
+
+
 def test_pii_scan_counts_and_redaction(spark):
     """Counts, sequencing (no double-count across categories), and the
     redacted-text sha — expectation computed independently with Python

@@ -101,6 +101,23 @@ def test_pii_scan_is_pure_catalyst_zero_shuffle(spark):
     assert "Exchange" not in plan, "text_pii_scan: unexpected shuffle"
 
 
+def test_url_dedup_is_aggregate_only(spark):
+    """web_url_dedup is a narrow codegen normalization + the standard
+    multi-count-distinct aggregation (Expand + two exchanges, the second
+    reading already-collapsed (key, value) rows): no Python node, and
+    never more than the two aggregation shuffles."""
+    plan = _plan(spark, "web_url_dedup")
+    for node in (
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "BatchEvalPython",
+    ):
+        assert node not in plan, f"web_url_dedup: unexpected {node}"
+    assert "Expand" in plan, "multi-distinct Expand shape expected"
+    assert plan.count("Exchange hashpartitioning") == 2, "expected two shuffles"
+
+
 def test_time_travel_prunes_partitions(spark, tmp_path):
     """read_as_of filters on the hive partition key: the excluded run's
     files must be absent from the scan's partition list (pruned at
