@@ -533,6 +533,15 @@ def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.contamination(_t(spark, sf_dir, "documents"))
 
 
+def _q_web_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleanup over the raw web corpus (fixed corpus —
+    sf_dir deliberately unused): terminal-punct / >=3-token / no-js /
+    no-brace line rules, cleaned page pinned by sha256.  Pure Catalyst
+    HOFs, zero shuffle."""
+    web = datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    return textops.c4_line_clean(web)
+
+
 def _q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL canonicalization + first-wins dedup over the messy
     URL-variant fixture (fixed corpus — sf_dir deliberately unused): pure
@@ -690,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": _q_dedup_contamination,
         "text_pii_scan": _q_text_pii_scan,
         "web_url_dedup": _q_web_url_dedup,
+        "web_c4_clean": _q_web_c4_clean,
     }
 
 

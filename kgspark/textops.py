@@ -298,6 +298,43 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_line_clean(
+    pages: DataFrame, text_col: str = "text", key_col: str = "url"
+) -> DataFrame:
+    """C4-style line-level cleanup (the Raffel et al. 2020 heuristics, the
+    deterministic subset): keep a trimmed nonempty line iff it ends in a
+    terminal punctuation mark (``. ! ? "``), has >= 3 whitespace tokens,
+    and contains neither the word "javascript" (any case) nor a ``{``.
+    ``passes_c4`` mirrors C4's >= 3 retained sentences page gate.
+
+    The cleaned page (kept lines re-joined with ``\\n``) is pinned by
+    ``cleaned_sha256`` — the oracle verifies the byte-exact rewrite without
+    the query shipping a corpus-sized text column.
+
+    Pure Catalyst HOFs over the split-line array: narrow projection, zero
+    shuffle, zero Python — per-page cost is O(page bytes) and the plan is
+    scan→project at any corpus size.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r'[.!?"]$')
+        & (F.size(F.split(x, r"\s+")) >= 3)
+        & ~F.contains(F.lower(x), F.lit("javascript"))
+        & ~F.contains(x, F.lit("{")),
+    )
+    return pages.select(
+        F.col(key_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (F.size(kept) >= 3).alias("passes_c4"),
+        F.sha2(F.array_join(kept, "\n"), 256).alias("cleaned_sha256"),
+    )
+
+
 # BPE-ish pre-tokenization classes: letter runs, digit runs, single
 # punctuation marks (the GPT-2 pattern family minus unicode categories).
 BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

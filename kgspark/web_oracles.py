@@ -30,9 +30,17 @@ def _q(s: str) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
 
+def _lit(c, t: str) -> str:
+    if t == "s":
+        return _q(c)
+    if t == "b":
+        return "TRUE" if c else "FALSE"
+    return str(int(c))
+
+
 def _values(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     body = ",\n".join(
-        "(" + ", ".join(_q(c) if t == "s" else str(int(c)) for c, t in zip(r, types)) + ")"
+        "(" + ", ".join(_lit(c, t) for c, t in zip(r, types)) + ")"
         for r in sorted(rows)
     )
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
@@ -358,8 +366,38 @@ def build() -> dict[str, str]:
         (k, r[0], len(r[1]), min(r[1]), len(r[2])) for k, r in url_acc.items()
     ]
 
+    # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
+    # restatement of the line rules over the raw generated pages; the
+    # byte-exact cleaned page is pinned via its sha256.
+    c4_rows = []
+    for url, _ts, _html, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        lines = [l.strip(" ") for l in text.split("\n")]
+        lines = [l for l in lines if l != ""]
+        kept = [
+            l
+            for l in lines
+            if _re.search(r'[.!?"]$', l)
+            and len(_re.split(r"\s+", l)) >= 3
+            and "javascript" not in l.lower()
+            and "{" not in l
+        ]
+        c4_rows.append(
+            (
+                url,
+                len(lines),
+                len(kept),
+                1 if len(kept) >= 3 else 0,
+                hashlib.sha256("\n".join(kept).encode("utf-8")).hexdigest(),
+            )
+        )
+
     n_docs = len(g.docs)
     return {
+        "web_c4_clean": _values(
+            c4_rows,
+            ["url", "n_lines", "n_kept_lines", "passes_c4", "cleaned_sha256"],
+            ["s", "i", "i", "b", "s"],
+        ),
         "web_url_dedup": _values(
             url_rows,
             ["norm_url", "n_pages", "n_distinct_urls", "canonical_url",

@@ -247,6 +247,39 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_c4_line_clean_rules(spark):
+    """Every C4 line rule on a hand-built page, and the cleaned-page sha."""
+    import hashlib
+
+    text = "\n".join(
+        [
+            "Untitled header no punct",          # dropped: no terminal punct
+            "This line survives the filter.",    # kept
+            "Too short.",                        # dropped: < 3 tokens
+            "Enable JavaScript to continue.",    # dropped: javascript
+            "Braces { are markup residue. }",    # dropped: brace
+            "   ",                               # not a line (whitespace)
+            'He said "stop right there!"',       # kept: quote terminal
+            "Third keeper line, with a tail?",   # kept
+        ]
+    )
+    df = spark.createDataFrame([("u1", text), ("u2", "")], ["url", "text"])
+    got = {r["url"]: r for r in textops.c4_line_clean(df).collect()}
+    r = got["u1"]
+    assert r["n_lines"] == 7 and r["n_kept_lines"] == 3 and r["passes_c4"]
+    kept = "\n".join(
+        [
+            "This line survives the filter.",
+            'He said "stop right there!"',
+            "Third keeper line, with a tail?",
+        ]
+    )
+    assert r["cleaned_sha256"] == hashlib.sha256(kept.encode()).hexdigest()
+    e = got["u2"]
+    assert e["n_lines"] == 0 and not e["passes_c4"]
+    assert e["cleaned_sha256"] == hashlib.sha256(b"").hexdigest()
+
+
 def test_url_dedup_collapses_syntactic_variants(spark):
     """Every normalization rule on a hand-built frame: tracking params,
     fragment, www/case, default port, trailing slash, param order."""

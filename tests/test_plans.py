@@ -86,19 +86,21 @@ def test_exact_dedup_aggregates_without_python(spark):
     assert "HashAggregate" in plan
 
 
-def test_pii_scan_is_pure_catalyst_zero_shuffle(spark):
-    """text_pii_scan is a narrow per-row projection: the whole regex chain
+@pytest.mark.parametrize("name", ["text_pii_scan", "web_c4_clean"])
+def test_curation_scrubs_are_pure_catalyst_zero_shuffle(spark, name):
+    """text_pii_scan (regex count+redact chain) and web_c4_clean (line-rule
+    HOF filter) are narrow per-row projections: the whole transformation
     must ride whole-stage codegen — no Python node of any kind and no
-    Exchange (zero shuffle) belong in its plan."""
-    plan = _plan(spark, "text_pii_scan")
+    Exchange (zero shuffle) belong in their plans."""
+    plan = _plan(spark, name)
     for node in (
         "ArrowEvalPython",
         "MapInPandas",
         "FlatMapGroupsInPandas",
         "BatchEvalPython",
     ):
-        assert node not in plan, f"text_pii_scan: unexpected {node}"
-    assert "Exchange" not in plan, "text_pii_scan: unexpected shuffle"
+        assert node not in plan, f"{name}: unexpected {node}"
+    assert "Exchange" not in plan, f"{name}: unexpected shuffle"
 
 
 def test_url_dedup_is_aggregate_only(spark):
