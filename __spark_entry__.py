@@ -533,6 +533,13 @@ def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.contamination(_t(spark, sf_dir, "documents"))
 
 
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (15 rounds, damping 0.85, dangling
+    mass redistributed) over the documents-corpus directed name graph —
+    bit-exact by integer design, so the value hash is well-defined."""
+    return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
+
+
 def _q_web_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleanup over the raw web corpus (fixed corpus —
     sf_dir deliberately unused): terminal-punct / >=3-token / no-js /
@@ -700,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": _q_text_pii_scan,
         "web_url_dedup": _q_web_url_dedup,
         "web_c4_clean": _q_web_c4_clean,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 

@@ -438,3 +438,96 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
         .groupBy("name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+PAGERANK_SCALE = 10**12
+PAGERANK_ITERS = 15
+
+
+def pagerank(
+    triples: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Integer fixed-point PageRank over the directed distinct name-pair
+    graph (damping 0.85, ``iters`` synchronous rounds, dangling mass
+    redistributed uniformly).
+
+    All arithmetic is 64-bit integer on a total mass of ``scale`` — rank
+    update ``r'(v) = 15*scale DIV (100*N)
+    + 85*(inflow(v) + dangling DIV N) DIV 100`` with integer-exact DIV —
+    so the result is BIT-EXACT regardless of partitioning or aggregation
+    order (float PageRank sums in nondeterministic order; fixed-point
+    makes the value-hash oracle well-defined).
+
+    Pregel-style driver loop in the BFS/hash-min-CC discipline: per round
+    one broadcast-scalar dangling aggregate, one edge⋈rank join + one
+    hash aggregate on the destination key, lineage truncated per round
+    (localCheckpoint, or the reliable checkpoint dir when configured).
+    Edges and the degree frame are computed once and persisted; at cluster
+    scale both sides of the per-round join are co-partitioned on the name
+    key, so each round is one shuffle of the rank frame.
+    """
+    d = (
+        triples.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+        .persist()
+    )
+    out_deg = d.groupBy(F.col("subj").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    nodes = (
+        d.select(F.col("subj").alias("name"))
+        .union(d.select(F.col("obj").alias("name")))
+        .distinct()
+        .join(out_deg, "name", "left")
+        .select("name", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        d.unpersist()
+        nodes.unpersist()
+        return triples.sparkSession.createDataFrame(
+            [], "name string, pagerank long"
+        )
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select("name", "out_deg", F.lit(scale // n).alias("rank"))
+    for _ in range(iters):
+        ranks = truncate_lineage(ranks)
+        # dangling mass: tiny scalar aggregate, one number to the driver
+        dang = (
+            ranks.filter(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        inflow = (
+            d.join(
+                ranks.filter(F.col("out_deg") > 0).withColumnRenamed(
+                    "name", "subj"
+                ),
+                "subj",
+            )
+            .select("obj", F.expr("rank DIV out_deg").alias("share"))
+            .groupBy(F.col("obj").alias("name"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "name", "left")
+            .select(
+                "name",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"85 * (coalesce(inflow, 0L) + {dang // n}L) DIV 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    result = ranks.select("name", F.col("rank").alias("pagerank"))
+    result = truncate_lineage(result)
+    d.unpersist()
+    nodes.unpersist()
+    return result

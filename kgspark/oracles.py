@@ -257,6 +257,58 @@ FROM (SELECT unnest([x, y, z]) AS name FROM tri)
 GROUP BY name
 """.strip()
 
+    # Integer fixed-point PageRank (kgspark.graph.pagerank): the recurrence
+    # is defined in 64-bit integer arithmetic (see the Spark docstring), so
+    # the oracle can restate it exactly — each of the synchronous rounds
+    # unrolls to three chained CTEs (dangling mass, inflow, rank update).
+    # Every sum is CAST AS BIGINT (DuckDB sum() returns HUGEINT — the
+    # sessionize lesson, dtype-parity-gated).
+    from .graph import PAGERANK_ITERS, PAGERANK_SCALE
+
+    # Every CTE in the unrolled chain is AS MATERIALIZED: DuckDB inlines
+    # plain CTEs at each reference, and r{i} referencing r{i-1} three times
+    # would otherwise expand to a 3^15-node plan ("too many open files" on
+    # the re-opened parquet scans).  Materializing makes evaluation linear
+    # in the round count — the same property the Spark loop has natively.
+    pr_ctes = [
+        "dm AS MATERIALIZED (SELECT subj, obj FROM d)",
+        "pn AS MATERIALIZED (\n"
+        "  SELECT name, CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg\n"
+        "  FROM (SELECT subj AS name FROM dm UNION SELECT obj FROM dm) nn\n"
+        "  LEFT JOIN (SELECT subj AS name, count(*) AS out_deg FROM dm\n"
+        "             GROUP BY subj) od USING (name)\n)",
+        "pc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM pn)",
+        f"r0 AS MATERIALIZED (SELECT name, out_deg,\n"
+        f"  (SELECT {PAGERANK_SCALE} // n FROM pc) AS rank FROM pn)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        p = f"r{i - 1}"
+        pr_ctes.append(
+            f"dg{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang\n"
+            f"  FROM {p} WHERE out_deg = 0)"
+        )
+        pr_ctes.append(
+            f"fl{i} AS MATERIALIZED (SELECT dm.obj AS name,\n"
+            f"    CAST(sum(r.rank // r.out_deg) AS BIGINT) AS inflow\n"
+            f"  FROM dm JOIN {p} r ON dm.subj = r.name\n"
+            f"  WHERE r.out_deg > 0 GROUP BY dm.obj)"
+        )
+        pr_ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT pn.name, pn.out_deg,\n"
+            f"    (SELECT (15 * {PAGERANK_SCALE}) // (100 * n) FROM pc)\n"
+            f"    + (85 * (coalesce(fl{i}.inflow, 0)\n"
+            f"             + (SELECT dang FROM dg{i}) // (SELECT n FROM pc)))\n"
+            f"      // 100 AS rank\n"
+            f"  FROM pn LEFT JOIN fl{i} USING (name))"
+        )
+    q["graph_pagerank"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(pr_ctes)
+        + f"\nSELECT name, CAST(rank AS BIGINT) AS pagerank"
+        f" FROM r{PAGERANK_ITERS}"
+    )
+
     q["kg_entity_type_counts"] = f"""
 WITH {TOK},
 {_M},

@@ -247,6 +247,45 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def _pagerank_py(edges, iters=15, scale=10**12):
+    """Independent dict-based restatement of the integer recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {v: 0 for v in nodes}
+    for a, _ in edges:
+        out[a] += 1
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if out[v] == 0)
+        inflow = {v: 0 for v in nodes}
+        for a, b in edges:
+            inflow[b] += r[a] // out[a]
+        r = {v: base + (85 * (inflow[v] + dang // n)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Hub > spoke ordering, dangling-mass handling, and bit-exact match
+    with the independent Python fixed-point reference on a hand graph."""
+    # hub h pointed at by 3 spokes; h -> t; t dangling; cycle c1<->c2
+    edges = [
+        ("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "t"),
+        ("c1", "c2"), ("c2", "c1"),
+        ("s1", "h"),  # duplicate directed pair: must collapse
+    ]
+    df = _triples(spark, edges)
+    got = {r["name"]: r["pagerank"] for r in graph.pagerank(df).collect()}
+    exp = _pagerank_py(edges)
+    assert got == exp
+    # rank sanity: the hub out-ranks its spokes; t inherits h's mass
+    assert got["h"] > got["s1"] == got["s2"] == got["s3"]
+    assert got["t"] > got["s1"]
+    # total mass conserved up to integer floor loss
+    assert 0 <= 10**12 - sum(got.values()) < 10**12 // 100
+
+
 def test_c4_line_clean_rules(spark):
     """Every C4 line rule on a hand-built page, and the cleaned-page sha."""
     import hashlib
