@@ -117,6 +117,15 @@ def _q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_entity_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-link SCORING (north-star step the plain alias dict can't do):
+    ambiguous surface forms resolved per mention by context-token overlap
+    against the planted candidate table — argmax with deterministic
+    tie-break, margin = winner − runner-up.  Pure narrow plan: candidate
+    dictionary folded into the projection as literals, zero shuffles."""
+    return linking.disambiguate(_t(spark, sf_dir, "documents"))
+
+
 def _q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.token_window_chunks(_t(spark, sf_dir, "documents"))
 
@@ -650,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": _q_kg_relations,
         "kg_triples": _q_kg_triples,
         "kg_entity_links": _q_kg_entity_links,
+        "kg_entity_disambiguation": _q_kg_entity_disambiguation,
         "kg_chunks": _q_kg_chunks,
         "kg_chunks_overlap": _q_kg_chunks_overlap,
         "kg_chunks_delim": _q_kg_chunks_delim,

@@ -329,6 +329,67 @@ FROM ent e
 LEFT JOIN {spec.alias_values_sql()} ON lower(trim(e.entity_name)) = alias_dict.alias
 """.strip()
 
+    # Context-scored disambiguation (kgspark.linking.disambiguate): the
+    # Spark side is a pure narrow projection (literal candidate arrays,
+    # array-slice context, struct-sort argmax); the oracle restates it
+    # relationally — unnest the context, join the candidate VALUES table,
+    # count matches, row_number argmax with the same (score desc, candidate
+    # asc) tie-break and a lead() runner-up for the margin.
+    _W = spec.AMBIG_CONTEXT_WINDOW
+    _ALIASES = ", ".join(f"'{a}'" for a in sorted(spec.AMBIG_CANDIDATES))
+    q["kg_entity_disambiguation"] = f"""
+WITH {TOK},
+am AS (
+  SELECT kg_doc_id, src_row, toks, surface, pos FROM (
+    SELECT kg_doc_id, src_row, toks,
+           unnest(toks) AS surface, unnest(range(len(toks))) AS pos
+    FROM tok
+  ) WHERE surface IN ({_ALIASES})
+),
+ctx AS (
+  SELECT kg_doc_id, src_row, pos, surface,
+         list_distinct(list_concat(
+           toks[greatest(pos + 1 - {_W}, 1):pos],
+           toks[pos + 2:least(len(toks), pos + 1 + {_W})]
+         )) AS ctx
+  FROM am
+),
+cand AS (SELECT alias, candidate, term FROM {spec.ambig_values_sql()}),
+base AS (
+  SELECT c.kg_doc_id, c.src_row, c.pos, c.surface, b.candidate
+  FROM ctx c JOIN (SELECT DISTINCT alias, candidate FROM cand) b
+    ON c.surface = b.alias
+),
+cm AS (
+  SELECT x.kg_doc_id, x.src_row, x.pos, x.surface, c.candidate,
+         count(*) AS hits
+  FROM (SELECT kg_doc_id, src_row, pos, surface, unnest(ctx) AS ct FROM ctx) x
+  JOIN cand c ON c.alias = x.surface AND c.term = x.ct
+  GROUP BY ALL
+),
+scored AS (
+  SELECT b.*, CAST(coalesce(cm.hits, 0) AS BIGINT) AS score
+  FROM base b
+  LEFT JOIN cm ON b.kg_doc_id = cm.kg_doc_id AND b.src_row = cm.src_row
+    AND b.pos = cm.pos AND b.surface = cm.surface
+    AND b.candidate = cm.candidate
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY src_row, pos
+                       ORDER BY score DESC, candidate) AS rk,
+    CAST(count(*) OVER (PARTITION BY src_row, pos) AS BIGINT)
+      AS n_candidates,
+    score - coalesce(lead(score) OVER (PARTITION BY src_row, pos
+                       ORDER BY score DESC, candidate), 0) AS margin
+  FROM scored
+)
+SELECT src_row, kg_doc_id, CAST(pos AS INT) AS pos, surface,
+       candidate AS linked_name, score, CAST(margin AS BIGINT) AS margin,
+       n_candidates
+FROM ranked WHERE rk = 1
+""".strip()
+
     q["kg_chunks"] = f"""
 WITH {TOK},
 ch AS (

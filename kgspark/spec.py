@@ -122,6 +122,51 @@ def web_alias_rows() -> list[tuple[str, str]]:
     return sorted(WEB_ALIAS_DICT.items())
 
 
+# Ambiguous-alias candidate table for entity-link SCORING (the north-star
+# "mention-detect + entity-link scoring" step that the plain alias dict
+# cannot express): one surface form maps to SEVERAL candidate entities, and
+# the winner is chosen by context-token overlap.  Every context term is
+# drawn from the documents-corpus closed word pool (kgspark.datagen) so the
+# synthetic corpus genuinely exercises both senses of each alias.
+# alias -> [(candidate display name, context-term set)], candidates and
+# terms sorted for determinism.  Term sets never contain an alias surface
+# (so excluding/keeping neighbouring alias tokens in the context cannot
+# change a score).
+AMBIG_CANDIDATES: dict[str, list[tuple[str, tuple[str, ...]]]] = {
+    "spark": [
+        ("Apache Spark", ("agg", "join", "query", "sort", "table")),
+        ("Spark Plug", ("big", "fast", "line", "slow", "small")),
+    ],
+    "stream": [
+        ("Data Stream", ("batch", "data", "group", "row")),
+        ("River Stream", ("big", "fast", "slow", "small")),
+    ],
+    "window": [
+        ("Window Function", ("agg", "group", "order", "part")),
+        ("Window Pane", ("big", "line", "small")),
+    ],
+}
+
+# Tokens within +/- this many positions of a mention form its context.
+AMBIG_CONTEXT_WINDOW = 3
+
+
+def ambig_rows() -> list[tuple[str, str, str]]:
+    """AMBIG_CANDIDATES flattened to (alias, candidate, term) rows, sorted."""
+    return sorted(
+        (a, cand, t)
+        for a, cands in AMBIG_CANDIDATES.items()
+        for cand, terms in cands
+        for t in terms
+    )
+
+
+def ambig_values_sql() -> str:
+    """Inline SQL VALUES table of the candidate terms (for DuckDB parity)."""
+    rows = ", ".join(f"('{a}', '{c}', '{t}')" for a, c, t in ambig_rows())
+    return f"(VALUES {rows}) AS ambig(alias, candidate, term)"
+
+
 # Entity-type vocabulary for the synthetic web_pages fixture (FIXTURES.md §1).
 WEB_ENTITY_TYPES = [
     "Person", "Organization", "Place", "Product", "Event",
