@@ -536,6 +536,14 @@ def _q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.train_split(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 at token
+    granularity): maximal token runs covered by cross-doc-duplicated
+    8-grams — the dedup pipeline's span-level cut-list.  Gram-key join +
+    per-doc islands window; never doc x doc."""
+    return textops.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 def _q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram overlap vs the deterministic
     pseudo-benchmark (doc_id % 50 == 0), one row per train doc."""
@@ -714,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "docs_train_split": _q_docs_train_split,
         "dedup_contamination": _q_dedup_contamination,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "text_pii_scan": _q_text_pii_scan,
         "web_url_dedup": _q_web_url_dedup,
         "web_c4_clean": _q_web_c4_clean,

@@ -613,6 +613,46 @@ FROM td LEFT JOIN hits USING (kg_doc_id)
     # integer-determined (n_pair >= 5); totals and the PMI ln ride the same
     # arithmetic on both engines.  Bigrams re-derived with 1-based inclusive
     # slices; B counts every bigram occurrence (len-1 per doc with >=2 toks).
+    # Exact-substring duplicate spans (kgspark.textops.duplicate_spans):
+    # cross-doc duplicated gram positions merged gaps-and-islands style.
+    # The oracle builds grams by list slicing and restates the islands with
+    # a running-max window — independent of the Spark zip-of-slices gram
+    # construction.
+    _DN = 8
+    q["dedup_duplicate_spans"] = f"""
+WITH {TOK},
+dd AS (SELECT DISTINCT kg_doc_id, toks FROM tok),
+g AS (
+  SELECT kg_doc_id, i AS pos,
+         array_to_string(toks[i + 1:i + {_DN}], ' ') AS gram
+  FROM dd, unnest(range(len(toks) - {_DN - 1})) AS r(i)
+),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT kg_doc_id) >= 2
+),
+hits AS (SELECT g.kg_doc_id, g.pos FROM g JOIN dupg USING (gram)),
+isl AS (
+  SELECT kg_doc_id, pos,
+    CASE WHEN pos > coalesce(
+        max(pos) OVER (PARTITION BY kg_doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        -{_DN + 1}) + {_DN}
+      THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+sp AS (
+  SELECT kg_doc_id, pos,
+         sum(brk) OVER (PARTITION BY kg_doc_id ORDER BY pos) AS span_id
+  FROM isl
+)
+SELECT kg_doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_DN - 1} AS INT) AS span_end,
+       CAST(max(pos) - min(pos) + {_DN} AS INT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM sp GROUP BY kg_doc_id, span_id
+""".strip()
+
     q["text_collocations"] = f"""
 WITH {TOK},
 uni AS (

@@ -646,6 +646,87 @@ def contamination(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    gram_n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", exact-substring variant at
+    token granularity): every MAXIMAL run of consecutive token positions
+    covered by a ``gram_n``-gram that also occurs in at least one OTHER
+    distinct-content document.
+
+    Cross-doc only by design (a gram repeated within one document is the
+    repetition signal's job, not dedup's); content-duplicate raw rows
+    collapse to one kg_doc_id before gram counting, like contamination.
+
+    Output: one row per (distinct-content doc, span) — (kg_doc_id,
+    span_start, span_end, span_len, n_grams) with 0-based inclusive token
+    positions; docs with no duplicated span emit nothing (this is the
+    curation pipeline's cut-list).
+
+    Scale shape: gram explosion is narrow; one hash aggregate on the gram
+    key (count distinct docs), one gram-key equi-join back, one per-doc
+    window for the gaps-and-islands merge — never doc x doc, the same
+    bucketed discipline as contamination/LSH.  The suffix-array formulation
+    finds duplicates of ANY length >= threshold; this fixed-gram variant is
+    the shuffle-friendly approximation (a duplicated substring of length
+    L >= gram_n is found exactly, with span boundaries quantized to gram
+    coverage).
+    """
+    from pyspark.sql import Window
+
+    t = _toks(text_col)
+    dd = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+            F.trim(F.col(text_col)).alias("_ttext"),
+        )
+        .distinct()
+    )
+    grams = dd.select(
+        "kg_doc_id",
+        F.posexplode(_ngrams(F.split(F.col("_ttext"), r"\s+"), gram_n)).alias(
+            "pos", "gram"
+        ),
+    )
+    grams = cache.keyed_persist(grams, "duplicate_spans_grams")
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("kg_doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dupg, "gram").select("kg_doc_id", "pos")
+    # Gaps-and-islands: a gram at pos covers [pos, pos+n-1]; a new span
+    # starts when coverage breaks (pos > running-max prev pos + gram_n).
+    ordered = Window.partitionBy("kg_doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "_brk",
+            (
+                F.col("pos")
+                > F.coalesce(prev_max, F.lit(-gram_n - 1)) + gram_n
+            ).cast("int"),
+        )
+        .withColumn("_span_id", F.sum("_brk").over(ordered))
+        .groupBy("kg_doc_id", "_span_id")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + gram_n - 1).cast("int").alias("span_end"),
+            (F.max("pos") - F.min("pos") + gram_n).cast("int").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("_span_id")
+    )
+    return spans.select("kg_doc_id", "span_start", "span_end", "span_len", "n_grams")
+
+
 def _repetition_counts_kernel():
     """Batch kernel for :func:`repetition_stats_arrow`: per-(row, n) INTEGER
     counts only (total / top / duplicated n-gram occurrences) — all division

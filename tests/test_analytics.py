@@ -247,6 +247,49 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_duplicate_spans_cross_doc_islands(spark):
+    """Span boundaries, overlap merge, gap split, adjacency merge, and the
+    within-doc / content-dup non-triggers of textops.duplicate_spans."""
+    shared_a = "a b c d e f g h"          # 8 tokens, shared run 1
+    shared_b = "p q r s t v w z"          # 8 tokens, shared run 2
+    rows = [
+        (0, shared_a + " i j"),                       # run1 + 2 extra: 3 grams
+        (1, "x " + shared_a + " i j y"),              # same run offset by 1
+        (2, shared_a + " u1 u2 " + shared_b),         # gap -> two spans
+        (3, shared_b + " tail1 tail2"),               # donor for run2
+        (4, shared_a + " " + shared_b),               # adjacent runs -> merge
+        (5, "k l m n o k2 l2 m2 k l m n o k2 l2 m2"),  # within-doc only: no row
+        (6, "dup dup dup dup dup dup dup dup dup"),   # content-dup of doc 7
+        (7, "dup dup dup dup dup dup dup dup dup"),   # same kg_doc_id: no row
+        (8, "short doc"),                             # < 8 tokens: no grams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.duplicate_spans(docs).collect()
+    import hashlib
+
+    def did(text):
+        return "doc-" + hashlib.sha256(text.strip().encode()).hexdigest()
+
+    spans = sorted(
+        (r["kg_doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_grams"])
+        for r in out
+    )
+    expected = sorted([
+        # doc 0: grams at pos 0,1,2 all shared with doc 1 -> one span [0,9]
+        (did(rows[0][1]), 0, 9, 10, 3),
+        # doc 1: the same three grams sit at pos 1,2,3 -> span [1,10]
+        (did(rows[1][1]), 1, 10, 10, 3),
+        # doc 2: run1 gram at 0, run2 gram at 10; 10 > 0+8 -> two spans
+        (did(rows[2][1]), 0, 7, 8, 1),
+        (did(rows[2][1]), 10, 17, 8, 1),
+        # doc 3: run2 gram at 0 -> one span
+        (did(rows[3][1]), 0, 7, 8, 1),
+        # doc 4: run1 at 0, run2 at 8: 8 == 0+8 -> adjacent coverage MERGES
+        (did(rows[4][1]), 0, 15, 16, 2),
+    ])
+    assert spans == expected
+
+
 def _pagerank_py(edges, iters=15, scale=10**12):
     """Independent dict-based restatement of the integer recurrence."""
     edges = sorted(set(edges))
