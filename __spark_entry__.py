@@ -585,6 +585,21 @@ def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.value_quantiles(_t(spark, sf_dir, "events"))
 
 
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (purchase <- most recent prior click per user): join-free
+    carry-forward window on one user_id shuffle; oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN."""
+    return events.asof_join(_t(spark, sf_dir, "events"))
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (purchase x error within +/-1h per user): bucketed
+    composition — left side exploded to 3 covering buckets, equi-join on
+    (user, bucket), exact |dt| filter; candidate volume bounded by match
+    density, never n^2."""
+    return events.range_join(_t(spark, sf_dir, "events"))
+
+
 def _q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level PMI collocations (adjacent pairs, n_pair >= 5): the row
     set is integer-determined; PMI rides as a round-6 value column."""
@@ -720,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "text_collocations": _q_text_collocations,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "docs_train_split": _q_docs_train_split,
         "dedup_contamination": _q_dedup_contamination,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,

@@ -230,3 +230,113 @@ def value_quantiles(events: DataFrame) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join: for every ``left_type`` event, the MOST RECENT
+    ``right_type`` event by the same user at or before its timestamp
+    (DuckDB spells this natively as ``ASOF LEFT JOIN``; Spark has no such
+    operator, so this is the composition the task calls for).
+
+    Spark formulation is join-free: filter to the two types, ONE shuffle on
+    user_id, and a carry-forward window — ``last(right struct, ignorenulls)``
+    over (ts, is_left, event_id) ordering.  Right rows sort before left rows
+    at equal ts (the at-or-before contract) and among equal-ts right rows
+    the latest event_id wins — the same deterministic tie-break the oracle
+    gets by collapsing the right side to max(event_id) per (user, ts).
+
+    At cluster scale this beats a sort-merge as-of join: the window reuses
+    the single user_id exchange, state per user is one struct, and there is
+    no unbounded probe-side buffering.
+
+    Output: (user_id, left_id, right_id, gap_us) — right_id/gap_us NULL for
+    left events with no prior right event.
+    """
+    ev = events.filter(F.col("event_type").isin(left_type, right_type))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            (F.col("event_type") == left_type).cast("int"),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("event_type") == right_type,
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("_r", carried)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.col("_r.event_id").alias("right_id"),
+            # session tz is pinned UTC (kgspark.session), so the NTZ ->
+            # TIMESTAMP cast is deterministic and unix_micros matches
+            # DuckDB's epoch_us on the same NTZ values
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("_r.ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("gap_us"),
+        )
+    )
+
+
+def range_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Range (interval) join: every (``left_type``, ``right_type``) event
+    pair for the same user within ±``window_s`` seconds — Spark's optimizer
+    would execute the naive time-inequality join as a per-user cross
+    product, so this is the bucketed composition: bin timestamps to
+    ``window_s``-wide buckets, explode ONLY the left side to its three
+    covering buckets, equi-join on (user_id, bucket), then apply the exact
+    |Δt| predicate.  Each qualifying pair is found exactly once (the right
+    row's bucket is unique), so no distinct pass is needed; candidate
+    volume is bounded by true-match density, never n².
+
+    Output: (user_id, left_id, right_id, delta_us) with
+    delta_us = right ts − left ts (signed).
+    """
+    us = window_s * 1_000_000
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_lts"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        F.col("event_id").alias("right_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_rts"),
+        # integer DIV, not float division: micro timestamps are ~1.7e15 and
+        # a double quotient truncation can misbucket at bin boundaries
+        F.expr(f"unix_micros(cast(ts as timestamp)) DIV {us}").alias("_bucket"),
+    )
+    lbucket = F.expr(f"_lts DIV {us}")
+    left = left.withColumn(
+        "_bucket", F.explode(F.array(lbucket - 1, lbucket, lbucket + 1))
+    )
+    return (
+        left.join(right, ["user_id", "_bucket"])
+        .filter(F.abs(F.col("_rts") - F.col("_lts")) <= us)
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            (F.col("_rts") - F.col("_lts")).cast("long").alias("delta_us"),
+        )
+    )

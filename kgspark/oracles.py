@@ -946,6 +946,38 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """.strip()
 
+    # As-of join (kgspark.events.asof_join): DuckDB has the operator
+    # NATIVELY — the oracle is a literal ASOF LEFT JOIN, about as
+    # independent from the Spark carry-forward-window formulation as a
+    # restatement can get.  The right side collapses to max(event_id) per
+    # (user, ts) first so ties resolve identically on both engines.
+    q["events_asof_join"] = """
+WITH c AS (
+  SELECT user_id, ts, max(event_id) AS right_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, event_id AS left_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.left_id, c.right_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+    # Range join (kgspark.events.range_join): the oracle is the naive
+    # time-inequality join the bucketed Spark composition must reproduce.
+    q["events_range_join"] = """
+SELECT l.user_id,
+       l.event_id AS left_id,
+       r.event_id AS right_id,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'error'
+ AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= CAST(3600 AS BIGINT) * 1000000
+""".strip()
+
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

@@ -171,6 +171,64 @@ def test_events_funnel_ordering_and_partials(spark):
     assert got[3]["step3_ts"] is None
 
 
+def _events_df(spark, rows):
+    """rows: (event_id, user_id, event_type, seconds-offset)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [(e, t0 + dt.timedelta(seconds=s), u, ty) for e, u, ty, s in rows],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+
+
+def test_asof_join_most_recent_prior_and_ties(spark):
+    from kgspark import events as ev
+
+    df = _events_df(spark, [
+        (1, 1, "click", 0),
+        (2, 1, "click", 10),      # most recent prior -> wins over event 1
+        (3, 1, "purchase", 20),   # gap 10s from click 2
+        (4, 1, "click", 30),      # AFTER the purchase: never counts for 3
+        (5, 2, "purchase", 5),    # user 2 has no click at all -> NULL match
+        (6, 3, "click", 7),
+        (7, 3, "purchase", 7),    # same-ts click counts (at-or-before), gap 0
+        (8, 4, "click", 1),
+        (9, 4, "click", 1),       # same (user, ts) tie -> max event_id wins
+        (10, 4, "purchase", 2),
+    ])
+    got = {r["left_id"]: (r["right_id"], r["gap_us"])
+           for r in ev.asof_join(df).collect()}
+    assert got == {
+        3: (2, 10_000_000),
+        5: (None, None),
+        7: (6, 0),
+        10: (9, 1_000_000),
+    }
+
+
+def test_range_join_window_bounds_and_buckets(spark):
+    from kgspark import events as ev
+
+    df = _events_df(spark, [
+        (1, 1, "purchase", 59),   # near the 60s bucket boundary
+        (2, 1, "error", 61),      # adjacent bucket, delta +2s -> matched
+        (3, 1, "error", 119),     # delta +60s exactly -> included
+        (4, 1, "error", 120),     # delta +61s -> excluded
+        (5, 1, "error", 0),       # delta -59s -> matched (signed)
+        (6, 2, "error", 59),      # same ts range, other user -> excluded
+    ])
+    got = sorted(
+        (r["left_id"], r["right_id"], r["delta_us"])
+        for r in ev.range_join(df, window_s=60).collect()
+    )
+    assert got == [
+        (1, 2, 2_000_000),
+        (1, 3, 60_000_000),
+        (1, 5, -59_000_000),
+    ]
+
+
 def test_collocations_pmi_hand_value(spark):
     import math
 
