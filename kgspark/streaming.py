@@ -152,3 +152,57 @@ def docs_per_window(
             "n_pages",
         )
     )
+
+
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: the streaming twin of
+    :func:`kgspark.events.range_join`, same output contract
+    (user_id, left_id, right_id, delta_us).
+
+    Spark's native stream-stream join with BOTH watermarks and a time-range
+    condition — exactly the combination the engine needs to bound join
+    state: a buffered left row is dropped once the right watermark passes
+    ``lts + window_s`` (and vice versa), so state is O(rows within the
+    watermark horizon), never the whole history.  The batch operator uses
+    the bucketed composition instead because a batch job has no watermark
+    to bound a time-range join's buffering.
+    """
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            # watermarks require TIMESTAMP (not NTZ); the session tz is
+            # pinned UTC so the cast is deterministic
+            F.col("ts").cast("timestamp").alias("lts"),
+        )
+        .withWatermark("lts", watermark)
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").cast("timestamp").alias("rts"),
+        )
+        .withWatermark("rts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("rts") >= F.col("lts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return l.join(r, cond).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (F.unix_micros("rts") - F.unix_micros("lts"))
+        .cast("long")
+        .alias("delta_us"),
+    )

@@ -215,3 +215,51 @@ def test_session_windows_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination()
     streamed = {tuple(r) for r in spark.table("sess_win").collect()}
     assert streamed == batch
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
+    """streaming.interval_join_stream (native stream-stream join with
+    two watermarks + a time-range condition) produces exactly the batch
+    events.range_join pair set on the same input — including pairs that
+    SPAN micro-batches (the events file is split into two drops on the
+    ts median, so purchase/error pairs straddle the drop boundary)."""
+    import shutil
+
+    from .conftest import SF_UNIT
+
+    path = os.path.join(SF_UNIT, "events.parquet")
+    static = spark.read.parquet(path)
+    batch = {tuple(r) for r in events_mod.range_join(static).collect()}
+    assert batch, "fixture must contain at least one in-window pair"
+
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    mid = static.select(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).first()[0]
+    halves = [
+        static.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= mid),
+        static.filter(F.unix_micros(F.col("ts").cast("timestamp")) > mid),
+    ]
+    for i, half in enumerate(halves):
+        side = str(tmp_path / f"side-{i}")
+        half.coalesce(1).write.parquet(side)
+        part = next(f for f in os.listdir(side) if f.endswith(".parquet"))
+        # the file-stream source wants FILES in the dir, not directories
+        shutil.copy(os.path.join(side, part),
+                    os.path.join(stream_dir, f"drop-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming.interval_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ivl_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table("ivl_join").collect()}
+    assert streamed == batch
