@@ -477,6 +477,15 @@ def _q_web_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.canonical_triples(b["triples"], cmap)
 
 
+def _q_web_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the canonicalized web entity graph
+    (hash-min label propagation, min-name component ids, member counts);
+    oracle is an independent union-find over the golden canonical triples."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return graph.components(canon.canonical_triples(b["triples"], cmap))
+
+
 def _q_web_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12: DocumentSummary projection over doc_status (routes/documents.rs:63-91)."""
     b = _web_built(spark)
@@ -671,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_neighbors": _q_web_neighbors,
         "web_canonical_map": _q_web_canonical_map,
         "web_canonical_triples": _q_web_canonical_triples,
+        "web_graph_components": _q_web_graph_components,
         "status_lang_rollup": _q_status_lang_rollup,
         "entity_type_counts": _q_entity_type_counts,
         "docs_paginated": _q_docs_paginated,

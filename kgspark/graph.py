@@ -440,6 +440,36 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
     )
 
 
+def components(triples: DataFrame) -> DataFrame:
+    """Connected components of the undirected distinct name-pair graph:
+    (name, component_id, n_members) with component_id = the component's
+    MINIMUM member name (what hash-min label propagation converges to, and
+    what any independent union-find can restate).
+
+    Reuses :func:`kgspark.canon.connected_components` — the same iterative
+    hash-min join the canonicalization stage runs, one shuffle-join + one
+    aggregation per round, lineage truncated per round, O(diameter) rounds.
+    """
+    from . import canon
+
+    pairs = (
+        triples.select(
+            F.col("subj").alias("name_a"), F.col("obj").alias("name_b")
+        )
+        .filter(F.col("name_a") != F.col("name_b"))
+        .distinct()
+    )
+    comp = canon.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("name"),
+        F.col("comp").alias("component_id"),
+        "n_members",
+    )
+
+
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 15
 

@@ -195,6 +195,35 @@ def build() -> dict[str, str]:
         t = e["entity_type"].lower()
         type_counts[t] = type_counts.get(t, 0) + 1
 
+    # Connected components of the canonical name graph: independent
+    # union-find (path compression, min-name representative) over the same
+    # distinct undirected pair set the Spark hash-min propagation uses.
+    comp_parent: dict[str, str] = {}
+
+    def _find(x: str) -> str:
+        while comp_parent[x] != x:
+            comp_parent[x] = comp_parent[comp_parent[x]]
+            x = comp_parent[x]
+        return x
+
+    comp_pairs = {(s, o) for (s, _p, o, _d) in ct_rows if s != o}
+    for a, b in sorted(comp_pairs):
+        for v in (a, b):
+            comp_parent.setdefault(v, v)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            # min-name representative, the hash-min fixpoint
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            comp_parent[hi] = lo
+    comp_members: dict[str, list[str]] = {}
+    for v in comp_parent:
+        comp_members.setdefault(_find(v), []).append(v)
+    comp_rows = sorted(
+        (name, root, len(members))
+        for root, members in comp_members.items()
+        for name in members
+    )
+
     # G7 neighbors (both directions) of every Symptom-typed entity.
     symptom_ids = {
         e["entity_id"] for e in g.entities.values() if e["entity_type"] == "Symptom"
@@ -456,6 +485,9 @@ def build() -> dict[str, str]:
         ),
         "web_canonical_triples": _values(
             ct_rows, ["subj", "pred", "obj", "doc_id"], ["s"] * 4
+        ),
+        "web_graph_components": _values(
+            comp_rows, ["name", "component_id", "n_members"], ["s", "s", "i"]
         ),
         "web_status_counts": _values(
             [("PROCESSED", n_docs), ("ALL", n_docs)],

@@ -305,6 +305,22 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_components_min_name_ids_and_sizes(spark):
+    # two components: {A,B,C,D} (chain + reciprocal edge) and {X,Y};
+    # self-loop Z-Z contributes no node at all
+    t = _triples(spark, [
+        ("B", "A"), ("A", "B"), ("B", "C"), ("C", "D"), ("X", "Y"), ("Z", "Z"),
+    ])
+    got = sorted(
+        (r["name"], r["component_id"], r["n_members"])
+        for r in graph.components(t).collect()
+    )
+    assert got == [
+        ("A", "A", 4), ("B", "A", 4), ("C", "A", 4), ("D", "A", 4),
+        ("X", "X", 2), ("Y", "X", 2),
+    ]
+
+
 def test_duplicate_spans_cross_doc_islands(spark):
     """Span boundaries, overlap merge, gap split, adjacency merge, and the
     within-doc / content-dup non-triggers of textops.duplicate_spans."""
