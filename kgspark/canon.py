@@ -191,7 +191,7 @@ def alias_edges(spark: SparkSession, names: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15
+    pairs: DataFrame, max_iter: int = 15, num_partitions: int | None = None
 ) -> DataFrame:
     """Hash-min label propagation: (node, comp) with comp = component min.
 
@@ -199,6 +199,12 @@ def connected_components(
     session.truncate_lineage (reliable checkpoint when a checkpoint dir is
     configured) so the plan doesn't grow across iterations.  Converges in
     O(diameter) rounds; raises if the cap is hit with labels still moving.
+
+    ``num_partitions`` sizes the per-round exchanges to the graph instead
+    of the session's corpus-scale shuffle width — pass it when the node
+    count is known to be far below what that width was tuned for (see
+    graph.components; the canonicalization caller leaves it unset, keeping
+    its measured behavior).
     """
     e = (
         pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
@@ -206,20 +212,23 @@ def connected_components(
             pairs.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
         )
         .distinct()
-        .transform(truncate_lineage)
     )
+    if num_partitions is not None:
+        e = e.repartition(num_partitions, "dst")
+    e = e.transform(truncate_lineage)
     comp = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .transform(truncate_lineage)
     )
+    if num_partitions is not None:
+        comp = comp.repartition(num_partitions, "node")
+    comp = comp.transform(truncate_lineage)
     for _ in range(max_iter):
-        nbr_min = (
-            e.join(comp, e["dst"] == comp["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+        joined = e.join(comp, e["dst"] == comp["node"]).select("src", "comp")
+        if num_partitions is not None:
+            joined = joined.repartition(num_partitions, "src")
+        nbr_min = joined.groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         new_comp = (
             comp.join(nbr_min, comp["node"] == nbr_min["src"], "left")
             .select(
