@@ -609,6 +609,13 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.range_join(_t(spark, sf_dir, "events"))
 
 
+def _q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean bigram logprob under a
+    Laplace-smoothed self-corpus bigram model; exact-decimal per-doc sums
+    so the float column is partition-order-invariant."""
+    return textops.lm_score(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level PMI collocations (adjacent pairs, n_pair >= 5): the row
     set is integer-determined; PMI rides as a round-6 value column."""
@@ -756,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,
         "web_graph_components": _q_web_graph_components,
+        "text_lm_score": _q_text_lm_score,
     }
 
 

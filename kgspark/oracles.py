@@ -613,6 +613,45 @@ FROM td LEFT JOIN hits USING (kg_doc_id)
     # integer-determined (n_pair >= 5); totals and the PMI ln ride the same
     # arithmetic on both engines.  Bigrams re-derived with 1-based inclusive
     # slices; B counts every bigram occurrence (len-1 per doc with >=2 toks).
+    # Bigram LM quality score (kgspark.textops.lm_score): Laplace-smoothed
+    # self-corpus bigram model; per-bigram ln rounded to 6 FIRST, per-row
+    # sum in exact DECIMAL(38,12) (internal only — output stays
+    # BIGINT/DOUBLE under the dtype gate), then mean + exp of the rounded
+    # mean.  Per-row semantics via src_row.
+    q["text_lm_score"] = f"""
+WITH {TOK},
+lmrows AS (SELECT src_row AS k, kg_doc_id, toks FROM tok),
+lmbg AS (
+  SELECT k, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM lmrows, unnest(range(len(toks) - 1)) AS r(i)
+),
+lmuni AS (
+  SELECT w1, count(*) AS n_w1
+  FROM (SELECT unnest(toks) AS w1 FROM lmrows) GROUP BY w1
+),
+lmbig AS (SELECT w1, w2, count(*) AS n_pair FROM lmbg GROUP BY w1, w2),
+lmv AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(toks) AS w FROM lmrows)
+),
+lmmodel AS (
+  SELECT lmbig.w1, lmbig.w2,
+         round(ln(CAST(n_pair + 1 AS DOUBLE) / (n_w1 + v)), 6) AS lp
+  FROM lmbig JOIN lmuni USING (w1), lmv
+),
+lmsc AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(CAST(lp AS DECIMAL(38,12))) AS lps
+  FROM lmbg JOIN lmmodel USING (w1, w2) GROUP BY k
+)
+SELECT r.kg_doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(CAST(s.lps AS DOUBLE) / s.n_bigrams, 6) AS avg_logprob,
+       round(exp(-round(CAST(s.lps AS DOUBLE) / s.n_bigrams, 6)), 6)
+         AS ppl_proxy
+FROM lmrows r LEFT JOIN lmsc s ON r.k = s.k
+""".strip()
+
     # Exact-substring duplicate spans (kgspark.textops.duplicate_spans):
     # cross-doc duplicated gram positions merged gaps-and-islands style.
     # The oracle builds grams by list slicing and restates the islands with

@@ -646,6 +646,107 @@ def contamination(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean bigram
+    log-probability (and its perplexity proxy) under a Laplace-smoothed
+    bigram model counted from the corpus itself —
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``.
+
+    The perplexity-filtering shape real curation pipelines run (CCNet
+    buckets Common Crawl by KenLM perplexity); the self-corpus bigram model
+    stands in for the external LM so the operator is closed and
+    deterministic.  Low ``ppl_proxy`` = the doc looks like the corpus.
+
+    Determinism contract (the sessionize lesson, float edition): each
+    bigram's ``ln`` is rounded to 6 places FIRST, the per-doc sum runs in
+    ``decimal(38,12)`` (exact, associative — partition order cannot change
+    it), and only then does the mean divide and round.  ``ppl_proxy`` is
+    ``exp(-avg)`` of the already-rounded mean.
+
+    Scale shape: two corpus-level hash aggregates build the model (bigram +
+    unigram counts, the collocations discipline), one gram-key equi-join
+    scores doc bigrams, one hash aggregate folds per row.  Output is
+    PER-ROW (key_col = the source row key): one row per nonempty input row;
+    rows with < 2 tokens owe a NULL-scored row.
+
+    Output: (kg_doc_id, n_bigrams, avg_logprob, ppl_proxy).
+    """
+    t = _toks(text_col)
+    nonempty = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    rows = nonempty.select(
+        F.col(key_col).alias("_k"),
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        t.alias("_toks"),
+    )
+    rows = cache.keyed_persist(rows, "lm_score_rows")
+    big_pos = rows.select(
+        "_k",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice("_toks", 1, F.size("_toks") - 1),
+                    F.slice("_toks", 2, F.size("_toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("_k", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big_pos = cache.keyed_persist(big_pos, "lm_score_bigrams")
+
+    uni = (
+        rows.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w1"))
+    )
+    big = (
+        big_pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    v = rows.select(F.explode("_toks").alias("w")).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    model = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair") + 1).cast("double")
+                    / (F.col("n_w1") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        big_pos.join(model, ["w1", "w2"])
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(38,12)")).alias("_lp_sum"),
+        )
+    )
+    avg = F.round(
+        F.col("_lp_sum").cast("double") / F.col("n_bigrams"), 6
+    )
+    return (
+        rows.join(scored, "_k", "left")
+        .select(
+            "kg_doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            avg.alias("avg_logprob"),
+            F.round(F.exp(-avg), 6).alias("ppl_proxy"),
+        )
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",

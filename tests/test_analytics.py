@@ -305,6 +305,55 @@ def test_contamination_flags_exact_8gram_overlap(spark):
     assert flags == [(False, 0), (False, 0), (False, 0), (True, 1)]
 
 
+def test_lm_score_matches_python_reference(spark):
+    """Bit-exact vs an independent dict-based Laplace bigram LM, including
+    the short-doc NULL row and the duplicate-row per-row contract."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # engines round doubles HALF_UP on the shortest decimal repr;
+        # Python's round() is banker's — mirror the engines
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "a b x"),
+        (2, "c a b"),
+        (3, "solo"),           # < 2 tokens: NULL-scored row, n_bigrams 0
+        (4, "a b x"),          # duplicate content of row 1: own output row
+    ]
+    texts = [t for _, t in rows]
+    toks = [t.split() for t in texts]
+    uni = Counter(w for ts in toks for w in ts)
+    big = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    v = len(uni)
+
+    def lp(w1, w2):
+        return r6(math.log((big[(w1, w2)] + 1) / (uni[w1] + v)))
+
+    def score(ts):
+        if len(ts) < 2:
+            return (0, None, None)
+        lps = [lp(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        avg = r6(sum(lps) / len(lps))
+        return (len(lps), avg, r6(math.exp(-avg)))
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["n_bigrams"], r["avg_logprob"], r["ppl_proxy"])
+        for r in textops.lm_score(docs).collect()
+    )
+    want = sorted(score(ts) for ts in toks)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        if w[1] is None:
+            assert g[1] is None and g[2] is None
+        else:
+            assert abs(g[1] - w[1]) < 1e-9 and abs(g[2] - w[2]) < 1e-9
+
+
 def test_components_min_name_ids_and_sizes(spark):
     # two components: {A,B,C,D} (chain + reciprocal edge) and {X,Y};
     # self-loop Z-Z contributes no node at all
