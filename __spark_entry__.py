@@ -388,6 +388,14 @@ def _media(spark: SparkSession) -> DataFrame:
     )
 
 
+def _q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash per still image (png/gif/jpeg), the canonical
+    image near-dup primitive — integer-exact by definition, so the value
+    hash is well-defined; oracle recomputes it from the independent decode
+    paths with a column-major hash restatement."""
+    return multimodal.phash_media(_media(spark))
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata(_media(spark))
 
@@ -764,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,
         "web_graph_components": _q_web_graph_components,
         "text_lm_score": _q_text_lm_score,
+        "media_phash": _q_media_phash,
     }
 
 

@@ -43,14 +43,12 @@ def _png_dims_independent(payload: bytes) -> tuple[int, int]:
     return struct.unpack(">II", payload[16:24])
 
 
-def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
-    """Independent PNG thumbnail restatement: inflate IDAT, unfilter the
+def _png_rows_independent(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Independent PNG pixel restatement: inflate IDAT, unfilter the
     scanlines (all five spec filters, recurrences restated from the PNG
     spec section 9 with an inline Paeth — not a call into the kernel),
     merge Adam7 passes when the IHDR says interlaced (pass geometry
-    restated from spec 8.2), nearest-neighbour sample, re-encode, digest —
-    row-slicing formulation vs the kernel's chunk-walk + flat-offset
-    sampling."""
+    restated from spec 8.2).  Returns (w, h, RGB rows)."""
     import struct
     import zlib
 
@@ -118,6 +116,18 @@ def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
                     ]
             off += ph * (1 + 3 * pw)
         rows = [bytes(r) for r in grid]
+    return w, h, rows
+
+
+def _png_resize_independent(payload: bytes, tw: int, th: int) -> tuple:
+    """Independent PNG thumbnail restatement on top of
+    :func:`_png_rows_independent`: nearest-neighbour sample, re-encode,
+    digest — row-slicing formulation vs the kernel's chunk-walk +
+    flat-offset sampling."""
+    import struct
+    import zlib
+
+    w, h, rows = _png_rows_independent(payload)
     # fit-within box (no upscale), then nearest-neighbour by row slices
     if w <= tw and h <= th:
         ow, oh = w, h
@@ -591,6 +601,37 @@ def _wav_resample_independent(i: int, payload: bytes, target_rate: int) -> tuple
     return rate, n, out_rate, len(pcm) // 2, dig
 
 
+def _ahash_independent(w: int, h: int, gray: list) -> int:
+    """Independent restatement of the 64-bit average hash: same defining
+    boundary/compare formulas (the hash is DEFINED over exact integer
+    arithmetic, like the IDCT), assembled column-major with precomputed
+    boundary tables vs the kernel's row-major running slices."""
+    total = sum(gray)
+    npix = w * h
+    rb = [(k * h) // 8 for k in range(9)]
+    cb = [(k * w) // 8 for k in range(9)]
+    bits = 0
+    for j in range(8):
+        c0, c1 = cb[j], min(w, max(cb[j] + 1, cb[j + 1]))
+        for i in range(8):
+            r0, r1 = rb[i], min(h, max(rb[i] + 1, rb[i + 1]))
+            s = sum(
+                gray[y * w + x] for x in range(c0, c1) for y in range(r0, r1)
+            )
+            if s * npix >= total * ((r1 - r0) * (c1 - c0)):
+                bits |= 1 << (i * 8 + j)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _gray601(rgb_triples) -> list:
+    return [
+        (rgb_triples[3 * i] * 299
+         + rgb_triples[3 * i + 1] * 587
+         + rgb_triples[3 * i + 2] * 114) // 1000
+        for i in range(len(rgb_triples) // 3)
+    ]
+
+
 @lru_cache(maxsize=1)
 def build() -> dict[str, str]:
     rows = datagen_media.media_rows(MEDIA_N, MEDIA_SEED)
@@ -650,7 +691,41 @@ def build() -> dict[str, str]:
             sr, sn, orate, on, dig = _wav_resample_independent(i, payload, 8000)
             resample_rows.append((media_id, "riff", sr, sn, orate, on, dig))
 
+    # Perceptual hashes of the still-image rows: pixels via the independent
+    # decode paths (PNG spec unfilter, analytic-from-seed GIF, T.81 decoder),
+    # hash via the column-major restatement above.
+    phash_rows = []
+    for i, (media_id, kind, payload) in enumerate(rows):
+        if kind == "png":
+            w, h, prows = _png_rows_independent(payload)
+            phash_rows.append(
+                (media_id, "png",
+                 _ahash_independent(w, h, _gray601(b"".join(prows))))
+            )
+        elif kind == "gif":
+            w, h = _gif_dims_independent(payload)
+            hsh = hashlib.sha256(f"{MEDIA_SEED}:media:{i}".encode()).digest()
+            pal = datagen_media.gif_palette(hsh).ljust(768, b"\x00")
+            gray = [
+                (pal[3 * p] * 299 + pal[3 * p + 1] * 587
+                 + pal[3 * p + 2] * 114) // 1000
+                for p in (
+                    datagen_media.gif_index(x, y, hsh)
+                    for y in range(h) for x in range(w)
+                )
+            ]
+            phash_rows.append((media_id, "gif", _ahash_independent(w, h, gray)))
+        elif kind == "jpeg":
+            w, h, dec = _jpeg_decode_independent(payload)
+            gray = list(dec) if len(dec) == w * h else _gray601(dec)
+            phash_rows.append(
+                (media_id, "jpeg", _ahash_independent(w, h, gray))
+            )
+
     return {
+        "media_phash": _values(
+            phash_rows, ["media_id", "kind", "phash"], ["s", "s", "i"]
+        ),
         "media_audio_resample": _values(
             resample_rows,
             ["media_id", "kind", "src_rate", "src_samples",

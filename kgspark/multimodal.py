@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     ArrayType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -477,6 +478,132 @@ def feature_py(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return [
         round(max(-1.0, min(0.999999, 2.0 * v - 1.0)), 6) for v in raw[:dim]
     ]
+
+
+def gray_pixels_py(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """(w, h, row-major gray pixels 0-255) for the STILL-IMAGE kinds
+    (png / gif / jpeg), decoded by the real codecs; integer CCIR-601 gray
+    ``(299r + 587g + 114b) DIV 1000`` for color sources.  None for audio /
+    video kinds and for undecodable payloads."""
+    d = decode_header_py(payload)
+    try:
+        if d["kind"] == "png":
+            w, h, rgb = png_decode_pixels(payload)
+            gray = [
+                (rgb[3 * i] * 299 + rgb[3 * i + 1] * 587 + rgb[3 * i + 2] * 114)
+                // 1000
+                for i in range(w * h)
+            ]
+        elif d["kind"] == "gif":
+            from . import gifcodec
+
+            w, h, palette, idx = gifcodec.parse_gif(payload)
+            palette = palette.ljust(768, b"\x00")
+            gray = [
+                (
+                    palette[3 * p] * 299
+                    + palette[3 * p + 1] * 587
+                    + palette[3 * p + 2] * 114
+                )
+                // 1000
+                for p in idx
+            ]
+        elif d["kind"] == "jpeg":
+            from . import jpegcodec
+
+            w, h, pix = jpegcodec.decode_jpeg(payload)
+            if len(pix) == w * h:
+                gray = list(pix)
+            else:
+                gray = [
+                    (
+                        pix[3 * i] * 299
+                        + pix[3 * i + 1] * 587
+                        + pix[3 * i + 2] * 114
+                    )
+                    // 1000
+                    for i in range(w * h)
+                ]
+        else:
+            return None
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+        return None
+    if w < 1 or h < 1 or len(gray) != w * h:
+        return None
+    return w, h, gray
+
+
+def ahash_py(payload: bytes) -> int | None:
+    """64-bit average-hash (aHash) of a still image: 8x8 grid of integer
+    box-means, bit (i,j) set when the cell mean >= the global mean — the
+    comparison is cross-multiplied so the whole hash is INTEGER-EXACT
+    (``cell_sum * n_pixels >= total_sum * cell_pixels``), bit-identical on
+    any engine.  Returned as a signed 64-bit value (two's complement) so it
+    fits a BIGINT column.  None for non-image / undecodable payloads.
+
+    The canonical image near-dup primitive (small edits flip few bits;
+    hamming distance on the hash approximates visual similarity)."""
+    g = gray_pixels_py(payload)
+    if g is None:
+        return None
+    w, h, gray = g
+    total = sum(gray)
+    npix = w * h
+    bits = 0
+    for i in range(8):
+        r0 = i * h // 8
+        r1 = min(h, max(r0 + 1, (i + 1) * h // 8))
+        for j in range(8):
+            c0 = j * w // 8
+            c1 = min(w, max(c0 + 1, (j + 1) * w // 8))
+            s = 0
+            for y in range(r0, r1):
+                s += sum(gray[y * w + c0 : y * w + c1])
+            cnt = (r1 - r0) * (c1 - c0)
+            if s * npix >= total * cnt:
+                bits |= 1 << (i * 8 + j)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_media(
+    df: DataFrame, id_col: str = "media_id", binary_col: str = "payload"
+) -> DataFrame:
+    """Perceptual-hash column for the still-image rows: (media_id, kind,
+    phash).  Non-image and undecodable rows are skipped (the corrupt-media
+    convention).  Arrow-batched mapInPandas over the pruned (id, payload)
+    pair; near-dup pairs follow by an exact groupBy on phash (or a
+    hamming-banded self-join for k>0), never image x image."""
+    pruned = df.select(
+        F.col(id_col).alias("media_id"), F.col(binary_col).alias("payload")
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                hv = ahash_py(p)
+                if hv is None:
+                    continue
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": decode_header_py(p)["kind"],
+                        "phash": hv,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "phash"])
+
+    return pruned.mapInPandas(_hash, schema=_PHASH_SCHEMA)
 
 
 def decode_media(df: DataFrame, id_col: str = "media_id", binary_col: str = "payload") -> DataFrame:

@@ -866,3 +866,41 @@ def test_features_are_content_derived():
     for junk in (b"\x00\x01garbage", gif[:40], b""):
         f = multimodal.feature_py(junk)
         assert len(f) == 8 and all(-1.0 <= x < 1.0 for x in f)
+
+
+def test_ahash_near_dup_vs_distinct_images():
+    """The pHash contract on hand-built PNGs: a few edited pixels flip at
+    most a few of the 64 bits, while a structurally different image is far
+    away; the hash is integer-defined so re-hashing is bit-identical."""
+    from kgspark import multimodal
+
+    w, h = 32, 32
+    base = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 255) // (w - 1),) * 3  # horizontal gradient
+    )
+    edited = bytearray(base)
+    for k in range(6):  # touch 2 pixels (6 bytes)
+        edited[k] = 255 - edited[k]
+    inverted = bytes(255 - b for b in base)
+
+    ha = multimodal.ahash_py(multimodal.png_encode(w, h, base))
+    hb = multimodal.ahash_py(multimodal.png_encode(w, h, bytes(edited)))
+    hc = multimodal.ahash_py(multimodal.png_encode(w, h, inverted))
+    assert ha is not None and hb is not None and hc is not None
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(ha, hb) <= 4, "near-dup edit moved too many bits"
+    assert hamming(ha, hc) >= 32, "inverted image should be far away"
+    # signed 64-bit range (fits a BIGINT column) and deterministic re-hash
+    for v in (ha, hb, hc):
+        assert -(1 << 63) <= v < (1 << 63)
+    assert multimodal.ahash_py(multimodal.png_encode(w, h, base)) == ha
+    # audio payloads are not images: no hash row
+    rows = datagen_media.media_rows(8, 42)
+    riff = next(p for _m, k, p in rows if k == "riff")
+    assert multimodal.ahash_py(bytes(riff)) is None
