@@ -247,7 +247,36 @@ class Warehouse:
                 return True
         return False
 
+    # -- schema evolution ---------------------------------------------------
+    def _schema_log(self, name: str) -> list[dict]:
+        """The table's schema version log from the manifest: one entry per
+        column-set change, ``{"run_id": ..., "columns": {name: dtype}}`` —
+        the parquet-fallback analog of Iceberg's schema-id history."""
+        return self.manifest().get("schemas", {}).get(name, [])
+
+    def _evolved(self, name: str) -> bool:
+        log = self._schema_log(name)
+        return len({tuple(sorted(v["columns"].items())) for v in log}) > 1
+
     def read(self, name: str) -> DataFrame:
+        if self._evolved(name):
+            # heterogeneous file schemas: merge footers, null-fill missing
+            # columns (the Iceberg add-column read semantics); canonical
+            # column order = registry insertion order.  The footer-merge
+            # cost is paid ONLY by evolved tables.
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.table_path(name)
+            )
+            known = set()
+            for v in self._schema_log(name):
+                known.update(v["columns"])
+            # canonical order: registered columns sorted by name (the
+            # manifest JSON is sort_keys, so name order is the only order
+            # that survives a round-trip), then unregistered extras
+            order = sorted(c for c in df.columns if c in known) + [
+                c for c in df.columns if c not in known
+            ]
+            return df.select(*order)
         return self.spark.read.parquet(self.table_path(name))
 
     def read_as_of(self, name: str, run_id: str) -> DataFrame:
@@ -281,11 +310,30 @@ class Warehouse:
         df = self.read(name)
         if "run_id" not in df.columns:
             raise ValueError(f"{name!r} is not an append (run_id-partitioned) table")
-        return df.filter(F.col("run_id").isin(ids[:cut]))
+        df = df.filter(F.col("run_id").isin(ids[:cut]))
+        # True Iceberg time travel reads with the SCHEMA as of the snapshot:
+        # columns added by later runs are dropped, not null-filled.  Schema
+        # entries whose run never committed (crash between registration and
+        # commit) are not part of any snapshot.
+        log = self._schema_log(name)
+        if log:
+            cols: set[str] = set()
+            for v in log:
+                rid = v.get("run_id")
+                if rid is None or rid in ids[:cut]:
+                    cols.update(v["columns"])
+            # keep the read() column order, drop post-snapshot columns
+            keep = [c for c in df.columns if c in cols or c == "run_id"]
+            if keep:
+                df = df.select(*keep)
+        return df
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> dict:
         """Write a stage table and return its lineage metrics (uncommitted)."""
         df.write.mode(mode).parquet(self.table_path(name))
+        if self._schema_log(name):
+            # an overwrite resets schema history along with the data
+            self.mutate_manifest(lambda m: m.get("schemas", {}).pop(name, None))
         return self._metrics(name, self.read(name))
 
     def append(self, name: str, df: DataFrame, run_id: str) -> dict:
@@ -296,7 +344,54 @@ class Warehouse:
         was O(corpus) I/O per increment — the 100 TB scale-killer).  Lineage
         metrics are computed by reading back ONLY this run's partition
         (partition pruning: just the new files are scanned).
+
+        SCHEMA EVOLUTION (the Iceberg add-column analog): a batch may add
+        new columns (older rows read as NULL) or omit existing ones (this
+        batch's rows read as NULL); a TYPE change on an existing column is
+        rejected BEFORE any file is written.  Column history is versioned
+        in the manifest (``schemas``), reads of evolved tables merge
+        parquet footers, and ``read_as_of`` applies the schema as of the
+        snapshot.
         """
+        incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        log = self._schema_log(name)
+        seed: list[dict] = []
+        if not log and self._has_data_files(name):
+            # legacy table predating the registry: seed version 0 from the
+            # files so its columns participate in conflict checks
+            seed = [{
+                "run_id": None,
+                "columns": {
+                    f.name: f.dataType.simpleString()
+                    for f in self.read(name).schema.fields
+                    if f.name != "run_id"
+                },
+            }]
+        known: dict[str, str] = {}
+        for v in (seed or log):
+            known.update(v["columns"])
+        conflicts = {
+            c: (known[c], t)
+            for c, t in incoming.items()
+            if c in known and known[c] != t
+        }
+        if conflicts:
+            raise ValueError(
+                f"schema evolution rejected on {name!r}: type change on "
+                f"{conflicts} — add/omit columns is allowed, a type change "
+                "is not (rewrite via write() instead)"
+            )
+        if (seed or log) and (seed or log)[-1]["columns"] != incoming or (
+            not seed and not log
+        ):
+            def _mut(m: dict) -> None:
+                slog = m.setdefault("schemas", {}).setdefault(name, [])
+                if not slog and seed:
+                    slog.extend(seed)
+                if not slog or slog[-1]["columns"] != incoming:
+                    slog.append({"run_id": run_id, "columns": incoming})
+
+            self.mutate_manifest(_mut)
         out = df.withColumn("run_id", F.lit(run_id))
         out.write.mode("append").partitionBy("run_id").parquet(
             self.table_path(name)

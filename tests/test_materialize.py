@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -596,3 +598,60 @@ def test_writer_lease_crash_release_and_live_holder(spark, tmp_path):
     with wh.writer_lease(timeout_s=2.0):
         with wh.writer_lease(timeout_s=2.0):
             wh.mutate_manifest(lambda m: m.setdefault("runs", []))
+
+
+def test_schema_evolution_add_omit_and_snapshot_schema(spark, tmp_path):
+    """Iceberg add-column semantics on the parquet fallback: a later batch
+    may add or omit columns (NULL-filled on read), a type change is
+    rejected BEFORE any file lands, and read_as_of applies the schema as
+    of the snapshot (added columns are absent, not null)."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def commit(run_id):
+        wh.mutate_manifest(lambda m: m["runs"].append({"run_id": run_id}))
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    wh.append("t", v1, "r1"); commit("r1")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    wh.append("t", v2, "r2"); commit("r2")  # ADD column
+    v3 = spark.createDataFrame([(3,)], "id long")
+    wh.append("t", v3, "r3"); commit("r3")  # OMIT columns
+
+    got = {r["id"]: (r["name"], r["score"]) for r in wh.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5), 3: (None, None)}
+    # canonical column order: registry insertion order, run_id last
+    assert wh.read("t").columns == ["id", "name", "score", "run_id"]
+
+    # snapshot schema: as of r1 the score column does not exist AT ALL
+    snap1 = wh.read_as_of("t", "r1")
+    assert snap1.columns == ["id", "name", "run_id"]
+    assert [r["id"] for r in snap1.collect()] == [1]
+    # as of r2 it does, and r1's row reads NULL
+    snap2 = wh.read_as_of("t", "r2")
+    assert set(snap2.columns) == {"id", "name", "score", "run_id"}
+    assert {r["id"]: r["score"] for r in snap2.collect()} == {1: None, 2: 9.5}
+
+    # type change is rejected before any file is written
+    files_before = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(wh.table_path("t"))
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    bad = spark.createDataFrame([(4, 7)], "id long, name long")
+    with pytest.raises(ValueError, match="type change"):
+        wh.append("t", bad, "r4")
+    files_after = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(wh.table_path("t"))
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    assert files_after == files_before
+
+    # an overwrite resets schema history along with the data
+    wh.write("t", spark.createDataFrame([(9,)], "only long"))
+    assert wh._schema_log("t") == []
+    assert wh.read("t").columns == ["only"]
