@@ -559,6 +559,115 @@ def truncate(wh: "Warehouse", name: str) -> None:
             shutil.rmtree(p)
 
 
+def neardup_filter_batch(
+    wh: "Warehouse",
+    docs: DataFrame,
+    run_id: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL near-duplicate dedup against a persisted LSH index — the
+    production 100 TB shape: a new batch is checked against everything
+    already indexed WITHOUT recomputing (or even scanning) the corpus.
+
+    Per batch:
+      1. one text scan builds shingles + minhash signatures
+         (textops.minhash_shingles);
+      2. WITHIN-batch near-dups collapse first (textops.dedup_clusters:
+         LSH candidates → exact-Jaccard verify → components; representative
+         = component-min kg_doc_id);
+      3. surviving representatives' band hashes equi-join the warehouse
+         ``neardup_bands`` table on (band, band_hash) — a bucket join whose
+         cost tracks COLLIDING buckets, never batch x corpus — and
+         candidates verify by exact shingle Jaccard against the stored
+         ``neardup_shingles`` sets (same round-6 formula as the batch
+         verify; ties resolve to the smallest indexed doc id);
+      4. only NEW docs append their bands + shingles to the index
+         (run_id-partitioned — the index itself is resumable/time-travels
+         like every other warehouse table).
+
+    Returns one row per distinct-content batch doc:
+    (kg_doc_id, status 'new' | 'dup_in_batch' | 'dup_of_indexed', dup_of).
+    A batch member whose representative matched the index reports
+    'dup_in_batch' against the representative (one hop, documented).
+    """
+    from . import textops
+
+    sig = textops.minhash_shingles(docs, text_col).dropDuplicates(
+        ["kg_doc_id"]
+    )
+    sig = sig.persist()
+    clusters = textops.dedup_clusters(docs, text_col, threshold)
+    reps = clusters.filter(F.col("is_representative")).select("kg_doc_id")
+    rep_sig = sig.join(reps, "kg_doc_id").persist()
+    rep_bands = textops.band_hashes(rep_sig)
+
+    spark = docs.sparkSession
+    if wh.exists("neardup_bands"):
+        idx_bands = wh.read("neardup_bands").select(
+            "band", "band_hash", F.col("kg_doc_id").alias("idx_doc_id")
+        )
+        cand = (
+            rep_bands.join(idx_bands, ["band", "band_hash"])
+            .select("kg_doc_id", "idx_doc_id")
+            .distinct()
+        )
+        idx_sh = wh.read("neardup_shingles").select(
+            F.col("kg_doc_id").alias("idx_doc_id"),
+            F.col("shingles").alias("idx_shingles"),
+        )
+        matched = (
+            cand.join(rep_sig.select("kg_doc_id", "shingles"), "kg_doc_id")
+            .join(idx_sh, "idx_doc_id")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("shingles", "idx_shingles"))
+                    / F.size(F.array_union("shingles", "idx_shingles")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .groupBy("kg_doc_id")
+            .agg(F.min("idx_doc_id").alias("dup_of_idx"))
+        )
+    else:
+        matched = spark.createDataFrame(
+            [], "kg_doc_id string, dup_of_idx string"
+        )
+
+    status = clusters.join(matched, "kg_doc_id", "left").select(
+        "kg_doc_id",
+        F.when(~F.col("is_representative"), F.lit("dup_in_batch"))
+        .when(F.col("dup_of_idx").isNotNull(), F.lit("dup_of_indexed"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.coalesce(
+            "dup_of_idx",
+            F.when(~F.col("is_representative"), F.col("cluster_id")),
+        ).alias("dup_of"),
+    )
+    # Cut lineage BEFORE the index append: the status plan reads the index
+    # files, and anything weaker than checkpointing re-computes it after the
+    # append (a persist is invalidated-and-recompiled when its parent
+    # frames unpersist below), at which point every new doc "matches"
+    # itself in the now-updated index.
+    from .session import truncate_lineage
+
+    status = truncate_lineage(status)
+
+    survivors = status.filter(F.col("status") == "new").select("kg_doc_id")
+    wh.append("neardup_bands", rep_bands.join(survivors, "kg_doc_id"), run_id)
+    wh.append(
+        "neardup_shingles",
+        rep_sig.select("kg_doc_id", "shingles").join(survivors, "kg_doc_id"),
+        run_id,
+    )
+    sig.unpersist()
+    rep_sig.unpersist()
+    return status
+
+
 def docs_by_track_id(status_table: DataFrame, track_id: str) -> DataFrame:
     """P7 (json_doc_status.rs:284-299): docs produced by one run."""
     return status_table.filter(F.col("track_id") == track_id)

@@ -1122,6 +1122,36 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = MINHASH
     )
 
 
+def band_hashes(
+    sig: DataFrame, k: int = MINHASH_K, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """(kg_doc_id, band, band_hash): the LSH banding of a signature frame —
+    k/band_rows narrow rows per doc.  Shared by the batch self-join
+    (:func:`lsh_candidate_pairs`) and the incremental index lookup
+    (:func:`kgspark.materialize.neardup_filter_batch`)."""
+    n_bands = k // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(
+                    F.concat_ws(
+                        ":",
+                        *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+                    ),
+                    256,
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("kg_doc_id", F.explode(bands).alias("b")).select(
+        "kg_doc_id",
+        F.col("b.band").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1141,25 +1171,7 @@ def lsh_candidate_pairs(
     instead of re-scanning the corpus.
     """
     sig = signatures if signatures is not None else minhash_signatures(docs, text_col, k)
-    n_bands = k // band_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.sha2(
-                    F.concat_ws(
-                        ":",
-                        *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
-                    ),
-                    256,
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sig.select("kg_doc_id", F.explode(bands).alias("b")).select(
-        "kg_doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-    )
+    exploded = band_hashes(sig, k, band_rows)
     # The bands frame (4 narrow rows per doc — id + two hash columns, no
     # text) is persisted so the self-join's two branches run the signature
     # kernel ONCE (exchange reuse across PythonUDF subtrees is not

@@ -655,3 +655,50 @@ def test_schema_evolution_add_omit_and_snapshot_schema(spark, tmp_path):
     wh.write("t", spark.createDataFrame([(9,)], "only long"))
     assert wh._schema_log("t") == []
     assert wh.read("t").columns == ["only"]
+
+
+def test_neardup_incremental_index(spark, tmp_path):
+    """Incremental near-dup dedup against the persisted LSH index: batch-2
+    near-dups of batch-1 docs are caught WITHOUT rescanning the corpus,
+    within-batch dups collapse to the component-min representative, and the
+    index grows only by the new docs (4 band rows per doc)."""
+    import hashlib
+
+    from kgspark.textops import LSH_BAND_ROWS, MINHASH_K
+
+    def did(t):
+        return "doc-" + hashlib.sha256(t.strip().encode()).hexdigest()
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = " ".join(f"tok{i}" for i in range(80))
+    edit_a = base.replace("tok7 ", "zzz ")        # near-dup of base
+    other = " ".join(f"alt{i}" for i in range(80))
+
+    d1 = spark.createDataFrame(
+        [(0, base), (1, edit_a), (2, other)], ["doc_id", "text"]
+    )
+    s1 = {
+        r["kg_doc_id"]: (r["status"], r["dup_of"])
+        for r in materialize.neardup_filter_batch(wh, d1, "r1").collect()
+    }
+    rep = min(did(base), did(edit_a))
+    member = max(did(base), did(edit_a))
+    assert s1[rep] == ("new", None)
+    assert s1[member] == ("dup_in_batch", rep)
+    assert s1[did(other)] == ("new", None)
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    assert wh.read("neardup_bands").count() == 2 * n_bands
+
+    # batch 2: a DIFFERENT edit of base (never seen byte-wise) + a fresh doc
+    edit_b = base.replace("tok31 ", "qqq ")
+    fresh = " ".join(f"new{i}" for i in range(80))
+    d2 = spark.createDataFrame([(10, edit_b), (11, fresh)], ["doc_id", "text"])
+    s2 = {
+        r["kg_doc_id"]: (r["status"], r["dup_of"])
+        for r in materialize.neardup_filter_batch(wh, d2, "r2").collect()
+    }
+    assert s2[did(edit_b)] == ("dup_of_indexed", rep)
+    assert s2[did(fresh)] == ("new", None)
+    # index grew only by the fresh doc
+    assert wh.read("neardup_bands").count() == 3 * n_bands
+    assert wh.read("neardup_shingles").count() == 3
