@@ -850,6 +850,7 @@ def run_pipeline(
     wh: Warehouse,
     run_id: str,
     check_digest: bool = False,
+    neardup: bool = False,
 ) -> dict:
     """One resumable batch: process docs not yet in doc_status, append each
     stage as a ``run_id=`` partition, record per-doc extraction failures in
@@ -890,9 +891,18 @@ def run_pipeline(
     on one root serialize instead of interleaving, so the uncommitted
     sweep can never remove the other writer's in-flight partitions and
     the manifest commit can never drop the other writer's run entry.
+
+    With ``neardup=True`` the batch additionally drops NEAR-duplicate docs
+    (exact dedup is always on via the content-addressed anti-joins) against
+    the persisted LSH index before the construction stages
+    (:func:`neardup_filter_batch`); dropped counts land in the run entry as
+    ``neardup_docs``.  Off by default — near-dup dropping changes the KG
+    output by design.
     """
     with wh.writer_lease():
-        return _run_pipeline_locked(spark, web_pages, wh, run_id, check_digest)
+        return _run_pipeline_locked(
+            spark, web_pages, wh, run_id, check_digest, neardup
+        )
 
 
 def _run_pipeline_locked(
@@ -901,6 +911,7 @@ def _run_pipeline_locked(
     wh: Warehouse,
     run_id: str,
     check_digest: bool,
+    neardup: bool = False,
 ) -> dict:
     from pyspark.storagelevel import StorageLevel
 
@@ -976,6 +987,26 @@ def _run_pipeline_locked(
         persisted.append(d_new)
         n_todo = d_new.count()
 
+        n_neardup = 0
+        if neardup and n_todo > 0:
+            # Near-dup filter against the persisted LSH index (bucket join;
+            # the index appends are run_id-partitioned, so a crash before
+            # the manifest commit sweeps them with the rest of the run).
+            # d_new's doc_id == textops' content-addressed kg_doc_id over
+            # the (already-trimmed) content column by construction.
+            nd = neardup_filter_batch(wh, d_new, run_id, text_col="content")
+            dup_ids = nd.filter(F.col("status") != "new").select(
+                F.col("kg_doc_id").alias("doc_id")
+            )
+            kept = d_new.join(dup_ids, "doc_id", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(kept)
+            d_new = kept
+            n_kept = d_new.count()
+            n_neardup = n_todo - n_kept
+            n_todo = n_kept
+
         stage_metrics: dict[str, dict] = {}
         if n_todo > 0:
             c = pipeline.chunks(d_new)
@@ -1033,7 +1064,8 @@ def _run_pipeline_locked(
             "input_docs": int(n_input),
             "prefiltered_pages": int(n_prefiltered),
             "processed_docs": int(n_todo),
-            "skipped_docs": int(n_input - n_todo),
+            "skipped_docs": int(n_input - n_todo - n_neardup),
+            "neardup_docs": int(n_neardup),
             "error_docs": int(n_errors),
             "wall_s": round(time.perf_counter() - t0, 3),
             "stages": stage_metrics,

@@ -702,3 +702,49 @@ def test_neardup_incremental_index(spark, tmp_path):
     # index grew only by the fresh doc
     assert wh.read("neardup_bands").count() == 3 * n_bands
     assert wh.read("neardup_shingles").count() == 3
+
+
+def test_run_pipeline_neardup_flag(spark, tmp_path):
+    """run_pipeline(neardup=True): near-duplicate pages drop against the
+    persisted index BEFORE the construction stages — within the batch and
+    across batches — and the run entry reports neardup_docs; default-off
+    batches are unaffected (exact dedup only)."""
+    import datetime as dt
+
+    base = " ".join(f"tok{i}" for i in range(80))
+
+    def page(url, body):
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        return (url, dt.datetime(2024, 1, 1), html, "", "en")
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [
+            page("http://a.test/", base),
+            page("http://b.test/", base.replace("tok7 ", "zzz ")),  # near-dup
+            page("http://c.test/", " ".join(f"alt{i}" for i in range(80))),
+        ],
+        datagen.SCHEMA,
+    )
+    e1 = materialize.run_pipeline(spark, b1, wh, run_id="r1", neardup=True)
+    assert e1["neardup_docs"] == 1
+    assert e1["processed_docs"] == 2
+    assert wh.read("docs").count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            page("http://d.test/", base.replace("tok31 ", "qqq ")),  # vs index
+            page("http://e.test/", " ".join(f"new{i}" for i in range(80))),
+        ],
+        datagen.SCHEMA,
+    )
+    e2 = materialize.run_pipeline(spark, b2, wh, run_id="r2", neardup=True)
+    assert e2["neardup_docs"] == 1
+    assert e2["processed_docs"] == 1
+    assert wh.read("docs").count() == 3
+
+    # default-off: the same near-dup batch materializes everything
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    e3 = materialize.run_pipeline(spark, b1, wh2, run_id="r1")
+    assert e3["neardup_docs"] == 0
+    assert e3["processed_docs"] == 3
