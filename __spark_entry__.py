@@ -574,6 +574,13 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS hubs/authorities (10 rounds, quotient-first
+    renormalization so no intermediate overflows int64) over the
+    documents-corpus directed name graph — bit-exact by integer design."""
+    return graph.hits(extraction.triples(_t(spark, sf_dir, "documents")))
+
+
 def _q_web_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleanup over the raw web corpus (fixed corpus —
     sf_dir deliberately unused): terminal-punct / >=3-token / no-js /
@@ -771,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,
         "web_graph_components": _q_web_graph_components,
+        "graph_hits": _q_graph_hits,
         "text_lm_score": _q_text_lm_score,
         "media_phash": _q_media_phash,
     }

@@ -481,6 +481,112 @@ def components(triples: DataFrame) -> DataFrame:
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 15
 
+HITS_SCALE = 10**6
+HITS_ITERS = 10
+
+
+def hits(
+    triples: DataFrame,
+    iters: int = HITS_ITERS,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """Integer fixed-point HITS (hubs and authorities, Kleinberg 1999) over
+    the directed distinct name-pair graph: per round
+    ``a_raw(v) = Σ h(u) over in-edges u→v`` then ``h_raw(v) = Σ a(w) over
+    out-edges v→w`` (using the NEW a), each renormalized to total mass
+    ``scale`` by integer division ``x DIV max(Σx DIV scale, 1)`` — the
+    quotient-first form so no intermediate ever exceeds ``Σx`` (the naive
+    ``x*scale DIV Σx`` overflows int64 once the edge count approaches
+    ``2^63/scale²``).  All arithmetic is 64-bit integer, so the result is
+    BIT-EXACT under any partitioning — same contract as :func:`pagerank`.
+
+    Same per-round plan discipline as pagerank: graph-sized partitioning,
+    co-partitioned edge⋈state joins, broadcast 1-row normalization sums,
+    lineage truncated EVERY round (each round reads the state three times;
+    a k-round uncheckpointed window re-evaluates 3^k-fold).
+
+    Output: (name, hub, authority) as longs.
+    """
+    d = (
+        triples.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        d.select(F.col("subj").alias("name"))
+        .union(d.select(F.col("obj").alias("name")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        d.unpersist()
+        nodes.unpersist()
+        return triples.sparkSession.createDataFrame(
+            [], "name string, hub long, authority long"
+        )
+    spark = triples.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(default_parts, 1 + n // 1_000_000))
+    d2 = d.repartition(nparts, "subj").persist()
+    nodes2 = nodes.repartition(nparts, "name").persist()
+    d2.count()
+    nodes2.count()
+    d.unpersist()
+    nodes.unpersist()
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(
+            F.coalesce(F.sum(col), F.lit(0)).cast("long").alias("_t")
+        )
+        return (
+            df.crossJoin(F.broadcast(total))
+            .select(
+                "name",
+                F.expr(f"{col} DIV greatest(_t DIV {scale}, 1)")
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    state = nodes2.select(
+        "name",
+        F.lit(scale // n).cast("long").alias("hub"),
+        F.lit(scale // n).cast("long").alias("authority"),
+    )
+    for _ in range(iters):
+        state = truncate_lineage(state)
+        a_raw = (
+            d2.join(
+                state.select(F.col("name").alias("subj"), "hub"), "subj"
+            )
+            .repartition(nparts, "obj")
+            .groupBy(F.col("obj").alias("name"))
+            .agg(F.sum("hub").cast("long").alias("authority"))
+        )
+        a_full = nodes2.join(a_raw, "name", "left").select(
+            "name", F.coalesce("authority", F.lit(0)).alias("authority")
+        )
+        a_new = truncate_lineage(_norm(a_full, "authority"))
+        h_raw = (
+            d2.join(
+                a_new.select(F.col("name").alias("obj"), "authority"), "obj"
+            )
+            .repartition(nparts, "subj")
+            .groupBy(F.col("subj").alias("name"))
+            .agg(F.sum("authority").cast("long").alias("hub"))
+        )
+        h_full = nodes2.join(h_raw, "name", "left").select(
+            "name", F.coalesce("hub", F.lit(0)).alias("hub")
+        )
+        h_new = _norm(h_full, "hub")
+        state = h_new.join(a_new, "name").select("name", "hub", "authority")
+    result = truncate_lineage(state)
+    d2.unpersist()
+    nodes2.unpersist()
+    return result
+
 
 def pagerank(
     triples: DataFrame,

@@ -309,6 +309,58 @@ GROUP BY name
         f" FROM r{PAGERANK_ITERS}"
     )
 
+    # Integer fixed-point HITS (kgspark.graph.hits): same technique as the
+    # pagerank oracle — the recurrence is integer-defined, so each of the
+    # rounds unrolls to MATERIALIZED CTEs (authority fold, normalize, hub
+    # fold, normalize); the quotient-first renormalization
+    # x // greatest(total // scale, 1) is restated verbatim.
+    from .graph import HITS_ITERS, HITS_SCALE
+
+    hits_ctes = [
+        "hdm AS MATERIALIZED (SELECT subj, obj FROM d)",
+        "hn AS MATERIALIZED (\n"
+        "  SELECT name FROM (SELECT subj AS name FROM hdm\n"
+        "                    UNION SELECT obj FROM hdm))",
+        "hc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM hn)",
+        f"s0 AS MATERIALIZED (SELECT name,\n"
+        f"  (SELECT {HITS_SCALE} // n FROM hc) AS hub,\n"
+        f"  (SELECT {HITS_SCALE} // n FROM hc) AS authority FROM hn)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = f"s{i - 1}"
+        hits_ctes += [
+            f"ar{i} AS MATERIALIZED (SELECT hdm.obj AS name,\n"
+            f"    CAST(sum(s.hub) AS BIGINT) AS araw\n"
+            f"  FROM hdm JOIN {p} s ON hdm.subj = s.name GROUP BY hdm.obj)",
+            f"af{i} AS MATERIALIZED (SELECT hn.name,\n"
+            f"    CAST(coalesce(ar{i}.araw, 0) AS BIGINT) AS araw\n"
+            f"  FROM hn LEFT JOIN ar{i} USING (name))",
+            f"at{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST(coalesce(sum(araw), 0) AS BIGINT) AS t FROM af{i})",
+            f"aa{i} AS MATERIALIZED (SELECT name,\n"
+            f"    CAST(araw // greatest((SELECT t FROM at{i}) // {HITS_SCALE},"
+            f" 1) AS BIGINT) AS authority\n"
+            f"  FROM af{i})",
+            f"hr{i} AS MATERIALIZED (SELECT hdm.subj AS name,\n"
+            f"    CAST(sum(a.authority) AS BIGINT) AS hraw\n"
+            f"  FROM hdm JOIN aa{i} a ON hdm.obj = a.name GROUP BY hdm.subj)",
+            f"hf{i} AS MATERIALIZED (SELECT hn.name,\n"
+            f"    CAST(coalesce(hr{i}.hraw, 0) AS BIGINT) AS hraw\n"
+            f"  FROM hn LEFT JOIN hr{i} USING (name))",
+            f"ht{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST(coalesce(sum(hraw), 0) AS BIGINT) AS t FROM hf{i})",
+            f"s{i} AS MATERIALIZED (SELECT hf{i}.name,\n"
+            f"    CAST(hraw // greatest((SELECT t FROM ht{i}) // {HITS_SCALE},"
+            f" 1) AS BIGINT) AS hub,\n"
+            f"    aa{i}.authority\n"
+            f"  FROM hf{i} JOIN aa{i} USING (name))",
+        ]
+    q["graph_hits"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(hits_ctes)
+        + f"\nSELECT name, hub, authority FROM s{HITS_ITERS}"
+    )
+
     q["kg_entity_type_counts"] = f"""
 WITH {TOK},
 {_M},

@@ -452,6 +452,46 @@ def test_pagerank_matches_integer_reference(spark):
     assert 0 <= 10**12 - sum(got.values()) < 10**12 // 100
 
 
+def _hits_py(edges, iters=10, scale=10**6):
+    """Independent dict-based restatement of the integer HITS recurrence."""
+    edges = sorted({(x, y) for x, y in edges if x != y})
+    nodes = sorted({x for x, _ in edges} | {y for _, y in edges})
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+    a = dict(h)
+    for _ in range(iters):
+        araw = {v: 0 for v in nodes}
+        for u, v in edges:
+            araw[v] += h[u]
+        q = max(sum(araw.values()) // scale, 1)
+        a = {v: araw[v] // q for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for u, v in edges:
+            hraw[u] += a[v]
+        q = max(sum(hraw.values()) // scale, 1)
+        h = {v: hraw[v] // q for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_matches_integer_reference(spark):
+    """Bit-exact vs the independent Python fixed-point reference; the
+    many-pointed-at node tops authorities, the many-pointing node tops
+    hubs; duplicate edges and self-loops collapse/drop."""
+    edges = [
+        ("s1", "m"), ("s2", "m"), ("s3", "m"),   # m: strong authority
+        ("b", "t1"), ("b", "t2"), ("b", "t3"),   # b: strong hub
+        ("b", "m"),
+        ("b", "m"),                              # duplicate edge collapses
+        ("m", "m"),                              # self-loop drops
+    ]
+    df = _triples(spark, edges)
+    got = {r["name"]: (r["hub"], r["authority"])
+           for r in graph.hits(df).collect()}
+    assert got == _hits_py(edges)
+    assert max(got, key=lambda v: got[v][1]) == "m"
+    assert max(got, key=lambda v: got[v][0]) == "b"
+
+
 def test_c4_line_clean_rules(spark):
     """Every C4 line rule on a hand-built page, and the cleaned-page sha."""
     import hashlib
