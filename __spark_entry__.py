@@ -609,6 +609,12 @@ def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.value_quantiles(_t(spark, sf_dir, "events"))
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: first-seen-date cohorts x day-offset distinct
+    active users + retention rate (offsets 0..7)."""
+    return events.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (purchase <- most recent prior click per user): join-free
     carry-forward window on one user_id shuffle; oracle is DuckDB's NATIVE
@@ -779,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,
         "web_graph_components": _q_web_graph_components,
         "graph_hits": _q_graph_hits,
+        "events_retention": _q_events_retention,
         "text_lm_score": _q_text_lm_score,
         "media_phash": _q_media_phash,
     }

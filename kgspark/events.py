@@ -232,6 +232,47 @@ def value_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
+def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Cohort retention: users cohorted by first-seen DATE, then per
+    (cohort, day-offset) distinct-active-user counts and retention rate —
+    the standard activation/retention rollup an event pipeline reports.
+
+    Scale shape: one user_id shuffle for the first-seen fold, one distinct
+    over (user, date) (bounded at users x days), one cohort join, one hash
+    aggregate on the (cohort, offset) key.  Dates derive from the NTZ
+    timestamps directly (timezone-free on both engines).
+
+    Output: (cohort_date, day_offset, n_active, n_users, retention).
+    """
+    d = F.to_date("ts")
+    first = events.groupBy("user_id").agg(F.min(d).alias("cohort_date"))
+    acts = events.select("user_id", d.alias("day")).distinct()
+    hits = (
+        acts.join(first, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff("day", "cohort_date").cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= max_offset)
+    )
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return (
+        hits.groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .join(sizes, "cohort_date")
+        .select(
+            "cohort_date",
+            "day_offset",
+            "n_active",
+            "n_users",
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias("retention"),
+        )
+    )
+
+
 def asof_join(
     events: DataFrame,
     left_type: str = "purchase",

@@ -1037,6 +1037,34 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """.strip()
 
+    # Cohort retention (kgspark.events.retention_cohorts): restated with
+    # window-free SQL aggregates over CAST(ts AS DATE) — timezone-free on
+    # both engines for NTZ timestamps.
+    q["events_retention"] = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+hits AS (
+  SELECT f.cohort_date,
+         CAST(datediff('day', f.cohort_date, a.day) AS INT) AS day_offset,
+         a.user_id
+  FROM acts a JOIN first f USING (user_id)
+  WHERE datediff('day', f.cohort_date, a.day) <= 7
+),
+sizes AS (
+  SELECT cohort_date, CAST(count(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort_date
+)
+SELECT h.cohort_date, h.day_offset,
+       CAST(count(DISTINCT h.user_id) AS BIGINT) AS n_active,
+       s.n_users,
+       round(count(DISTINCT h.user_id) * 1.0 / s.n_users, 6) AS retention
+FROM hits h JOIN sizes s USING (cohort_date)
+GROUP BY h.cohort_date, h.day_offset, s.n_users
+""".strip()
+
     # As-of join (kgspark.events.asof_join): DuckDB has the operator
     # NATIVELY — the oracle is a literal ASOF LEFT JOIN, about as
     # independent from the Spark carry-forward-window formulation as a

@@ -452,6 +452,33 @@ def test_pagerank_matches_integer_reference(spark):
     assert 0 <= 10**12 - sum(got.values()) < 10**12 // 100
 
 
+def test_retention_cohorts_hand_values(spark):
+    import datetime as dt
+
+    from kgspark import events as ev
+
+    day = lambda k, u: (k * 10 + u, dt.datetime(2024, 1, 1 + k, 12), u, "view")  # noqa: E731
+    rows = [
+        day(0, 1), day(1, 1), day(3, 1), day(9, 1),  # u1: day9 past max_offset
+        day(0, 2),                                    # u2: day0 only
+        day(1, 3), day(2, 3),                         # u3: cohort day1
+        (991, dt.datetime(2024, 1, 2, 13), 3, "click"),  # same-day 2nd event: distinct-day
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = sorted(
+        (str(r["cohort_date"]), r["day_offset"], r["n_active"], r["n_users"],
+         r["retention"])
+        for r in ev.retention_cohorts(df).collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 2, 2, 1.0),
+        ("2024-01-01", 1, 1, 2, 0.5),
+        ("2024-01-01", 3, 1, 2, 0.5),
+        ("2024-01-02", 0, 1, 1, 1.0),
+        ("2024-01-02", 1, 1, 1, 1.0),
+    ]
+
+
 def _hits_py(edges, iters=10, scale=10**6):
     """Independent dict-based restatement of the integer HITS recurrence."""
     edges = sorted({(x, y) for x, y in edges if x != y})
