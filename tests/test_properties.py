@@ -101,3 +101,117 @@ def test_operator_partition_invariance(spark):
     sa = {tuple(r) for r in events.session_windows(ev.repartition(13)).collect()}
     sb = {tuple(r) for r in events.session_windows(ev.coalesce(1)).collect()}
     assert sa == sb and len(sa) > 0
+
+
+def test_asof_and_range_join_match_bruteforce(spark):
+    """Seeded randomized events (with deliberate same-second ts ties) vs
+    driver-side brute force for BOTH interval operators."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(77)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            eid,
+            t0 + dt.timedelta(seconds=rng.randrange(20_000)),
+            rng.randrange(6),
+            rng.choice(["click", "purchase", "error", "view"]),
+        )
+        for eid in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    by_user: dict = {}
+    for eid, ts, uid, ty in rows:
+        by_user.setdefault(uid, []).append((ts, eid, ty))
+
+    from kgspark import events as ev
+
+    exp_asof = {}
+    for evs in by_user.values():
+        clicks = [(ts, eid) for ts, eid, ty in evs if ty == "click"]
+        for ts, eid, ty in evs:
+            if ty != "purchase":
+                continue
+            cands = [(cts, cid) for cts, cid in clicks if cts <= ts]
+            if cands:
+                bts, bid = max(cands)  # latest ts, then max event_id
+                exp_asof[eid] = (bid, int((ts - bts).total_seconds() * 1e6))
+            else:
+                exp_asof[eid] = (None, None)
+    got_asof = {
+        r["left_id"]: (r["right_id"], r["gap_us"])
+        for r in ev.asof_join(df).collect()
+    }
+    assert got_asof == exp_asof
+
+    exp_rj = set()
+    for uid, evs in by_user.items():
+        ps = [(ts, eid) for ts, eid, ty in evs if ty == "purchase"]
+        es = [(ts, eid) for ts, eid, ty in evs if ty == "error"]
+        for pts, pid in ps:
+            for ets, rid in es:
+                d = (ets - pts).total_seconds()
+                if abs(d) <= 3600:
+                    exp_rj.add((uid, pid, rid, int(d * 1e6)))
+    got_rj = {
+        (r["user_id"], r["left_id"], r["right_id"], r["delta_us"])
+        for r in ev.range_join(df).collect()
+    }
+    assert got_rj == exp_rj
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Seeded random docs over a 3-token vocab (dense natural 8-gram
+    collisions) vs a driver-side restatement of the islands recurrence."""
+    import random
+
+    from kgspark import textops
+
+    rng = random.Random(5)
+    texts = sorted(
+        {
+            " ".join(rng.choice("abc") for _ in range(rng.randrange(6, 50)))
+            for _ in range(40)
+        }
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    import hashlib
+
+    def did(t):
+        return "doc-" + hashlib.sha256(t.encode()).hexdigest()
+
+    n = 8
+    grams: dict = {}
+    for t in texts:
+        toks = t.split()
+        grams[t] = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+    from collections import Counter
+
+    docs_per_gram = Counter()
+    for t in texts:
+        for g in set(grams[t]):
+            docs_per_gram[g] += 1
+    expected = set()
+    for t in texts:
+        hits = [p for p, g in enumerate(grams[t]) if docs_per_gram[g] >= 2]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        count = 1
+        for p in hits[1:]:
+            if p > prev + n:
+                expected.add((did(t), start, prev + n - 1, prev - start + n, count))
+                start, count = p, 0
+            prev = p
+            count += 1
+        expected.add((did(t), start, prev + n - 1, prev - start + n, count))
+    got = {
+        (r["kg_doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_grams"])
+        for r in textops.duplicate_spans(docs).collect()
+    }
+    assert got == expected and len(got) > 5
