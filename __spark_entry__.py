@@ -574,6 +574,12 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup profile (Manku pigeonhole banding — EXACT recall at
+    hamming <= 3 with 4 bands): (hamming_distance, n_pairs) rollup."""
+    return textops.simhash_hamming_profile(_t(spark, sf_dir, "documents"))
+
+
 def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point HITS hubs/authorities (10 rounds, quotient-first
     renormalization so no intermediate overflows int64) over the
@@ -786,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_graph_components": _q_web_graph_components,
         "graph_hits": _q_graph_hits,
         "events_retention": _q_events_retention,
+        "dedup_simhash_profile": _q_dedup_simhash_profile,
         "text_lm_score": _q_text_lm_score,
         "media_phash": _q_media_phash,
     }

@@ -1131,6 +1131,36 @@ h AS (
 SELECT kg_doc_id, {bit_terms} AS simhash FROM h
 """.strip()
 
+    # SimHash hamming profile (kgspark.textops.simhash_hamming_profile):
+    # the oracle restates the SAME pigeonhole banding (a naive cross-join
+    # is O(n²) at the slow-tier scale) with its own band extraction —
+    # arithmetic (// and %) instead of the kernel's shift/mask bit ops.
+    q["dedup_simhash_profile"] = f"""
+WITH {TOK},
+shh AS (
+  SELECT kg_doc_id, list_transform(list_distinct(toks), x -> {_hs}) AS hs
+  FROM tok
+),
+shf AS (SELECT DISTINCT kg_doc_id, {bit_terms} AS simhash FROM shh),
+shx AS (
+  SELECT kg_doc_id, simhash, b.band,
+         -- integer divisor: DuckDB ** returns DOUBLE, and a fractional
+         -- quotient's % keeps the fraction (bands would never equal)
+         (simhash // CAST(power(256, b.band) AS BIGINT)) % 256 AS val
+  FROM shf, (SELECT unnest(range(4)) AS band) b
+),
+shp AS (
+  SELECT DISTINCT l.kg_doc_id AS a, r.kg_doc_id AS bq,
+         bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT)) AS hd
+  FROM shx l JOIN shx r
+    ON l.band = r.band AND l.val = r.val AND l.kg_doc_id < r.kg_doc_id
+  WHERE bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT)) <= 3
+)
+SELECT CAST(hd AS INT) AS hamming_distance,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM shp GROUP BY hd
+""".strip()
+
     q["dedup_jaccard_pairs"] = f"""
 WITH {TOK},
 {_SHINGLES},

@@ -1325,6 +1325,74 @@ def simhash_row_py(text: str, bits: int = 32) -> int | None:
     return sim
 
 
+def simhash_hamming_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hd: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup profile via Manku et al. 2007 pigeonhole banding:
+    split each fingerprint into ``n_bands`` equal bit-bands; any pair with
+    hamming distance <= ``n_bands - 1`` must agree EXACTLY on at least one
+    band, so candidate generation by per-band equi-join has EXACT recall at
+    ``max_hd <= n_bands - 1`` — not probabilistic like MinHash-LSH.
+
+    Output is the ROLLUP (hamming_distance, n_pairs) over distinct-content
+    doc pairs at distance <= max_hd — on a dense corpus the raw pair set is
+    O(n²)-ish and useless as a table, but the profile is the signal a
+    curation pipeline thresholds on.  Scale shape: band extraction is a
+    narrow bit-op projection; the self-join shuffles on the (band, value)
+    bucket key only; exact bit_count(xor) verification runs inside the
+    join; one distinct + one 4-row aggregate follow.
+    """
+    if max_hd > n_bands - 1:
+        raise ValueError("pigeonhole recall requires max_hd <= n_bands - 1")
+    sh = cache.keyed_persist(
+        simhash(docs, text_col, bits)
+        .select("kg_doc_id", "simhash")
+        .dropDuplicates(["kg_doc_id"]),  # content-level, like every dedup op
+        "simhash_profile",
+    )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias(
+                    "val"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    ex = sh.select("kg_doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "kg_doc_id", "simhash", F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    left, right = ex.alias("l"), ex.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.kg_doc_id") < F.col("r.kg_doc_id")),
+        )
+        .select(
+            F.col("l.kg_doc_id").alias("a"),
+            F.col("r.kg_doc_id").alias("b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").cast("int").alias(
+                "hamming_distance"
+            ),
+        )
+        .filter(F.col("hamming_distance") <= max_hd)
+        .distinct()
+        .groupBy("hamming_distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint from per-token 60-bit hashes (default 32 bits).
 

@@ -452,6 +452,39 @@ def test_pagerank_matches_integer_reference(spark):
     assert 0 <= 10**12 - sum(got.values()) < 10**12 // 100
 
 
+def test_simhash_profile_exact_recall_vs_naive(spark):
+    """Manku pigeonhole banding must find EVERY pair at hamming <= 3 —
+    compare the banded rollup against a driver-side naive all-pairs
+    popcount over the same fingerprints (seeded random small-vocab corpus,
+    which is dense in low-distance pairs)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(13)
+    texts = sorted(
+        {
+            " ".join(rng.choice(["a", "b", "c", "d", "e"])
+                     for _ in range(rng.randrange(5, 30)))
+            for _ in range(60)
+        }
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    fps = {r["kg_doc_id"]: r["simhash"]
+           for r in textops.simhash(docs).collect()}
+    ids = sorted(fps)
+    naive = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(fps[a] ^ fps[b]).count("1")
+            if hd <= 3:
+                naive[hd] += 1
+    got = {r["hamming_distance"]: r["n_pairs"]
+           for r in textops.simhash_hamming_profile(docs).collect()}
+    assert got == dict(naive) and sum(naive.values()) > 10
+
+
 def test_retention_cohorts_hand_values(spark):
     import datetime as dt
 
