@@ -33,6 +33,7 @@ from kgspark import (  # noqa: E402
     materialize,
     media_oracles,
     multimodal,
+    ontology,
     oracles,
     pipeline,
     textops,
@@ -472,6 +473,15 @@ def _q_web_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _web_built(spark)["triples"]
 
 
+def _q_web_ontology_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate domain/range validation of the extracted triple set
+    (post-extraction schema QA the reference's strict extraction schema,
+    runtime/src/ai/schemas.rs:4-75, implies but never re-checks).  Triples
+    stay put; entity-type dim + ontology rules broadcast — zero shuffles."""
+    b = _web_built(spark)
+    return ontology.validate(b["triples"], b["entities"])
+
+
 def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _web_built(spark)
     return canon.canonical_map(spark, b["entities"]).select(
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_profile": _q_dedup_simhash_profile,
         "text_lm_score": _q_text_lm_score,
         "media_phash": _q_media_phash,
+        "web_ontology_check": _q_web_ontology_check,
     }
 
 

@@ -1,0 +1,106 @@
+"""Per-predicate domain/range validation over extracted triples.
+
+The reference constrains entity TYPES at extraction time behind a strict
+JSON schema (reference: runtime/src/ai/schemas.rs:4-75) but has no
+post-extraction typing check on the (subj, pred, obj) edges it emits
+(pipeline/pipeline.rs:375-381 builds relations from any adjacent mention
+pair).  A production KG-construction pipeline wants that check as a
+first-class operator: grade every triple against a per-predicate
+domain/range ontology (kgspark.spec.WEB_ONTOLOGY) so ill-typed edges are
+quarantinable before graph materialization.
+
+Scale shape (100 TB): the triples table is the big side and never moves —
+the entity-type dimension (one row per distinct entity name; bounded by the
+closed vocabulary) and the ontology rule table (tens of rows) are broadcast,
+so the whole validation is a map-side pipeline over the triple scan with
+ZERO shuffles.  Everything is pure Catalyst (no Python), so it inlines into
+whole-stage codegen around the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgspark import spec
+
+
+def validate(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Annotate each (subj, pred, obj, doc_id) triple with subject/object
+    entity types and an ontology-conformance status.
+
+    status grading (domain and range are independent checks):
+      * ``ok``                — (pred, subj_type) allowed AND (pred, obj_type) allowed
+      * ``domain``            — subject type not allowed for the predicate
+      * ``range``             — object type not allowed for the predicate
+      * ``domain+range``      — both violated
+      * ``unknown_predicate`` — predicate absent from the ontology
+    """
+    spark = triples.sparkSession
+    types = (
+        entities.select(F.col("entity_name"), F.col("entity_type")).distinct()
+    )
+    dom = spark.createDataFrame(
+        spec.web_ontology_domain_rows(), schema="pred string, subj_type string"
+    ).withColumn("domain_ok", F.lit(True))
+    rng = spark.createDataFrame(
+        spec.web_ontology_range_rows(), schema="pred string, obj_type string"
+    ).withColumn("range_ok", F.lit(True))
+    known = sorted(spec.WEB_ONTOLOGY)
+
+    out = (
+        triples
+        .join(
+            F.broadcast(
+                types.select(
+                    F.col("entity_name").alias("subj"),
+                    F.col("entity_type").alias("subj_type"),
+                )
+            ),
+            "subj",
+        )
+        .join(
+            F.broadcast(
+                types.select(
+                    F.col("entity_name").alias("obj"),
+                    F.col("entity_type").alias("obj_type"),
+                )
+            ),
+            "obj",
+        )
+        .join(F.broadcast(dom), ["pred", "subj_type"], "left")
+        .join(F.broadcast(rng), ["pred", "obj_type"], "left")
+    )
+    status = (
+        F.when(~F.col("pred").isin(known), F.lit("unknown_predicate"))
+        .when(
+            F.col("domain_ok").isNotNull() & F.col("range_ok").isNotNull(),
+            F.lit("ok"),
+        )
+        .when(
+            F.col("domain_ok").isNull() & F.col("range_ok").isNull(),
+            F.lit("domain+range"),
+        )
+        .when(F.col("domain_ok").isNull(), F.lit("domain"))
+        .otherwise(F.lit("range"))
+    )
+    return out.select(
+        "subj", "pred", "obj", "doc_id", "subj_type", "obj_type",
+        status.alias("status"),
+    )
+
+
+def conformance_rollup(checked: DataFrame) -> DataFrame:
+    """Per-predicate conformance counts over a ``validate`` output —
+    the QA dashboard row: one partial-aggregate shuffle on the (tiny)
+    predicate key."""
+    return (
+        checked.groupBy("pred")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum(F.col("status").isin("domain", "domain+range").cast("long"))
+            .alias("n_domain_violations"),
+            F.sum(F.col("status").isin("range", "domain+range").cast("long"))
+            .alias("n_range_violations"),
+        )
+    )

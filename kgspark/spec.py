@@ -122,6 +122,41 @@ def web_alias_rows() -> list[tuple[str, str]]:
     return sorted(WEB_ALIAS_DICT.items())
 
 
+# Predicate domain/range ontology for the web corpus — the schema-validation
+# analog of the reference's strict extraction JSON schema
+# (runtime/src/ai/schemas.rs:4-75: the reference constrains entity TYPES at
+# extraction time; a from-scratch KG pipeline additionally wants the
+# per-predicate typing rule so ill-typed triples are flaggable AFTER
+# extraction).  predicate -> (allowed subject types, allowed object types).
+# Domain and range validate independently: a triple can violate either or
+# both.  Predicates absent from this table grade as 'unknown_predicate'.
+WEB_ONTOLOGY: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "works_at":          (("Person",), ("Organization",)),
+    "founded":           (("Person",), ("Organization",)),
+    "lives_in":          (("Person",), ("Place",)),
+    "visited":           (("Person", "Organization"), ("Place", "Event")),
+    "created":           (("Person", "Organization"), ("Product", "Work")),
+    "wrote":             (("Person",), ("Work",)),
+    "indicates":         (("Symptom",), ("Disease",)),
+    "is_treated_in":     (("Disease", "Symptom"), ("Place", "Organization")),
+    "collaborated_with": (("Person", "Organization"), ("Person", "Organization")),
+}
+
+
+def web_ontology_domain_rows() -> list[tuple[str, str]]:
+    """Allowed (predicate, subject_type) pairs, sorted."""
+    return sorted(
+        (p, t) for p, (doms, _) in WEB_ONTOLOGY.items() for t in doms
+    )
+
+
+def web_ontology_range_rows() -> list[tuple[str, str]]:
+    """Allowed (predicate, object_type) pairs, sorted."""
+    return sorted(
+        (p, t) for p, (_, rngs) in WEB_ONTOLOGY.items() for t in rngs
+    )
+
+
 # Ambiguous-alias candidate table for entity-link SCORING (the north-star
 # "mention-detect + entity-link scoring" step that the plain alias dict
 # cannot express): one surface form maps to SEVERAL candidate entities, and

@@ -46,6 +46,38 @@ def _values(rows: list[tuple], cols: list[str], types: list[str]) -> str:
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
 
 
+def _ontology_check_sql(triple_rows: list[tuple], ent_rows: list[tuple]) -> str:
+    """Domain/range validation rendered as pure SQL over golden-triple and
+    golden-entity VALUES — same join/CASE logic the Spark side compiles, so
+    the compare exercises the broadcast-join validation independently of
+    the Catalyst plan.  Ontology rows come from kgspark.spec (shared config,
+    not shared logic — same pattern as the alias dictionary)."""
+    type_rows = sorted({(e[1], e[2]) for e in ent_rows})  # (name, type)
+    tri = _values(triple_rows, ["subj", "pred", "obj", "doc_id"], ["s"] * 4)
+    ty = _values(type_rows, ["entity_name", "entity_type"], ["s", "s"])
+    dom = _values(
+        spec.web_ontology_domain_rows(), ["pred", "subj_type"], ["s", "s"]
+    )
+    rng = _values(
+        spec.web_ontology_range_rows(), ["pred", "obj_type"], ["s", "s"]
+    )
+    known = ", ".join(_q(p) for p in sorted(spec.WEB_ONTOLOGY))
+    return f"""
+SELECT t.subj, t.pred, t.obj, t.doc_id,
+       ts.entity_type AS subj_type, tob.entity_type AS obj_type,
+       CASE WHEN t.pred NOT IN ({known}) THEN 'unknown_predicate'
+            WHEN d.pred IS NOT NULL AND r.pred IS NOT NULL THEN 'ok'
+            WHEN d.pred IS NULL AND r.pred IS NULL THEN 'domain+range'
+            WHEN d.pred IS NULL THEN 'domain'
+            ELSE 'range' END AS status
+FROM ({tri}) t
+JOIN ({ty}) ts ON ts.entity_name = t.subj
+JOIN ({ty}) tob ON tob.entity_name = t.obj
+LEFT JOIN ({dom}) d ON d.pred = t.pred AND d.subj_type = ts.entity_type
+LEFT JOIN ({rng}) r ON r.pred = t.pred AND r.obj_type = tob.entity_type
+"""
+
+
 # ------------------------------------------------------- python canon oracle
 
 def _norm(name: str) -> str:
@@ -497,4 +529,5 @@ def build() -> dict[str, str]:
         "web_entity_type_counts": _values(
             sorted(type_counts.items()), ["entity_type", "n_entities"], ["s", "i"]
         ),
+        "web_ontology_check": _ontology_check_sql(triple_rows, ent_rows),
     }
