@@ -482,6 +482,33 @@ def _q_web_ontology_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology.validate(b["triples"], b["entities"])
 
 
+def _q_web_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality QA: subjects asserting >=2 distinct objects under a
+    functional predicate (OWL FunctionalProperty).  One hash aggregate on
+    (pred, subj) over the predicate-pruned scan."""
+    return ontology.functional_violations(_web_built(spark)["triples"])
+
+
+def _q_web_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-fusion support rollup over CANONICAL triples: distinct-doc
+    assertion count + first asserting doc per (subj, pred, obj) — the
+    multi-source confidence prior a fusion stage ranks by.  One hash
+    aggregate on the triple key."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return ontology.triple_support(canon.canonical_triples(b["triples"], cmap))
+
+
+def _q_web_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion: top-50 NON-adjacent name pairs by Resource-Allocation
+    index (integer fixed-point, bit-exact) + common-neighbor count over the
+    canonical name graph.  Two-hop self-join on the shared-neighbor key →
+    one pair aggregate → anti-join vs existing edges → TakeOrdered."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return graph.link_prediction(canon.canonical_triples(b["triples"], cmap))
+
+
 def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _web_built(spark)
     return canon.canonical_map(spark, b["entities"]).select(
@@ -806,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_text_lm_score,
         "media_phash": _q_media_phash,
         "web_ontology_check": _q_web_ontology_check,
+        "web_functional_violations": _q_web_functional_violations,
+        "web_triple_support": _q_web_triple_support,
+        "web_link_prediction": _q_web_link_prediction,
     }
 
 

@@ -440,6 +440,48 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
     )
 
 
+RA_SCALE = 10**6
+
+
+def link_prediction(triples: DataFrame, k: int = 50) -> DataFrame:
+    """Link prediction over the undirected name graph: score NON-adjacent
+    pairs by shared neighborhood — n_common (common-neighbor count) and the
+    Resource-Allocation index (Zhou, Lü & Zhang 2009), RA = Σ_z 1/deg(z)
+    over common neighbors z.  RA is computed in scaled INTEGER arithmetic
+    (Σ RA_SCALE div deg(z)) so the score column is bit-exact regardless of
+    partition/summation order — the same fixed-point discipline as pagerank
+    and hits above.  Returns the top-k pairs ordered by
+    (ra_micro desc, n_common desc, a, b) — fully deterministic tie-break.
+
+    Scale shape: candidates are generated by the two-hop self-join on the
+    shared-neighbor key (volume Σ deg(z)² — bounded by hub degrees, exactly
+    what kgspark.skew salts and AQE skew-split handles), then ONE hash
+    aggregate on the (a, b) pair key, an anti-join against the existing
+    edge set, and a TakeOrderedAndProject for the top-k (never a global
+    sort).  No n² pair enumeration anywhere.
+    """
+    e = name_edges(triples)
+    adj = e.select(F.col("a").alias("name"), F.col("b").alias("nb")).union(
+        e.select(F.col("b").alias("name"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("name").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    lhs = adj.select(F.col("name").alias("z"), F.col("nb").alias("a"))
+    rhs = adj.select(F.col("name").alias("z"), F.col("nb").alias("b"))
+    return (
+        lhs.join(rhs, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.withColumnRenamed("name", "z"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr(f"{RA_SCALE} div deg")).alias("ra_micro"),
+        )
+        .join(e, ["a", "b"], "left_anti")
+        .orderBy(F.desc("ra_micro"), F.desc("n_common"), "a", "b")
+        .limit(k)
+    )
+
+
 def components(triples: DataFrame) -> DataFrame:
     """Connected components of the undirected distinct name-pair graph:
     (name, component_id, n_members) with component_id = the component's

@@ -89,6 +89,48 @@ def validate(triples: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+def functional_violations(triples: DataFrame) -> DataFrame:
+    """Cardinality-constraint check: subjects asserting >=2 distinct objects
+    under a functional predicate (spec.FUNCTIONAL_PREDICATES — OWL
+    FunctionalProperty semantics).
+
+    Output: (pred, subj, n_objects, objects) with objects a sorted
+    comma-joined list — deterministic regardless of partition order.
+
+    Scale shape: predicate filter prunes the scan to the functional slice,
+    then ONE hash aggregate on (pred, subj) — collect_set is bounded by the
+    per-subject distinct-object count (the quantity being policed, so tiny
+    in healthy data and worth surfacing when it isn't).  Never doc x doc.
+    """
+    return (
+        triples
+        .filter(F.col("pred").isin(list(spec.FUNCTIONAL_PREDICATES)))
+        .groupBy("pred", "subj")
+        .agg(
+            F.size(F.collect_set("obj")).cast("long").alias("n_objects"),
+            F.array_join(F.array_sort(F.collect_set("obj")), ",")
+            .alias("objects"),
+        )
+        .filter(F.col("n_objects") > 1)
+    )
+
+
+def triple_support(triples: DataFrame) -> DataFrame:
+    """Knowledge-fusion support rollup: how many distinct documents assert
+    each (subj, pred, obj) edge, plus the lexicographically-first asserting
+    doc as provenance anchor.  Run over CANONICAL triples so alias surface
+    forms pool their evidence — the confidence signal a fusion stage ranks
+    by (Dong et al., Knowledge Vault: multi-source support as the prior).
+
+    Scale shape: one hash aggregate on the (subj, pred, obj) key with
+    map-side partial aggregation; no joins, no collect.
+    """
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
 def conformance_rollup(checked: DataFrame) -> DataFrame:
     """Per-predicate conformance counts over a ``validate`` output —
     the QA dashboard row: one partial-aggregate shuffle on the (tiny)

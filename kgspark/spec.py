@@ -143,6 +143,14 @@ WEB_ONTOLOGY: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 }
 
 
+# Functional predicates: a subject may assert at most ONE distinct object
+# (OWL FunctionalProperty semantics).  A subject with >=2 distinct objects
+# under one of these predicates is a cardinality violation worth flagging
+# for curation — the synthetic corpus pairs subjects/objects randomly, so
+# violations genuinely occur.
+FUNCTIONAL_PREDICATES: tuple[str, ...] = ("lives_in", "works_at", "is_treated_in")
+
+
 def web_ontology_domain_rows() -> list[tuple[str, str]]:
     """Allowed (predicate, subject_type) pairs, sorted."""
     return sorted(

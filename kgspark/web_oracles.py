@@ -78,6 +78,63 @@ LEFT JOIN ({rng}) r ON r.pred = t.pred AND r.obj_type = tob.entity_type
 """
 
 
+# ---------------------------------------------- python KG-QA oracle folds
+# Independent imperative restatements of the ontology/fusion/link-prediction
+# operators (dict/set folds, zero Spark-shaped code) rendered as VALUES.
+
+def _functional_violation_rows(triple_rows: list[tuple]) -> list[tuple]:
+    from collections import defaultdict
+
+    objs_by_key: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for s, p, o, _d in triple_rows:
+        if p in spec.FUNCTIONAL_PREDICATES:
+            objs_by_key[(p, s)].add(o)
+    return [
+        (p, s, len(objs), ",".join(sorted(objs)))
+        for (p, s), objs in objs_by_key.items()
+        if len(objs) > 1
+    ]
+
+
+def _triple_support_rows(ct_rows: list[tuple]) -> list[tuple]:
+    from collections import defaultdict
+
+    docs: dict[tuple[str, str, str], set[str]] = defaultdict(set)
+    for s, p, o, d in ct_rows:
+        docs[(s, p, o)].add(d)
+    return [
+        (s, p, o, len(ds), min(ds)) for (s, p, o), ds in docs.items()
+    ]
+
+
+def _link_prediction_rows(ct_rows: list[tuple], k: int = 50) -> list[tuple]:
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges = sorted({
+        (min(s, o), max(s, o)) for (s, _p, o, _d) in ct_rows if s != o
+    })
+    nbrs: dict[str, set[str]] = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    scores: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0])
+    for z, ns in nbrs.items():
+        for a, b in combinations(sorted(ns), 2):
+            c = scores[(a, b)]
+            c[0] += 1
+            c[1] += 10**6 // deg[z]
+    eset = set(edges)
+    out = [
+        (a, b, n_common, ra)
+        for (a, b), (n_common, ra) in scores.items()
+        if (a, b) not in eset
+    ]
+    out.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    return out[:k]
+
+
 # ------------------------------------------------------- python canon oracle
 
 def _norm(name: str) -> str:
@@ -530,4 +587,19 @@ def build() -> dict[str, str]:
             sorted(type_counts.items()), ["entity_type", "n_entities"], ["s", "i"]
         ),
         "web_ontology_check": _ontology_check_sql(triple_rows, ent_rows),
+        "web_functional_violations": _values(
+            _functional_violation_rows(sorted(g.triples)),
+            ["pred", "subj", "n_objects", "objects"],
+            ["s", "s", "i", "s"],
+        ),
+        "web_triple_support": _values(
+            _triple_support_rows(ct_rows),
+            ["subj", "pred", "obj", "n_docs", "first_doc_id"],
+            ["s", "s", "s", "i", "s"],
+        ),
+        "web_link_prediction": _values(
+            _link_prediction_rows(ct_rows),
+            ["a", "b", "n_common", "ra_micro"],
+            ["s", "s", "i", "i"],
+        ),
     }

@@ -81,6 +81,76 @@ def test_conformance_rollup_counts(spark):
     assert (tp["n_domain_violations"], tp["n_range_violations"]) == (0, 0)
 
 
+def test_functional_violations_flags_multi_object_subjects(spark):
+    triples = spark.createDataFrame(
+        [
+            # Ada lives_in two places -> violation (and the duplicate
+            # assertion of London must not inflate the distinct count)
+            ("Ada Lovelace", "lives_in", "London", "doc-1"),
+            ("Ada Lovelace", "lives_in", "London", "doc-2"),
+            ("Ada Lovelace", "lives_in", "Paris", "doc-3"),
+            # single object -> no violation
+            ("Alan Turing", "lives_in", "London", "doc-1"),
+            # non-functional predicate never flagged even with 2 objects
+            ("Ada Lovelace", "visited", "Paris", "doc-1"),
+            ("Ada Lovelace", "visited", "London", "doc-2"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    rows = ontology.functional_violations(triples).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pred"], r["subj"], r["n_objects"], r["objects"]) == (
+        "lives_in", "Ada Lovelace", 2, "London,Paris"
+    )
+
+
+def test_triple_support_counts_distinct_docs(spark):
+    triples = spark.createDataFrame(
+        [
+            ("A", "works_at", "B", "doc-2"),
+            ("A", "works_at", "B", "doc-1"),
+            ("A", "works_at", "B", "doc-1"),  # same doc twice: 2 not 3
+            ("A", "visited", "C", "doc-9"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"]): (r["n_docs"], r["first_doc_id"])
+        for r in ontology.triple_support(triples).collect()
+    }
+    assert rows[("A", "works_at", "B")] == (2, "doc-1")
+    assert rows[("A", "visited", "C")] == (1, "doc-9")
+
+
+def test_link_prediction_ra_scores_hand_computed(spark):
+    from kgspark import graph
+
+    # path A-B-C plus star S-{X,Y,Z}; predicate/doc irrelevant to the graph
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B", "d"),
+            ("B", "p", "C", "d"),
+            ("S", "p", "X", "d"),
+            ("S", "p", "Y", "d"),
+            ("S", "p", "Z", "d"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    rows = {
+        (r["a"], r["b"]): (r["n_common"], r["ra_micro"])
+        for r in graph.link_prediction(triples).collect()
+    }
+    # (A,C) share B with deg(B)=2 -> RA = 10^6 div 2
+    assert rows[("A", "C")] == (1, 500_000)
+    # star leaves pairwise share S with deg(S)=3 -> RA = 10^6 div 3
+    for pair in [("X", "Y"), ("X", "Z"), ("Y", "Z")]:
+        assert rows[pair] == (1, 333_333)
+    # existing edges are never predicted
+    assert ("A", "B") not in rows and ("S", "X") not in rows
+    assert len(rows) == 4
+
+
 def test_validation_stage_is_broadcast_only(spark):
     """The four validation joins must all be broadcast — the (huge) triple
     probe side never shuffles for the check (the 100 TB shape).  Exchanges
