@@ -509,6 +509,26 @@ def _q_web_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.link_prediction(canon.canonical_triples(b["triples"], cmap))
 
 
+def _q_web_current_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal resolution twin of web_functional_violations (same raw
+    triple set): per (subj, functional pred), latest-crawl assertion wins
+    (max warc_ts, ties doc_id then obj).  One doc-key join + one
+    max-of-struct aggregate."""
+    b = _web_built(spark)
+    return ontology.current_facts(b["triples"], b["docs"])
+
+
+def _q_web_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling over the CANONICAL graph
+    (TransE corrupt-object protocol): sha256-indexed probe into the
+    name-sorted entity dictionary, collisions with true triples filtered
+    by anti-join.  Dictionary is dim-sized; fact side never enumerates
+    n x m."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return ontology.negative_samples(canon.canonical_triples(b["triples"], cmap))
+
+
 def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _web_built(spark)
     return canon.canonical_map(spark, b["entities"]).select(
@@ -836,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_functional_violations": _q_web_functional_violations,
         "web_triple_support": _q_web_triple_support,
         "web_link_prediction": _q_web_link_prediction,
+        "web_current_facts": _q_web_current_facts,
+        "web_negative_samples": _q_web_negative_samples,
     }
 
 

@@ -131,6 +131,109 @@ def triple_support(triples: DataFrame) -> DataFrame:
     )
 
 
+def current_facts(triples: DataFrame, docs: DataFrame) -> DataFrame:
+    """Temporal fact resolution: for each (subj, functional-predicate) pair,
+    the CURRENT value is the object asserted by the crawl-latest document
+    (max warc_ts; ties broken by doc_id then obj — a total, deterministic
+    order).  This is the point-in-time twin of
+    :func:`functional_violations`: where that op FLAGS multi-valued
+    subjects, this one RESOLVES them the way a temporal KG serves reads
+    ("latest assertion wins", the crawl-refresh semantics of a
+    Common-Crawl-style corpus).
+
+    Output: (subj, pred, obj, asserted_at, doc_id); asserted_at formatted
+    'yyyy-MM-dd HH:mm:ss' under the session's pinned UTC so the string is
+    timezone-free on both engines.
+
+    Scale shape: predicate-pruned triple scan joined to the (doc_id,
+    warc_ts) projection of docs on the doc key, then ONE max-of-struct hash
+    aggregate on (subj, pred) — Spark's struct ordering does the argmax
+    with map-side partial aggregation, no window, no global sort.
+    """
+    td = (
+        triples
+        .filter(F.col("pred").isin(list(spec.FUNCTIONAL_PREDICATES)))
+        .join(docs.select("doc_id", "warc_ts"), "doc_id")
+    )
+    return (
+        td.groupBy("subj", "pred")
+        .agg(F.max(F.struct("warc_ts", "doc_id", "obj")).alias("w"))
+        .select(
+            "subj",
+            "pred",
+            F.col("w.obj").alias("obj"),
+            F.date_format("w.warc_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("asserted_at"),
+            F.col("w.doc_id").alias("doc_id"),
+        )
+    )
+
+
+def negative_samples(triples: DataFrame) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training (TransE
+    et al. corrupt-object protocol): for each true triple, propose the
+    entity at index sha256(subj:pred:obj:salt) mod |entities| of the
+    name-sorted entity dictionary as a corrupted object, then FILTER the
+    proposals that collide with a true triple (or with the true object) —
+    "filtered" negative sampling in the KG-embedding sense.  Fully
+    deterministic: same corpus -> same negatives, no RNG state.
+
+    Output: (subj, pred, obj, neg_obj).  Triples whose single probe
+    collided are dropped (bounded loss ~|triples per (subj,pred)| /
+    |entities|; a trainer wanting exact 1:1 re-probes with a second salt).
+
+    Scale shape: the entity dictionary gets a dense index via one
+    row_number window — a DIM-side global sort (the dictionary is orders of
+    magnitude smaller than the triple fact table; at 10^12 docs it is the
+    canonical-name table, still dim-sized).  The fact side takes one hash
+    projection, an equi-join on the index against the broadcast dictionary,
+    and one anti-join against the true triple set.  No n x m enumeration.
+    """
+    spark = triples.sparkSession
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    dim = names.withColumn(
+        "idx",
+        F.row_number().over(Window.orderBy("name")).cast("long") - 1,
+    )
+    m = dim.count()
+    t = triples.select("subj", "pred", "obj").distinct()
+    probed = t.withColumn(
+        "idx",
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(":", "subj", "pred", "obj", F.lit(spec.NEG_SAMPLE_SALT)),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(m),
+    )
+    cand = (
+        probed.join(F.broadcast(dim), "idx")
+        .select("subj", "pred", "obj", F.col("name").alias("neg_obj"))
+        .filter(F.col("neg_obj") != F.col("obj"))
+    )
+    true_pairs = t.select(
+        F.col("subj").alias("subj"),
+        F.col("pred").alias("pred"),
+        F.col("obj").alias("neg_obj"),
+    )
+    return cand.join(true_pairs, ["subj", "pred", "neg_obj"], "left_anti").select(
+        "subj", "pred", "obj", "neg_obj"
+    )
+
+
 def conformance_rollup(checked: DataFrame) -> DataFrame:
     """Per-predicate conformance counts over a ``validate`` output —
     the QA dashboard row: one partial-aggregate shuffle on the (tiny)

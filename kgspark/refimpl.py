@@ -69,6 +69,7 @@ def run(web_rows) -> KGResult:
         out.docs[doc_id] = {
             "doc_id": doc_id,
             "url": url,
+            "warc_ts": warc_ts,
             "lang": lang,
             "content_length": len(content),
         }

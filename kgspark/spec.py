@@ -150,6 +150,11 @@ WEB_ONTOLOGY: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 # violations genuinely occur.
 FUNCTIONAL_PREDICATES: tuple[str, ...] = ("lives_in", "works_at", "is_treated_in")
 
+# Salt for deterministic KG-embedding negative sampling (ontology module):
+# neg index = sha256(subj:pred:obj:SALT) mod |entity dictionary|.  Version
+# the salt to re-draw the whole negative set.
+NEG_SAMPLE_SALT = "neg-v1"
+
 
 def web_ontology_domain_rows() -> list[tuple[str, str]]:
     """Allowed (predicate, subject_type) pairs, sorted."""

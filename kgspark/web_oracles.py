@@ -107,6 +107,40 @@ def _triple_support_rows(ct_rows: list[tuple]) -> list[tuple]:
     ]
 
 
+def _current_fact_rows(
+    triple_rows: list[tuple], ts_by_doc: dict[str, object]
+) -> list[tuple]:
+    best: dict[tuple[str, str], tuple] = {}
+    for s, p, o, d in triple_rows:
+        if p not in spec.FUNCTIONAL_PREDICATES:
+            continue
+        cand = (ts_by_doc[d], d, o)  # same (warc_ts, doc_id, obj) argmax order
+        if best.get((s, p), ()) < cand:
+            best[(s, p)] = cand
+    return [
+        (s, p, o, ts.strftime("%Y-%m-%d %H:%M:%S"), d)
+        for (s, p), (ts, d, o) in best.items()
+    ]
+
+
+def _negative_sample_rows(ct_rows: list[tuple]) -> list[tuple]:
+    names = sorted(
+        {s for s, _p, _o, _d in ct_rows} | {o for _s, _p, o, _d in ct_rows}
+    )
+    m = len(names)
+    true_triples = sorted({(s, p, o) for s, p, o, _d in ct_rows})
+    true_set = set(true_triples)
+    out = []
+    for s, p, o in true_triples:
+        h = hashlib.sha256(
+            f"{s}:{p}:{o}:{spec.NEG_SAMPLE_SALT}".encode()
+        ).hexdigest()
+        neg = names[int(h[:15], 16) % m]
+        if neg != o and (s, p, neg) not in true_set:
+            out.append((s, p, o, neg))
+    return out
+
+
 def _link_prediction_rows(ct_rows: list[tuple], k: int = 50) -> list[tuple]:
     from collections import defaultdict
     from itertools import combinations
@@ -601,5 +635,18 @@ def build() -> dict[str, str]:
             _link_prediction_rows(ct_rows),
             ["a", "b", "n_common", "ra_micro"],
             ["s", "s", "i", "i"],
+        ),
+        "web_current_facts": _values(
+            _current_fact_rows(
+                sorted(g.triples),
+                {k: v["warc_ts"] for k, v in g.docs.items()},
+            ),
+            ["subj", "pred", "obj", "asserted_at", "doc_id"],
+            ["s"] * 5,
+        ),
+        "web_negative_samples": _values(
+            _negative_sample_rows(ct_rows),
+            ["subj", "pred", "obj", "neg_obj"],
+            ["s"] * 4,
         ),
     }

@@ -151,6 +151,67 @@ def test_link_prediction_ra_scores_hand_computed(spark):
     assert len(rows) == 4
 
 
+def test_current_facts_latest_assertion_wins(spark):
+    import datetime as dt
+
+    triples = spark.createDataFrame(
+        [
+            ("Ada", "lives_in", "London", "doc-1"),
+            ("Ada", "lives_in", "Paris", "doc-2"),   # later crawl wins
+            ("Ada", "visited", "Paris", "doc-9"),    # non-functional: ignored
+            # equal-ts tie -> max doc_id wins
+            ("Alan", "works_at", "Acme", "doc-3"),
+            ("Alan", "works_at", "Globex", "doc-4"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("doc-1", dt.datetime(2025, 1, 1)),
+            ("doc-2", dt.datetime(2025, 3, 1)),
+            ("doc-3", dt.datetime(2025, 2, 1)),
+            ("doc-4", dt.datetime(2025, 2, 1)),
+            ("doc-9", dt.datetime(2025, 12, 1)),
+        ],
+        "doc_id string, warc_ts timestamp",
+    )
+    rows = {
+        (r["subj"], r["pred"]): (r["obj"], r["asserted_at"], r["doc_id"])
+        for r in ontology.current_facts(triples, docs).collect()
+    }
+    assert len(rows) == 2
+    assert rows[("Ada", "lives_in")] == ("Paris", "2025-03-01 00:00:00", "doc-2")
+    assert rows[("Alan", "works_at")] == ("Globex", "2025-02-01 00:00:00", "doc-4")
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    import hashlib
+    from kgspark import spec as kspec
+
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B", "d1"),
+            ("B", "p", "C", "d1"),
+            ("C", "q", "A", "d2"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    out1 = sorted(map(tuple, ontology.negative_samples(triples).collect()))
+    out2 = sorted(map(tuple, ontology.negative_samples(triples).collect()))
+    assert out1 == out2  # no RNG state anywhere
+    names = ["A", "B", "C"]
+    true_set = {("A", "p", "B"), ("B", "p", "C"), ("C", "q", "A")}
+    expected = []
+    for s, p, o in sorted(true_set):
+        h = hashlib.sha256(f"{s}:{p}:{o}:{kspec.NEG_SAMPLE_SALT}".encode())
+        neg = names[int(h.hexdigest()[:15], 16) % 3]
+        if neg != o and (s, p, neg) not in true_set:
+            expected.append((s, p, o, neg))
+    assert out1 == sorted(expected)
+    for s, p, _o, neg in out1:
+        assert (s, p, neg) not in true_set  # filtered protocol holds
+
+
 def test_validation_stage_is_broadcast_only(spark):
     """The four validation joins must all be broadcast — the (huge) triple
     probe side never shuffles for the check (the 100 TB shape).  Exchanges
