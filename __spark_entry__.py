@@ -733,6 +733,14 @@ def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degrees(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (coreness per name) via the h-index fixed point
+    over the documents-corpus KG name projection — 8 synchronous integer
+    rounds, bit-exact, oracle unrolls the identical recurrence as
+    MATERIALIZED CTEs with a windowed h-index restatement."""
+    return graph.kcore(extraction.triples(_t(spark, sf_dir, "documents")))
+
+
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: per-name triangle participation via
     the oriented a<b<c three-join enumeration (each triangle found once)."""
@@ -858,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_prediction": _q_web_link_prediction,
         "web_current_facts": _q_web_current_facts,
         "web_negative_samples": _q_web_negative_samples,
+        "graph_kcore": _q_graph_kcore,
     }
 
 

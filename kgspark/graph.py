@@ -520,6 +520,69 @@ def components(triples: DataFrame) -> DataFrame:
     )
 
 
+KCORE_ITERS = 8
+
+
+def kcore(triples: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
+    """k-core decomposition via the neighborhood h-index fixed point
+    (Lü, Chen, Ren, Zhou, Zhang & Stanley 2016, "The H-index of a network
+    node"): initialize c₀(v) = deg(v); each round
+    ``c(v) = H({c(u) : u ~ v})`` where H is the h-index (largest h such
+    that ≥ h neighbors have value ≥ h).  The sequence decreases
+    monotonically and its fixed point is exactly coreness(v).  All values
+    are small integers, so the result is BIT-EXACT — and the op is SPECIFIED
+    as "``iters`` synchronous rounds" (like pagerank/hits) so the oracle can
+    unroll the identical recurrence; a convergence test pins that ``iters``
+    rounds reach the fixed point on the test corpora (the closed-vocabulary
+    name graph converges in 2-3 rounds; diameter-bounded in general).
+
+    Per-round plan: one edge⋈state join shuffled on the neighbor key + one
+    hash aggregate computing the h-index with Catalyst HOFs
+    (sort_array → transform with index → filter → size; the per-node array
+    is deg(v)-sized — hub-key skew is the kgspark.skew salting/AQE case).
+    Lineage truncated every round, graph-sized partitioning as in hits.
+
+    Output: (name, coreness) as long; isolated names (no edges) don't
+    appear, matching degrees()/triangle_counts() join semantics.
+    """
+    e = name_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("name"), F.col("b").alias("nb"))
+        .union(e.select(F.col("b").alias("name"), F.col("a").alias("nb")))
+        .persist()
+    )
+    n_adj = adj.count()
+    spark = triples.sparkSession
+    if n_adj == 0:
+        adj.unpersist()
+        return spark.createDataFrame([], "name string, coreness long")
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(default_parts, 1 + n_adj // 1_000_000))
+    adj2 = adj.repartition(nparts, "nb").persist()
+    adj2.count()
+    adj.unpersist()
+
+    cur = adj2.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("val")
+    )
+    h_index = F.expr(
+        "size(filter(transform(sort_array(collect_list(nbval), false),"
+        " (v, i) -> v >= CAST(i + 1 AS BIGINT)), x -> x))"
+    ).cast("long")
+    for _ in range(iters):
+        cur = truncate_lineage(cur)
+        nbvals = adj2.join(
+            cur.select(F.col("name").alias("nb"), F.col("val").alias("nbval")),
+            "nb",
+        )
+        cur = nbvals.groupBy("name").agg(h_index.alias("val"))
+    result = truncate_lineage(
+        cur.select("name", F.col("val").alias("coreness"))
+    )
+    adj2.unpersist()
+    return result
+
+
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 15
 

@@ -361,6 +361,40 @@ GROUP BY name
         + f"\nSELECT name, hub, authority FROM s{HITS_ITERS}"
     )
 
+    # k-core via the h-index fixed point (kgspark.graph.kcore): the
+    # recurrence is pure small-integer arithmetic, so each synchronous
+    # round unrolls to one MATERIALIZED CTE.  The h-index is restated with
+    # a WINDOW (desc rank, count values >= rank) instead of Spark's
+    # HOF-array form — independent mechanism, same function (the count is
+    # invariant to tie order within equal values).
+    from .graph import KCORE_ITERS
+
+    kc_ctes = [
+        "kadj AS MATERIALIZED (\n"
+        "  SELECT a AS name, b AS nb FROM e\n"
+        "  UNION ALL SELECT b AS name, a AS nb FROM e)",
+        "kc0 AS MATERIALIZED (\n"
+        "  SELECT name, CAST(count(*) AS BIGINT) AS val\n"
+        "  FROM kadj GROUP BY name)",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        kc_ctes.append(
+            f"kc{i} AS MATERIALIZED (\n"
+            f"  SELECT name,\n"
+            f"         CAST(count(*) FILTER (WHERE nbval >= rn) AS BIGINT)"
+            f" AS val\n"
+            f"  FROM (SELECT kadj.name, c.val AS nbval,\n"
+            f"               row_number() OVER (PARTITION BY kadj.name\n"
+            f"                                  ORDER BY c.val DESC) AS rn\n"
+            f"        FROM kadj JOIN kc{i - 1} c ON c.name = kadj.nb)\n"
+            f"  GROUP BY name)"
+        )
+    q["graph_kcore"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(kc_ctes)
+        + f"\nSELECT name, val AS coreness FROM kc{KCORE_ITERS}"
+    )
+
     q["kg_entity_type_counts"] = f"""
 WITH {TOK},
 {_M},

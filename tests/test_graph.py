@@ -218,3 +218,68 @@ def test_bfs_and_render_scale_tier_parity(spark):
     }
     for r in rendered:
         assert r["rendered"].count(" ----- ") == r["depth"] - 1
+
+
+# ----------------------------------------------------------- k-core (r5)
+
+def _peel_coreness(edges: set[tuple[str, str]]) -> dict[str, int]:
+    """Independent ground truth: classic iterative peeling (remove all
+    nodes of degree < k, repeat; survivors of the k-round have coreness
+    >= k) — shares nothing with the h-index fixed point it checks."""
+    nbrs: dict[str, set[str]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    core = {n: 0 for n in nbrs}
+    alive = dict(nbrs)
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            drop = [n for n, ns in alive.items() if len(ns) < k]
+            changed = bool(drop)
+            for n in drop:
+                for m in alive[n]:
+                    alive[m].discard(n)
+                del alive[n]
+        for n in alive:
+            core[n] = k
+        k += 1
+    return core
+
+
+def _kcore_triples(spark, edges):
+    rows = [(a, "p", b, "d") for a, b in sorted(edges)]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string"
+    )
+
+
+def test_kcore_clique_plus_chain(spark):
+    # 4-clique {A,B,C,D} (coreness 3) with a pendant chain D-E-F (coreness 1)
+    clique = {("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")}
+    chain = {("D", "E"), ("E", "F")}
+    got = {
+        r["name"]: r["coreness"]
+        for r in graph.kcore(_kcore_triples(spark, clique | chain)).collect()
+    }
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3, "E": 1, "F": 1}
+
+
+def test_kcore_matches_independent_peeling_and_converges(spark):
+    import random
+
+    r = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = set()
+    while len(edges) < 120:
+        a, b = r.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    t = _kcore_triples(spark, edges)
+    got = {r_["name"]: r_["coreness"] for r_ in graph.kcore(t).collect()}
+    want = _peel_coreness(edges)
+    assert got == want
+    # fixed point: one extra round changes nothing (the spec's 8 rounds
+    # have converged on this graph class)
+    more = {r_["name"]: r_["coreness"] for r_ in graph.kcore(t, iters=graph.KCORE_ITERS + 1).collect()}
+    assert more == got
