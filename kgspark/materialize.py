@@ -438,6 +438,43 @@ class Warehouse:
         }
 
 
+def diff_as_of(
+    wh: "Warehouse", name: str, run_a: str, run_b: str
+) -> DataFrame:
+    """Snapshot diff: the rows of ``name`` added between commit ``run_a``
+    (exclusive) and commit ``run_b`` (inclusive) — the versioned-KG
+    "what changed between crawls" read (Iceberg incremental-scan analog,
+    ``incremental_from_snapshot``).
+
+    Because :meth:`Warehouse.read_as_of` RAISES whenever any
+    history-collapsing op (compaction, delete, rebuild) landed after the
+    older snapshot, a diff that returns at all is over an append-only
+    window: the removed set is structurally empty and the added set is
+    exactly the run partitions committed in ``(run_a, run_b]``.  So the
+    diff is pure PARTITION PRUNING on the hive run_id key — O(delta
+    files scanned), never an exceptAll over two O(table) snapshots.
+    Output carries a ``change`` column (always ``'added'``; the column
+    exists so a future mutable backend can union a removed set without
+    breaking readers) and the schema AS OF ``run_b``.
+    """
+    runs = [str(r.get("run_id", "")) for r in wh.manifest()["runs"]]
+    for rid in (run_a, run_b):
+        if rid not in runs:
+            raise ValueError(f"run_id {rid!r} not in the manifest commit log")
+    ia, ib = runs.index(run_a), runs.index(run_b)
+    if ia > ib:
+        raise ValueError(
+            f"run_a {run_a!r} must be committed no later than run_b {run_b!r}"
+        )
+    # validates both snapshots are addressable (raise-instead-of-wrong-rows)
+    wh.read_as_of(name, run_a)
+    b = wh.read_as_of(name, run_b)
+    window = runs[ia + 1 : ib + 1]
+    return b.filter(F.col("run_id").isin(window)).withColumn(
+        "change", F.lit("added")
+    )
+
+
 def compact(wh: "Warehouse", name: str, target_partitions: int | None = None) -> dict:
     """Collapse a stage table's accumulated run partitions into ONE base
     partition — the Iceberg ``rewrite_data_files`` analog.
