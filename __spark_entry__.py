@@ -605,6 +605,14 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static corpus-mixing plan (DoReMi-style domain-weight vector, here
+    per language): per-bucket integer sampling weight + expected mixed-
+    corpus size.  One lang hash aggregate + broadcast total + broadcast
+    target map — dim-sized output at any corpus scale."""
+    return textops.mixture_plan(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split + 10%-sample flag."""
     return textops.train_split(_t(spark, sf_dir, "documents"))
@@ -867,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_current_facts": _q_web_current_facts,
         "web_negative_samples": _q_web_negative_samples,
         "graph_kcore": _q_graph_kcore,
+        "docs_mixture_plan": _q_docs_mixture_plan,
     }
 
 

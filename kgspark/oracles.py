@@ -611,6 +611,28 @@ SELECT kg_doc_id,
 FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
+    # Corpus-mixing plan (kgspark.textops.mixture_plan): pure integer
+    # arithmetic (micro-unit shares, quotient-first products), so the SQL
+    # restates it exactly.  Every aggregate is CAST AS BIGINT (HUGEINT ban).
+    _tgt_vals = ", ".join(
+        f"('{k}', {v})" for k, v in spec.mixture_target_rows()
+    )
+    q["docs_mixture_plan"] = f"""
+WITH mcounts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+mtot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM mcounts),
+mtgt(lang, target_micro) AS (VALUES {_tgt_vals})
+SELECT c.lang, c.n_docs,
+       CAST(coalesce(t.target_micro, 0) AS BIGINT) AS target_micro,
+       CAST(coalesce(t.target_micro, 0) * (SELECT total FROM mtot)
+            // c.n_docs AS BIGINT) AS weight_micro,
+       CAST(c.n_docs * (coalesce(t.target_micro, 0)
+                        * (SELECT total FROM mtot) // c.n_docs)
+            // 1000000 AS BIGINT) AS expected_docs
+FROM mcounts c LEFT JOIN mtgt t USING (lang)
+""".strip()
+
     # Deterministic split (kgspark.textops.train_split): the md5-derived
     # 60-bit content hash mod 100 is the engine-portable bucket.
     q["docs_train_split"] = f"""

@@ -150,6 +150,24 @@ WEB_ONTOLOGY: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 # violations genuinely occur.
 FUNCTIONAL_PREDICATES: tuple[str, ...] = ("lives_in", "works_at", "is_treated_in")
 
+# Target language mixture for training-corpus assembly (textops
+# mixture_plan): language -> target share in MICRO units (parts per 1e6,
+# sums to 1e6).  Languages absent from this table get weight 0 (excluded
+# from the mix).  The shape of the table is the static analog of a
+# DoReMi-style domain-weight vector.
+MIXTURE_TARGETS_MICRO: dict[str, int] = {
+    "en": 500_000,
+    "zh": 150_000,
+    "es": 150_000,
+    "de": 100_000,
+    "fr": 100_000,
+}
+
+
+def mixture_target_rows() -> list[tuple[str, int]]:
+    return sorted(MIXTURE_TARGETS_MICRO.items())
+
+
 # Salt for deterministic KG-embedding negative sampling (ontology module):
 # neg index = sha256(subj:pred:obj:SALT) mod |entity dictionary|.  Version
 # the salt to re-draw the whole negative set.

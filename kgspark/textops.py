@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from . import cache, ids
+from . import cache, ids, spec
 
 # English function words used by the n-gram/stopword language heuristic.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -575,6 +575,55 @@ def train_split(
         .otherwise(F.lit("test"))
         .alias("split"),
         (bucket % 10 == 0).alias("in_10pct_sample"),
+    )
+
+
+MIXTURE_MICRO = 10**6
+
+
+def mixture_plan(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Static corpus-mixing plan: for each language bucket, the
+    deterministic per-doc sampling weight that reshapes the corpus to the
+    spec's target language shares (spec.MIXTURE_TARGETS_MICRO — the static
+    analog of a DoReMi-style domain-weight vector).
+
+    All arithmetic is scaled INTEGER:
+      * ``weight_micro = (target_micro * N) div n_docs`` — the per-doc
+        sampling/repetition weight in micro units (> 1e6 upsample,
+        < 1e6 downsample, 0 excluded);
+      * ``expected_docs = (n_docs * weight_micro) div 1e6`` — the bucket's
+        size in the mixed corpus (quotient-first, so nothing overflows
+        int64 below ~9e12 docs per bucket).
+
+    Scale shape: one hash aggregate on the language key + a broadcast
+    1-row total + a broadcast target map — the plan is dim-sized output
+    regardless of corpus size; the SAMPLING pass that consumes it is a
+    plain filter/explode by weight elsewhere.
+    """
+    spark = docs.sparkSession
+    targets = spark.createDataFrame(
+        spec.mixture_target_rows(), schema="lang string, target_micro long"
+    )
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").cast("long").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(targets), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("target_micro", F.lit(0)).cast("long")
+            .alias("target_micro"),
+            F.expr(
+                "CAST(coalesce(target_micro, 0) * _total DIV n_docs AS BIGINT)"
+            ).alias("weight_micro"),
+            F.expr(
+                f"CAST(n_docs * (coalesce(target_micro, 0) * _total"
+                f" DIV n_docs) DIV {MIXTURE_MICRO} AS BIGINT)"
+            ).alias("expected_docs"),
+        )
     )
 
 

@@ -660,3 +660,30 @@ def test_contamination_eval_wins_for_duplicate_content(spark):
     assert len(got) == 1
     (only,) = got.values()
     assert only["contaminated"] and only["n_shared_grams"] == 2
+
+
+def test_mixture_plan_hand_computed_weights(spark):
+    """Micro-integer mixing arithmetic on a crafted corpus: downsample,
+    upsample, and excluded-language branches all hand-checked."""
+    from kgspark import textops
+
+    rows = (
+        [(i, "t", "en") for i in range(80)]
+        + [(100 + i, "t", "zh") for i in range(10)]
+        + [(200 + i, "t", "xx") for i in range(10)]  # not in targets
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["target_micro"], r["weight_micro"], r["expected_docs"]
+        )
+        for r in textops.mixture_plan(docs).collect()
+    }
+    # N=100.  en: target 0.5 over 80 docs -> weight 500000*100//80 = 625000
+    # (downsample), expected 80*625000//1e6 = 50.
+    assert got["en"] == (80, 500_000, 625_000, 50)
+    # zh: target 0.15 over 10 docs -> weight 1500000 (1.5x upsample),
+    # expected 15.
+    assert got["zh"] == (10, 150_000, 1_500_000, 15)
+    # xx: absent from targets -> excluded entirely.
+    assert got["xx"] == (10, 0, 0, 0)
