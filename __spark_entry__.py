@@ -233,6 +233,14 @@ def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact count-spike detection per (event_type, hour): spike
+    when n * trailing_hours > factor * trailing_sum over a 24h RANGE frame
+    on the hour epoch (gap-proof, no floats).  Window runs over the hourly
+    rollup, not the raw events."""
+    return events.anomaly_hours(_t(spark, sf_dir, "events"))
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy(
@@ -876,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_negative_samples": _q_web_negative_samples,
         "graph_kcore": _q_graph_kcore,
         "docs_mixture_plan": _q_docs_mixture_plan,
+        "events_anomaly": _q_events_anomaly,
     }
 
 

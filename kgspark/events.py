@@ -124,6 +124,56 @@ def sliding_window_counts(
     )
 
 
+ANOMALY_WINDOW_S = 24 * 3600
+ANOMALY_FACTOR = 3
+
+
+def anomaly_hours(
+    events: DataFrame,
+    window_s: int = ANOMALY_WINDOW_S,
+    factor: int = ANOMALY_FACTOR,
+) -> DataFrame:
+    """Count-spike detection per (event_type, hour), in pure INTEGER
+    arithmetic: an hour is a spike when its count exceeds ``factor`` times
+    the mean of the trailing window's PRESENT hourly counts —
+    cross-multiplied (``n * trailing_hours > factor * trailing_sum``) so no
+    division/float enters and the flag is engine-portable bit-exact.  The
+    trailing frame is a RANGE window on the hour epoch (previous
+    ``window_s`` seconds, current hour excluded), so calendar gaps don't
+    slide the frame the way a ROWS frame would; normalizing by present
+    hours keeps sparse types comparable.  Hours with an empty trailing
+    frame are never spikes (no baseline).
+
+    Scale shape: one hash aggregate to hourly counts (map-side partials
+    collapse the raw event volume), then one window over the tiny
+    (type, hour) rollup — the window input is |types| x |hours| rows, not
+    the event count, so the sort is negligible at any corpus size.
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("h").cast("long"))
+        .rangeBetween(-window_s, -3600)
+    )
+    trailing_n = F.coalesce(
+        F.count(F.lit(1)).over(w).cast("long"), F.lit(0)
+    )
+    trailing_sum = F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+    return hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        trailing_n.alias("trailing_hours"),
+        trailing_sum.alias("trailing_sum"),
+        (
+            (trailing_n > 0)
+            & (F.col("n_events") * trailing_n > factor * trailing_sum)
+        ).alias("spike"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
     from the free-form ``props`` JSON column — codegen, no UDF."""

@@ -1163,6 +1163,35 @@ FROM events
 GROUP BY 1, 2
 """.strip()
 
+    # Count-spike detection (kgspark.events.anomaly_hours): pure integer
+    # cross-multiplied flag, RANGE frame on the hour epoch.  count/sum over
+    # a window return BIGINT/HUGEINT in DuckDB — cast both (HUGEINT ban).
+    from .events import ANOMALY_FACTOR, ANOMALY_WINDOW_S
+
+    q["events_anomaly"] = f"""
+WITH ahourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+awin AS (
+  SELECT event_type, h, n_events,
+         CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS trailing_hours,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum
+  FROM ahourly
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(epoch(h) AS BIGINT)
+               RANGE BETWEEN {ANOMALY_WINDOW_S} PRECEDING
+                         AND 3600 PRECEDING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+       trailing_hours, trailing_sum,
+       trailing_hours > 0
+       AND n_events * trailing_hours > {ANOMALY_FACTOR} * trailing_sum
+       AS spike
+FROM awin
+""".strip()
+
     q["text_bpe_token_counts"] = r"""
 SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

@@ -687,3 +687,37 @@ def test_mixture_plan_hand_computed_weights(spark):
     assert got["zh"] == (10, 150_000, 1_500_000, 15)
     # xx: absent from targets -> excluded entirely.
     assert got["xx"] == (10, 0, 0, 0)
+
+
+def test_anomaly_hours_spike_flag_hand_computed(spark):
+    """Cross-multiplied spike rule on a crafted series: flat baseline, a
+    4x spike hour, a first-hour (no baseline) non-spike, and a >24h-old
+    hour correctly aged out of the RANGE frame."""
+    import datetime as dt
+    from kgspark import events as ev
+
+    base = dt.datetime(2025, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    def emit(hour_offset, n, etype="click"):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hour_offset), 1, etype, 0.0, "{}"))
+            eid += 1
+    emit(0, 2)    # baseline
+    emit(1, 2)
+    emit(2, 9)    # 9 * 2 > 3 * 4 -> spike
+    emit(30, 5)   # >24h after hours 0-2: frame only sees hour 2 (within 24h?)
+    # hour 30 trailing frame = hours in (30-24, 30) = (6, 29] -> empty -> not spike
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["hour"]: (r["n_events"], r["trailing_hours"], r["trailing_sum"], r["spike"])
+        for r in ev.anomaly_hours(df).collect()
+    }
+    assert got["2025-06-01 00:00:00"] == (2, 0, 0, False)   # no baseline
+    assert got["2025-06-01 01:00:00"] == (2, 1, 2, False)
+    assert got["2025-06-01 02:00:00"] == (9, 2, 4, True)    # 18 > 12
+    assert got["2025-06-02 06:00:00"] == (5, 0, 0, False)   # frame aged out
