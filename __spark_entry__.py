@@ -621,6 +621,15 @@ def _q_docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.mixture_plan(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence-packing plan: per-doc global
+    token offset + context-window placement in a deterministic
+    content-hash shuffle order, computed as a TWO-LEVEL distributed prefix
+    sum (bucket-partitioned windows + tiny broadcast base offsets) — never
+    a single-partition global window."""
+    return textops.pack_plan(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split + 10%-sample flag."""
     return textops.train_split(_t(spark, sf_dir, "documents"))
@@ -885,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "events_anomaly": _q_events_anomaly,
+        "docs_pack_plan": _q_docs_pack_plan,
     }
 
 

@@ -611,6 +611,34 @@ SELECT kg_doc_id,
 FROM c GROUP BY src_row, kg_doc_id, n
 """.strip()
 
+    # Packing plan (kgspark.textops.pack_plan): the oracle states the SPEC
+    # directly — one plain global cumsum window in the (h mod B, h, doc)
+    # order (single-node DuckDB is fine with it); the Spark side's
+    # two-level distributed prefix sum must reproduce it exactly.
+    from .textops import PACK_BUCKETS, PACK_CTX_TOKENS
+
+    q["docs_pack_plan"] = f"""
+WITH {TOK},
+pk AS (
+  SELECT DISTINCT kg_doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_H60.format(x="ttext")} AS h
+  FROM tok
+),
+po AS (
+  SELECT kg_doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                ORDER BY h % {PACK_BUCKETS}, h, kg_doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_offset
+  FROM pk
+)
+SELECT kg_doc_id, n_tokens, start_offset,
+       start_offset // {PACK_CTX_TOKENS} AS start_seq,
+       (start_offset + n_tokens - 1) // {PACK_CTX_TOKENS} AS end_seq,
+       start_offset % {PACK_CTX_TOKENS} AS offset_in_seq
+FROM po
+""".strip()
+
     # Corpus-mixing plan (kgspark.textops.mixture_plan): pure integer
     # arithmetic (micro-unit shares, quotient-first products), so the SQL
     # restates it exactly.  Every aggregate is CAST AS BIGINT (HUGEINT ban).

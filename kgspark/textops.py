@@ -578,6 +578,77 @@ def train_split(
     )
 
 
+PACK_CTX_TOKENS = 1024
+PACK_BUCKETS = 256
+
+
+def pack_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    ctx: int = PACK_CTX_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """GPT-pretraining sequence-packing plan (concat-and-chunk): documents
+    are concatenated in a deterministic shuffled order and split into
+    fixed ``ctx``-token context windows; each doc gets its global token
+    ``start_offset`` and the derived (start_seq, end_seq, offset_in_seq)
+    placement.  Order is (h mod n_buckets, h, kg_doc_id) with h the
+    md5-derived 60-bit content hash — a deterministic shuffle (content-
+    keyed, so re-runs and resumes agree), deduped to distinct kg_doc_id
+    first (duplicate contents would otherwise have identical sort keys).
+
+    Scale shape: a naive global cumsum is a SINGLE-PARTITION window — the
+    classic scale trap.  This is the two-level distributed prefix sum
+    instead: within-bucket exclusive cumsum (window PARTITIONED by the
+    hash bucket), plus per-bucket base offsets from a second cumsum over
+    the n_buckets-row totals frame (tiny) broadcast back.  Every stage is
+    partition-parallel; the only ordered window over the full corpus is
+    avoided entirely.
+    """
+    t = F.trim(F.col(text_col))
+    base = (
+        docs.filter(F.length(t) > 0)
+        .select(
+            ids.doc_id(t).alias("kg_doc_id"),
+            F.size(_toks(text_col)).cast("long").alias("n_tokens"),
+            _hash60(t).alias("h"),
+        )
+        .distinct()
+        .withColumn("bucket", F.col("h") % n_buckets)
+    )
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "kg_doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = base.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("long").alias("_bt")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "bucket",
+        F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).cast("long").alias("_base"),
+    )
+    return (
+        base.withColumn(
+            "_prefix",
+            F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long"),
+        )
+        .join(F.broadcast(bases), "bucket")
+        .withColumn("start_offset", (F.col("_base") + F.col("_prefix")).cast("long"))
+        .select(
+            "kg_doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset DIV {ctx}").alias("start_seq"),
+            F.expr(f"(start_offset + n_tokens - 1) DIV {ctx}").alias("end_seq"),
+            (F.col("start_offset") % ctx).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
 MIXTURE_MICRO = 10**6
 
 

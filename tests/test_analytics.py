@@ -721,3 +721,27 @@ def test_anomaly_hours_spike_flag_hand_computed(spark):
     assert got["2025-06-01 01:00:00"] == (2, 1, 2, False)
     assert got["2025-06-01 02:00:00"] == (9, 2, 4, True)    # 18 > 12
     assert got["2025-06-02 06:00:00"] == (5, 0, 0, False)   # frame aged out
+
+
+def test_pack_plan_is_a_contiguous_packing(spark):
+    """Structural invariants of concat-and-chunk: offsets tile the token
+    stream with no gaps or overlaps, window placement arithmetic holds,
+    and duplicate contents pack once."""
+    from kgspark import textops
+
+    rows = [(i, f"w{i} " * (i + 1), "en") for i in range(25)]
+    rows.append((99, "w0 ", "en"))  # duplicate content of doc 0 (trim-equal)
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(
+        (r["start_offset"], r["n_tokens"], r["start_seq"], r["end_seq"],
+         r["offset_in_seq"], r["kg_doc_id"])
+        for r in textops.pack_plan(docs, ctx=16).collect()
+    )
+    assert len(out) == 25  # dup packed once
+    pos = 0
+    for start, n, sseq, eseq, off, _doc in out:
+        assert start == pos  # contiguous, no gaps/overlaps
+        assert sseq == start // 16 and eseq == (start + n - 1) // 16
+        assert off == start % 16 and 0 <= off < 16
+        pos += n
+    assert pos == sum(i + 1 for i in range(25))  # total token mass
