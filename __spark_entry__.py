@@ -630,6 +630,13 @@ def _q_docs_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pack_plan(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture: each row repeated per its integer weight plus
+    deterministic stochastic rounding (md5-keyed, zero RNG state).  One
+    broadcast plan join + explode — no fact-side shuffle."""
+    return textops.mixture_apply(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split + 10%-sample flag."""
     return textops.train_split(_t(spark, sf_dir, "documents"))
@@ -895,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_plan": _q_docs_mixture_plan,
         "events_anomaly": _q_events_anomaly,
         "docs_pack_plan": _q_docs_pack_plan,
+        "docs_mixture_apply": _q_docs_mixture_apply,
     }
 
 

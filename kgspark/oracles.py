@@ -661,6 +661,35 @@ SELECT c.lang, c.n_docs,
 FROM mcounts c LEFT JOIN mtgt t USING (lang)
 """.strip()
 
+    # Mixture materialization (kgspark.textops.mixture_apply): whole-copy
+    # repeats + deterministic stochastic rounding on md5(doc_id:salt).
+    from .textops import MIXTURE_MICRO, MIXTURE_SALT
+
+    _hsel = _H60.format(x=f"(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SALT}')")
+    q["docs_mixture_apply"] = f"""
+WITH xcounts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+xtot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM xcounts),
+xtgt(lang, target_micro) AS (VALUES {_tgt_vals}),
+xw AS (
+  SELECT c.lang,
+         CAST(coalesce(t.target_micro, 0) * (SELECT total FROM xtot)
+              // c.n_docs AS BIGINT) AS weight_micro
+  FROM xcounts c LEFT JOIN xtgt t USING (lang)
+),
+xn AS (
+  SELECT d.doc_id, d.lang,
+         CAST(w.weight_micro // {MIXTURE_MICRO}
+              + CASE WHEN {_hsel} % {MIXTURE_MICRO}
+                          < w.weight_micro % {MIXTURE_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM documents d JOIN xw w USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS BIGINT) AS copy_idx
+FROM xn WHERE n_copies > 0
+""".strip()
+
     # Deterministic split (kgspark.textops.train_split): the md5-derived
     # 60-bit content hash mod 100 is the engine-portable bucket.
     q["docs_train_split"] = f"""

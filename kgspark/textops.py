@@ -698,6 +698,55 @@ def mixture_plan(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
     )
 
 
+MIXTURE_SALT = "mix-v1"
+
+
+def mixture_apply(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Materialize the :func:`mixture_plan`: emit each source row
+    ``n_copies`` times, where ``n_copies = weight_micro div 1e6`` whole
+    repeats plus one extra copy when the row's selection hash falls under
+    the fractional remainder — deterministic stochastic rounding keyed by
+    ``md5(doc_id:salt)``, so the REALIZED corpus hits the target mixture in
+    expectation with zero RNG state (same input -> same sample; resume-
+    safe).  Rows of weight-0 languages (absent from the target vector)
+    drop entirely.
+
+    Output: (doc_id, lang, copy_idx) with copy_idx in [0, n_copies).
+
+    Scale shape: one broadcast join against the dim-sized plan, a pure
+    projection for the copy count, and an explode(sequence) bounded by the
+    per-row repeat count — no shuffle on the fact side at all (the plan's
+    own aggregate is the only shuffle, over lang keys).
+    """
+    plan = mixture_plan(docs, lang_col).select(
+        F.col("lang"), F.col("weight_micro")
+    )
+    hsel = (
+        _hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":" + MIXTURE_SALT)))
+        % MIXTURE_MICRO
+    )
+    return (
+        docs.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(F.broadcast(plan), "lang")
+        .withColumn(
+            "n_copies",
+            (
+                F.expr(f"weight_micro DIV {MIXTURE_MICRO}")
+                + F.when(hsel < F.col("weight_micro") % MIXTURE_MICRO, 1)
+                .otherwise(0)
+            ).cast("long"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+            ).alias("copy_idx"),
+        )
+    )
+
+
 def contamination(
     docs: DataFrame,
     text_col: str = "text",

@@ -745,3 +745,37 @@ def test_pack_plan_is_a_contiguous_packing(spark):
         assert off == start % 16 and 0 <= off < 16
         pos += n
     assert pos == sum(i + 1 for i in range(25))  # total token mass
+
+
+def test_mixture_apply_realizes_the_plan(spark):
+    """The materialized sample repeats rows per the plan's weights:
+    whole-copy floor for everyone, +1 for the deterministic remainder
+    fraction, weight-0 languages dropped, and the realized total lands
+    within one rounding unit per row of the expected mix."""
+    from kgspark import textops
+
+    rows = (
+        [(i, "t", "en") for i in range(80)]
+        + [(100 + i, "t", "zh") for i in range(10)]
+        + [(200 + i, "t", "xx") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.mixture_apply(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r["doc_id"], r["lang"]), []).append(r["copy_idx"])
+    langs = {lang for _d, lang in by_doc}
+    assert "xx" not in langs  # weight 0 -> dropped
+    for (_d, lang), idxs in by_doc.items():
+        n = len(idxs)
+        assert sorted(idxs) == list(range(n))  # copy_idx dense from 0
+        # en weight 625000 -> 0 or 1 copies; zh weight 1500000 -> 1 or 2
+        assert n in ({1, 2} if lang == "zh" else {1})
+        # en has remainder 625000/1e6: some docs drop (n=0 -> absent)
+    n_en = sum(1 for (_d, lang) in by_doc if lang == "en")
+    assert 0 < n_en < 80  # a strict subset survived the 0.625 rate
+    n_zh = sum(len(v) for (_d, lang), v in by_doc.items() if lang == "zh")
+    assert 10 <= n_zh <= 20  # between 1x and 2x copies
+    # determinism
+    out2 = textops.mixture_apply(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
