@@ -324,6 +324,16 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. ADC): corpus compressed to
+    8 codeword indices (seed-vector codebooks per subspace), queries exact
+    against the reconstruction; value-oracled — the SQL re-derives
+    codebooks, encodings, and reconstruction cosines relationally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = vecops.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_events_anomaly,
         "docs_pack_plan": _q_docs_pack_plan,
         "docs_mixture_apply": _q_docs_mixture_apply,
+        "ann_pq_topk": _q_ann_pq_topk,
     }
 
 

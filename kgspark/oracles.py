@@ -1503,6 +1503,66 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= 5
 """.strip()
 
+    # Product quantization (kgspark.vecops.pq_topk): seed-vector codebook,
+    # per-subspace argmin-L2 encode (index-order folds, ties to the
+    # smallest seed), reconstruction cosine.  The Spark side encodes with
+    # literal codeword arrays; here the codebook stays relational (seeds
+    # CTE + slices) — independent mechanism, same arithmetic.
+    from .vecops import PQ_K, PQ_M
+
+    _PQ_SUB = 64 // PQ_M
+    _pqd = (
+        f"(CAST(e.embedding[m.m * {_PQ_SUB} + i + 1] AS DOUBLE)"
+        f" - CAST(s.embedding[m.m * {_PQ_SUB} + i + 1] AS DOUBLE))"
+    )
+    q["ann_pq_topk"] = f"""
+WITH pseeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) AS sk
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+ppart AS (
+  SELECT e.vec_id, m.m, s.sk, s.embedding AS semb,
+         list_aggregate(list_transform(range({_PQ_SUB}),
+             i -> {_pqd} * {_pqd}), 'sum') AS l2
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m
+  CROSS JOIN pseeds s
+),
+pbest AS (
+  SELECT vec_id, m, semb FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY l2 ASC, sk ASC) AS rn
+    FROM ppart) WHERE rn = 1
+),
+precon AS (
+  SELECT vec_id,
+         flatten(list(list_slice(semb, m * {_PQ_SUB} + 1,
+                                 (m + 1) * {_PQ_SUB}) ORDER BY m)) AS recon
+  FROM pbest GROUP BY vec_id
+),
+pq AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+pscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(
+           list_aggregate(list_transform(range(len(c.recon)),
+               i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(c.recon[i + 1] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(len(q.q_vec)),
+                 i -> CAST(q.q_vec[i + 1] AS DOUBLE) * CAST(q.q_vec[i + 1] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(len(c.recon)),
+                 i -> CAST(c.recon[i + 1] AS DOUBLE) * CAST(c.recon[i + 1] AS DOUBLE)), 'sum'))),
+         6) AS cosine_pq
+  FROM precon c CROSS JOIN pq q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_pq, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_pq DESC, neighbor_id ASC) AS rank
+  FROM pscored
+) WHERE rank <= 5
+""".strip()
+
     q["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

@@ -396,6 +396,107 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+PQ_M = 8  # subspaces
+PQ_K = 8  # codewords per subspace
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: for each of the ``m``
+    subspaces, the sub-vectors of the ``ksub`` corpus vectors with the
+    smallest ids (the seed-vector discipline of :func:`ivf_centroids` —
+    production would k-means each subspace; seeds keep the operator exactly
+    oracle-checkable).  codebook[mi][ki][j] — metadata-sized."""
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    )
+    d = len(seeds[0][1])
+    sub = d // m
+    return [
+        [[float(x) for x in s[1][mi * sub : (mi + 1) * sub]] for s in seeds]
+        for mi in range(m)
+    ]
+
+
+def _pq_code(vec: Column, cwords: list[list[float]], start: int) -> Column:
+    """0-based argmin-L2 codeword index for one subspace (ties -> smallest
+    index).  The L2 fold is sequential in index order — the engine-portable
+    float discipline (kgspark.vec_oracles docstring)."""
+    sub = len(cwords[0])
+    sl = F.slice(vec, start + 1, sub)
+    structs = []
+    for ki, cw in enumerate(cwords):
+        carr = F.array(*[F.lit(c) for c in cw])
+        l2 = F.aggregate(
+            F.zip_with(
+                sl, carr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(l2.alias("l2"), F.lit(ki).alias("k")))
+    return F.array_min(F.array(*structs))["k"]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN top-k (asymmetric distance computation,
+    Jégou et al. 2011): corpus vectors compress to ``m`` codeword indices
+    (here 64 floats → 8 codes — the 100 TB memory story: the serving set
+    holds codes + the metadata-sized codebook, never the raw vectors);
+    queries stay exact and score against the codeword RECONSTRUCTION.
+    Everything is deterministic — seed-vector codebook, index-order float
+    folds, ties to the smallest codeword/neighbor id — so the operator is
+    value-oracled like the IVF sibling, recall < 1 by design.
+
+    Scale shape: encoding is a narrow per-row projection (m × ksub small
+    L2 folds); scoring reuses the broadcast-queries brute-force shape of
+    :func:`cosine_topk` over the RECONSTRUCTED corpus (at warehouse scale
+    the codes column is what's stored; pair it with the IVF cell key for
+    the classic IVF-PQ composition).
+    """
+    cb = pq_codebook(corpus, id_col, vec_col, m, ksub)
+    sub = len(cb[0][0])
+    chosen = [
+        F.element_at(
+            F.array(*[F.array(*[F.lit(c) for c in cw]) for cw in cb[mi]]),
+            (_pq_code(F.col(vec_col), cb[mi], mi * sub) + 1).cast("int"),
+        )
+        for mi in range(m)
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.concat(*chosen).alias("r_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("cosine_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
 ) -> list[tuple[int, list[float]]]:
