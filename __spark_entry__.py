@@ -547,6 +547,15 @@ def _q_web_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology.negative_samples(canon.canonical_triples(b["triples"], cmap))
 
 
+def _q_web_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document entity association: integer LIFT (quotient-first
+    staged, int64-safe to 1e12 docs) per recurring unordered name pair —
+    the edge-weighting signal beyond raw adjacency.  Doc-keyed self-join
+    (fan-out bounded by per-doc entity counts) + one pair aggregate +
+    broadcast per-name counts."""
+    return ontology.entity_cooccurrence(_web_built(spark)["entities"])
+
+
 def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _web_built(spark)
     return canon.canonical_map(spark, b["entities"]).select(
@@ -914,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_plan": _q_docs_pack_plan,
         "docs_mixture_apply": _q_docs_mixture_apply,
         "ann_pq_topk": _q_ann_pq_topk,
+        "web_entity_cooccurrence": _q_web_entity_cooccurrence,
     }
 
 

@@ -234,6 +234,73 @@ def negative_samples(triples: DataFrame) -> DataFrame:
     )
 
 
+LIFT_MICRO = 10**6
+
+
+def entity_cooccurrence(entities: DataFrame) -> DataFrame:
+    """Pairwise entity association across documents: for each unordered
+    name pair co-occurring in >=2 documents, the observed/expected LIFT in
+    scaled integer form — ``lift_micro = ((n_ab * 1e6) div n_a) * N div
+    n_b`` (monotone-in-expectation transform of PMI: lift > 1e6 ⇔ PMI > 0
+    — and pure int64, so unlike ln-based PMI there is no float-rounding
+    boundary anywhere).  The product is staged QUOTIENT-FIRST (the
+    pagerank/hits discipline): ``n_ab <= n_a`` bounds the first factor by
+    1e6, so the second product stays under 1e6·N — int64-safe to a
+    trillion documents, where the naive ``n_ab * N * 1e6`` overflows.
+    The staged floor costs <=1 micro per stage; both engines stage
+    identically.  The association-strength
+    signal a KG-construction pipeline uses to weight candidate edges
+    beyond raw adjacency.
+
+    Scale shape: per-doc distinct names (one hash aggregate), pair
+    generation by a doc-keyed self-join (fan-out Σ e_d² over per-doc
+    entity counts — bounded by doc length, never corpus²), one pair
+    aggregate, then a broadcast join against the dim-sized per-name doc
+    counts.  The ≥2-doc floor keeps the output to recurring pairs.
+    """
+    de = entities.select(
+        F.col("doc_id"), F.col("entity_name").alias("name")
+    ).distinct()
+    n_total = de.select("doc_id").distinct().count()
+    per_name = de.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lhs = de.select("doc_id", F.col("name").alias("a"))
+    rhs = de.select("doc_id", F.col("name").alias("b"))
+    pairs = (
+        lhs.join(rhs, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_name.select(F.col("name").alias("a"), F.col("n_docs").alias("n_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                per_name.select(F.col("name").alias("b"), F.col("n_docs").alias("n_b"))
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(((n_ab * {LIFT_MICRO}) DIV n_a) * {n_total}"
+                f" DIV n_b AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
 def conformance_rollup(checked: DataFrame) -> DataFrame:
     """Per-predicate conformance counts over a ``validate`` output —
     the QA dashboard row: one partial-aggregate shuffle on the (tiny)

@@ -141,6 +141,31 @@ def _negative_sample_rows(ct_rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _cooccurrence_rows(ent_rows: list[tuple]) -> list[tuple]:
+    from collections import defaultdict
+    from itertools import combinations
+
+    docs_by_name: dict[str, set[str]] = defaultdict(set)
+    names_by_doc: dict[str, set[str]] = defaultdict(set)
+    for e in ent_rows:
+        name, doc = e[1], e[3]
+        docs_by_name[name].add(doc)
+        names_by_doc[doc].add(name)
+    n_total = len(names_by_doc)
+    pair_docs: dict[tuple[str, str], int] = defaultdict(int)
+    for names in names_by_doc.values():
+        for a, b in combinations(sorted(names), 2):
+            pair_docs[(a, b)] += 1
+    out = []
+    for (a, b), n_ab in pair_docs.items():
+        if n_ab < 2:
+            continue
+        n_a, n_b = len(docs_by_name[a]), len(docs_by_name[b])
+        lift = ((n_ab * 10**6) // n_a) * n_total // n_b
+        out.append((a, b, n_ab, n_a, n_b, lift))
+    return out
+
+
 def _link_prediction_rows(ct_rows: list[tuple], k: int = 50) -> list[tuple]:
     from collections import defaultdict
     from itertools import combinations
@@ -648,5 +673,10 @@ def build() -> dict[str, str]:
             _negative_sample_rows(ct_rows),
             ["subj", "pred", "obj", "neg_obj"],
             ["s"] * 4,
+        ),
+        "web_entity_cooccurrence": _values(
+            _cooccurrence_rows(ent_rows),
+            ["a", "b", "n_ab", "n_a", "n_b", "lift_micro"],
+            ["s", "s", "i", "i", "i", "i"],
         ),
     }

@@ -228,3 +228,25 @@ def test_validation_stage_is_broadcast_only(spark):
     # (dim-side distinct), i.e. none on the probe spine above the scan.
     spine = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in spine
+
+
+def test_entity_cooccurrence_integer_lift_hand_computed(spark):
+    """Staged quotient-first lift on a crafted corpus: positive and
+    negative association, the >=2-doc floor, and per-doc dedup."""
+    rows = []
+    # A and B co-occur in 3 of 4 docs; C appears alone in doc-4.
+    for d in ("d1", "d2", "d3"):
+        rows += [("eA" + d, "A", "T", d), ("eB" + d, "B", "T", d)]
+    rows += [("eC", "C", "T", "d4"), ("eA4", "A", "T", "d4")]
+    rows += [("eAdup", "A", "T", "d1")]  # same name twice in d1: dedup
+    ents = spark.createDataFrame(
+        rows, "entity_id string, entity_name string, entity_type string, doc_id string"
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift_micro"])
+        for r in ontology.entity_cooccurrence(ents).collect()
+    }
+    # N=4, A in 4 docs, B in 3, n_ab=3: ((3*1e6)//4)*4//3 = 750000*4//3 = 1000000
+    assert got[("A", "B")] == (3, 4, 3, 1_000_000)
+    # (A, C) co-occur once -> below the >=2 floor -> absent
+    assert ("A", "C") not in got and len(got) == 1
