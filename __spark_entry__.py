@@ -500,6 +500,14 @@ def _q_web_ontology_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology.validate(b["triples"], b["entities"])
 
 
+def _q_web_ontology_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate conformance dashboard over the ontology check: triple
+    counts, ok counts, independent domain/range violation counts.  One
+    hash aggregate on the (tiny) predicate key."""
+    b = _web_built(spark)
+    return ontology.conformance_rollup(ontology.validate(b["triples"], b["entities"]))
+
+
 def _q_web_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality QA: subjects asserting >=2 distinct objects under a
     functional predicate (OWL FunctionalProperty).  One hash aggregate on
@@ -924,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_apply": _q_docs_mixture_apply,
         "ann_pq_topk": _q_ann_pq_topk,
         "web_entity_cooccurrence": _q_web_entity_cooccurrence,
+        "web_ontology_rollup": _q_web_ontology_rollup,
     }
 
 

@@ -646,6 +646,17 @@ def build() -> dict[str, str]:
             sorted(type_counts.items()), ["entity_type", "n_entities"], ["s", "i"]
         ),
         "web_ontology_check": _ontology_check_sql(triple_rows, ent_rows),
+        "web_ontology_rollup": f"""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(*) FILTER (WHERE status = 'ok') AS BIGINT) AS n_ok,
+       CAST(count(*) FILTER (WHERE status IN ('domain', 'domain+range'))
+            AS BIGINT) AS n_domain_violations,
+       CAST(count(*) FILTER (WHERE status IN ('range', 'domain+range'))
+            AS BIGINT) AS n_range_violations
+FROM ({_ontology_check_sql(triple_rows, ent_rows)}) oc
+GROUP BY pred
+""".strip(),
         "web_functional_violations": _values(
             _functional_violation_rows(sorted(g.triples)),
             ["pred", "subj", "n_objects", "objects"],
