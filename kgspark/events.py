@@ -149,6 +149,13 @@ def anomaly_hours(
     (type, hour) rollup — the window input is |types| x |hours| rows, not
     the event count, so the sort is negligible at any corpus size.
     """
+    if window_s < 3600 or window_s % 3600:
+        # the frame's upper bound is one hour bucket back; a sub-hour or
+        # non-hour-multiple window would invert the RANGE frame / shear
+        # the hourly grid
+        raise ValueError(
+            f"window_s must be a positive multiple of 3600, got {window_s}"
+        )
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))

@@ -523,7 +523,11 @@ def components(triples: DataFrame) -> DataFrame:
 KCORE_ITERS = 8
 
 
-def kcore(triples: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
+def kcore(
+    triples: DataFrame,
+    iters: int = KCORE_ITERS,
+    assert_converged: bool = False,
+) -> DataFrame:
     """k-core decomposition via the neighborhood h-index fixed point
     (Lü, Chen, Ren, Zhou, Zhang & Stanley 2016, "The H-index of a network
     node"): initialize c₀(v) = deg(v); each round
@@ -534,7 +538,14 @@ def kcore(triples: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
     as "``iters`` synchronous rounds" (like pagerank/hits) so the oracle can
     unroll the identical recurrence; a convergence test pins that ``iters``
     rounds reach the fixed point on the test corpora (the closed-vocabulary
-    name graph converges in 2-3 rounds; diameter-bounded in general).
+    name graph converges in 2-3 rounds).  HONESTY BOUND: convergence needs
+    up to graph-radius rounds — a long path/chain of radius > ``iters``
+    returns the (still monotonically decreasing, hence upper-bound)
+    ``iters``-round iterate, NOT final coreness.  Callers on unknown
+    topology either raise ``iters`` (the oracle unrolls whatever
+    KCORE_ITERS says) or pass ``assert_converged=True``, which runs ONE
+    extra round and raises if anything still moved
+    (raise-instead-of-wrong-rows, the time-travel discipline).
 
     Per-round plan: one edge⋈state join shuffled on the neighbor key + one
     hash aggregate computing the h-index with Catalyst HOFs
@@ -579,6 +590,29 @@ def kcore(triples: DataFrame, iters: int = KCORE_ITERS) -> DataFrame:
     result = truncate_lineage(
         cur.select("name", F.col("val").alias("coreness"))
     )
+    if assert_converged:
+        nxt = (
+            adj2.join(
+                result.select(
+                    F.col("name").alias("nb"), F.col("coreness").alias("nbval")
+                ),
+                "nb",
+            )
+            .groupBy("name")
+            .agg(h_index.alias("val"))
+        )
+        moved = (
+            result.join(nxt, "name")
+            .filter(F.col("coreness") != F.col("val"))
+            .limit(1)
+            .count()
+        )
+        if moved:
+            adj2.unpersist()
+            raise ValueError(
+                f"kcore did not converge in {iters} rounds (graph radius"
+                f" exceeds the round budget) — raise iters"
+            )
     adj2.unpersist()
     return result
 

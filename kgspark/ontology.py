@@ -34,10 +34,17 @@ def validate(triples: DataFrame, entities: DataFrame) -> DataFrame:
       * ``range``             — object type not allowed for the predicate
       * ``domain+range``      — both violated
       * ``unknown_predicate`` — predicate absent from the ontology
+
+    The entity-type dimension is made UNIQUE per name (first-wins
+    ``min(entity_type)`` — the repo's deterministic-merge discipline)
+    before joining: extraction types are per-mention, so a surface form
+    typed differently in different documents would otherwise fan each
+    triple out into several rows with contradictory statuses (and inflate
+    the conformance rollup).  Each input triple annotates exactly once.
     """
     spark = triples.sparkSession
-    types = (
-        entities.select(F.col("entity_name"), F.col("entity_type")).distinct()
+    types = entities.groupBy("entity_name").agg(
+        F.min("entity_type").alias("entity_type")
     )
     dom = spark.createDataFrame(
         spec.web_ontology_domain_rows(), schema="pred string, subj_type string"

@@ -415,7 +415,15 @@ def pq_codebook(
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     )
+    if not seeds:
+        raise ValueError("pq_codebook: empty corpus")
     d = len(seeds[0][1])
+    if d % m:
+        raise ValueError(
+            f"pq_codebook: dim {d} not divisible by m={m} subspaces"
+            " (a silent remainder would drop trailing dimensions from"
+            " every reconstruction)"
+        )
     sub = d // m
     return [
         [[float(x) for x in s[1][mi * sub : (mi + 1) * sub]] for s in seeds]
@@ -476,25 +484,15 @@ def pq_topk(
         )
         for mi in range(m)
     ]
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.concat(*chosen).alias("r_vec")
+    recon = corpus.select(
+        F.col(id_col), F.concat(*chosen).alias(vec_col)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("cosine_pq"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_pq").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    # scoring = exactly cosine_topk over the reconstructed corpus (one
+    # shared implementation of the broadcast join / self-exclusion /
+    # round-6 / tie-break shape — the exact and PQ variants cannot drift)
+    return cosine_topk(
+        recon, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).withColumnRenamed("cosine", "cosine_pq")
 
 
 def ivf_centroids(

@@ -51,8 +51,14 @@ def _ontology_check_sql(triple_rows: list[tuple], ent_rows: list[tuple]) -> str:
     golden-entity VALUES — same join/CASE logic the Spark side compiles, so
     the compare exercises the broadcast-join validation independently of
     the Catalyst plan.  Ontology rows come from kgspark.spec (shared config,
-    not shared logic — same pattern as the alias dictionary)."""
-    type_rows = sorted({(e[1], e[2]) for e in ent_rows})  # (name, type)
+    not shared logic — same pattern as the alias dictionary).  The type dim
+    is unique per name (min type — mirrors validate()'s first-wins merge,
+    so a multi-typed surface form never fans a triple out)."""
+    by_name: dict[str, str] = {}
+    for e in ent_rows:
+        if e[1] not in by_name or e[2] < by_name[e[1]]:
+            by_name[e[1]] = e[2]
+    type_rows = sorted(by_name.items())  # (name, min type)
     tri = _values(triple_rows, ["subj", "pred", "obj", "doc_id"], ["s"] * 4)
     ty = _values(type_rows, ["entity_name", "entity_type"], ["s", "s"])
     dom = _values(

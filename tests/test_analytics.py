@@ -779,3 +779,15 @@ def test_mixture_apply_realizes_the_plan(spark):
     # determinism
     out2 = textops.mixture_apply(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_anomaly_hours_rejects_sub_hour_windows(spark):
+    import pytest
+    from kgspark import events as ev
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    for bad in (1800, 0, 4000):
+        with pytest.raises(ValueError, match="multiple of 3600"):
+            ev.anomaly_hours(df, window_s=bad)

@@ -283,3 +283,22 @@ def test_kcore_matches_independent_peeling_and_converges(spark):
     # have converged on this graph class)
     more = {r_["name"]: r_["coreness"] for r_ in graph.kcore(t, iters=graph.KCORE_ITERS + 1).collect()}
     assert more == got
+
+
+def test_kcore_round_budget_honesty_on_long_path(spark):
+    """A radius-10 path exceeds the default 8-round budget: the iterate is
+    a (correct) upper bound, assert_converged raises, and a bigger budget
+    reaches the true all-ones coreness."""
+    import pytest
+
+    edges = {(f"p{i:02d}", f"p{i + 1:02d}") for i in range(20)}
+    t = _kcore_triples(spark, edges)
+    got8 = {r["name"]: r["coreness"] for r in graph.kcore(t).collect()}
+    want = _peel_coreness(edges)  # all 1s on a path
+    assert all(v == 1 for v in want.values())
+    assert all(got8[n] >= want[n] for n in want)  # monotone upper bound
+    assert any(got8[n] > want[n] for n in want)   # ...not yet converged
+    with pytest.raises(ValueError, match="did not converge"):
+        graph.kcore(t, assert_converged=True)
+    got12 = {r["name"]: r["coreness"] for r in graph.kcore(t, iters=12, assert_converged=True).collect()}
+    assert got12 == want

@@ -250,3 +250,29 @@ def test_entity_cooccurrence_integer_lift_hand_computed(spark):
     assert got[("A", "B")] == (3, 4, 3, 1_000_000)
     # (A, C) co-occur once -> below the >=2 floor -> absent
     assert ("A", "C") not in got and len(got) == 1
+
+
+def test_validate_multi_typed_name_annotates_each_triple_once(spark):
+    """A surface form typed differently across documents must NOT fan the
+    triple out into contradictory rows: the type dim merges first-wins
+    (min type) and each input triple annotates exactly once."""
+    triples = spark.createDataFrame(
+        [("Ada Lovelace", "works_at", "Acme Corp", "doc-1")],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    entities = spark.createDataFrame(
+        [
+            ("Ada Lovelace", "Person"),
+            ("Ada Lovelace", "Organization"),  # conflicting mention type
+            ("Acme Corp", "Organization"),
+        ],
+        "entity_name string, entity_type string",
+    )
+    rows = ontology.validate(triples, entities).collect()
+    assert len(rows) == 1
+    # min("Organization", "Person") = "Organization" -> domain violation
+    assert (rows[0]["subj_type"], rows[0]["status"]) == ("Organization", "domain")
+    roll = ontology.conformance_rollup(
+        ontology.validate(triples, entities)
+    ).collect()
+    assert roll[0]["n_triples"] == 1  # rollup counts the triple once

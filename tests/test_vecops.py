@@ -274,3 +274,17 @@ def test_pq_codes_compress_and_reconstruction_is_codebook_exact(spark):
     a = sorted(map(tuple, top.collect()))
     b = sorted(map(tuple, top.collect()))
     assert a == b and len(a) > 0
+
+
+def test_pq_codebook_guards(spark):
+    import pytest
+    from kgspark import vecops
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        vecops.pq_codebook(empty)
+    odd = spark.createDataFrame(
+        [(0, [0.1] * 65), (1, [0.2] * 65)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        vecops.pq_codebook(odd)
