@@ -233,6 +233,13 @@ def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type Markov rollup: consecutive-pair counts under
+    the sessionize total order + integer row-normalized probabilities
+    (p_micro).  One user_id shuffle + one type-pair aggregate."""
+    return events.transitions(_t(spark, sf_dir, "events"))
+
+
 def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact count-spike detection per (event_type, hour): spike
     when n * trailing_hours > factor * trailing_sum over a 24h RANGE frame
@@ -562,6 +569,17 @@ def _q_web_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fan-out bounded by per-doc entity counts) + one pair aggregate +
     broadcast per-name counts."""
     return ontology.entity_cooccurrence(_web_built(spark)["entities"])
+
+
+def _q_web_temporal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple validity intervals over the canonical graph: (first_seen,
+    last_seen) crawl window + distinct-doc support per (subj, pred, obj).
+    One doc-key join + one triple-key hash aggregate."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return ontology.temporal_triples(
+        canon.canonical_triples(b["triples"], cmap), b["docs"]
+    )
 
 
 def _q_web_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "web_entity_cooccurrence": _q_web_entity_cooccurrence,
         "web_ontology_rollup": _q_web_ontology_rollup,
+        "web_temporal_triples": _q_web_temporal_triples,
+        "events_transitions": _q_events_transitions,
     }
 
 

@@ -181,6 +181,42 @@ def anomaly_hours(
     )
 
 
+TRANSITION_MICRO = 10**6
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type Markov rollup: for each (from_type, to_type)
+    pair of CONSECUTIVE events within a user's stream (ordered by ts, ties
+    by event_id — the sessionize total order), the transition count and
+    the scaled-integer conditional probability
+    ``p_micro = n * 1e6 div n_from`` (row-normalized transition matrix in
+    micro units — integer-exact, no float division).
+
+    Scale shape: one user_id shuffle for the lead() window (the same
+    single-shuffle discipline as sessionize), one hash aggregate on the
+    tiny (from, to) type-pair key, and a broadcast join of the per-from
+    totals (|types| rows).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.expr(f"CAST(n_transitions * {TRANSITION_MICRO} DIV n_from AS BIGINT)")
+        .alias("p_micro"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
     from the free-form ``props`` JSON column — codegen, no UDF."""

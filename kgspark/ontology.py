@@ -241,6 +241,28 @@ def negative_samples(triples: DataFrame) -> DataFrame:
     )
 
 
+def temporal_triples(triples: DataFrame, docs: DataFrame) -> DataFrame:
+    """Triple validity intervals: for each (subj, pred, obj), the crawl
+    window over which it was asserted — (first_seen, last_seen) from the
+    asserting documents' warc_ts plus the distinct-doc assertion count.
+    The temporal axis of :func:`triple_support`: fusion consumers weight
+    by support, temporal consumers filter by interval ("what did the KG
+    believe during June").  Timestamps emit as UTC-pinned strings
+    (timezone-free on both engines, the current_facts discipline).
+
+    Scale shape: one doc-key join + ONE hash aggregate on the triple key
+    with map-side partials; no windows, no collect.
+    """
+    td = triples.join(docs.select("doc_id", "warc_ts"), "doc_id")
+    return td.groupBy("subj", "pred", "obj").agg(
+        F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("first_seen"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("last_seen"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 LIFT_MICRO = 10**6
 
 

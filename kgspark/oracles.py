@@ -1249,6 +1249,31 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
 FROM awin
 """.strip()
 
+    # Markov transition rollup (kgspark.events.transitions): lead() under
+    # the sessionize total order, integer row-normalized probabilities.
+    from .events import TRANSITION_MICRO
+
+    q["events_transitions"] = f"""
+WITH tp AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tc AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM tp WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tt AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM tc GROUP BY 1
+)
+SELECT tc.from_type, tc.to_type, tc.n_transitions, tt.n_from,
+       CAST(tc.n_transitions * {TRANSITION_MICRO} // tt.n_from AS BIGINT)
+       AS p_micro
+FROM tc JOIN tt USING (from_type)
+""".strip()
+
     q["text_bpe_token_counts"] = r"""
 SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

@@ -129,6 +129,27 @@ def _current_fact_rows(
     ]
 
 
+def _temporal_triple_rows(
+    ct_rows: list[tuple], ts_by_doc: dict[str, object]
+) -> list[tuple]:
+    agg: dict[tuple[str, str, str], list] = {}
+    for s, p, o, d in ct_rows:
+        ts = ts_by_doc[d]
+        a = agg.setdefault((s, p, o), [ts, ts, set()])
+        a[0] = min(a[0], ts)
+        a[1] = max(a[1], ts)
+        a[2].add(d)
+    return [
+        (
+            s, p, o,
+            fs.strftime("%Y-%m-%d %H:%M:%S"),
+            ls.strftime("%Y-%m-%d %H:%M:%S"),
+            len(ds),
+        )
+        for (s, p, o), (fs, ls, ds) in agg.items()
+    ]
+
+
 def _negative_sample_rows(ct_rows: list[tuple]) -> list[tuple]:
     names = sorted(
         {s for s, _p, _o, _d in ct_rows} | {o for _s, _p, o, _d in ct_rows}
@@ -695,5 +716,12 @@ GROUP BY pred
             _cooccurrence_rows(ent_rows),
             ["a", "b", "n_ab", "n_a", "n_b", "lift_micro"],
             ["s", "s", "i", "i", "i", "i"],
+        ),
+        "web_temporal_triples": _values(
+            _temporal_triple_rows(
+                ct_rows, {k: v["warc_ts"] for k, v in g.docs.items()}
+            ),
+            ["subj", "pred", "obj", "first_seen", "last_seen", "n_docs"],
+            ["s", "s", "s", "s", "s", "i"],
         ),
     }

@@ -791,3 +791,38 @@ def test_anomaly_hours_rejects_sub_hour_windows(spark):
     for bad in (1800, 0, 4000):
         with pytest.raises(ValueError, match="multiple of 3600"):
             ev.anomaly_hours(df, window_s=bad)
+
+
+def test_transitions_markov_rollup_hand_computed(spark):
+    """Transition counts + integer row-normalized probabilities on a
+    crafted two-user stream, including the cross-user boundary (no pair
+    spans users) and the ts/event_id total order."""
+    import datetime as dt
+    from kgspark import events as ev
+
+    b = dt.datetime(2025, 6, 1)
+    rows = [
+        # user 1: click -> view -> click -> buy
+        (1, b, 1, "click", 0.0, "{}"),
+        (2, b + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        (3, b + dt.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+        (4, b + dt.timedelta(minutes=3), 1, "buy", 0.0, "{}"),
+        # user 2: view -> click  (no pair crosses into user 1)
+        (5, b, 2, "view", 0.0, "{}"),
+        (6, b + dt.timedelta(minutes=1), 2, "click", 0.0, "{}"),
+        # equal-ts tie within user 2 ordered by event_id: click -> buy
+        (7, b + dt.timedelta(minutes=1), 2, "buy", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["n_from"], r["p_micro"])
+        for r in ev.transitions(df).collect()
+    }
+    # from click: ->view (1), ->buy (2: user1 click->buy, user2 click->buy)
+    assert got[("click", "view")] == (1, 3, 333_333)
+    assert got[("click", "buy")] == (2, 3, 666_666)
+    assert got[("view", "click")] == (2, 2, 1_000_000)
+    assert sum(n for (f, _t2), (n, _nf, _p) in got.items() if f == "view") == 2
+    assert len(got) == 3

@@ -276,3 +276,37 @@ def test_validate_multi_typed_name_annotates_each_triple_once(spark):
         ontology.validate(triples, entities)
     ).collect()
     assert roll[0]["n_triples"] == 1  # rollup counts the triple once
+
+
+def test_temporal_triples_validity_interval(spark):
+    import datetime as dt
+
+    triples = spark.createDataFrame(
+        [
+            ("A", "works_at", "B", "doc-1"),
+            ("A", "works_at", "B", "doc-2"),
+            ("A", "works_at", "B", "doc-2"),  # same doc twice: n_docs=2
+            ("C", "visited", "D", "doc-3"),
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("doc-1", dt.datetime(2025, 1, 5)),
+            ("doc-2", dt.datetime(2025, 4, 1)),
+            ("doc-3", dt.datetime(2025, 2, 2)),
+        ],
+        "doc_id string, warc_ts timestamp",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["first_seen"], r["last_seen"], r["n_docs"]
+        )
+        for r in ontology.temporal_triples(triples, docs).collect()
+    }
+    assert got[("A", "works_at", "B")] == (
+        "2025-01-05 00:00:00", "2025-04-01 00:00:00", 2
+    )
+    assert got[("C", "visited", "D")] == (
+        "2025-02-02 00:00:00", "2025-02-02 00:00:00", 1
+    )
