@@ -215,3 +215,130 @@ def test_duplicate_spans_matches_bruteforce(spark):
         for r in textops.duplicate_spans(docs).collect()
     }
     assert got == expected and len(got) > 5
+
+
+def test_pack_plan_tiles_under_random_corpora(spark):
+    """Brute-force property: for ANY document multiset, pack_plan's
+    offsets tile the concatenated token stream exactly — no gaps, no
+    overlaps, total mass preserved, window arithmetic consistent — and a
+    repartitioned input yields the identical plan (the distributed prefix
+    sum is partition-invariant)."""
+    import random
+
+    from kgspark import textops
+
+    for seed in (3, 11, 29):
+        r = random.Random(seed)
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [
+            (i, " ".join(r.choice(words) for _ in range(r.randint(1, 40))), "en")
+            for i in range(r.randint(30, 90))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = sorted(
+            (x["start_offset"], x["n_tokens"]) for x in textops.pack_plan(docs, ctx=32).collect()
+        )
+        pos = 0
+        for start, n in out:
+            assert start == pos, f"seed {seed}: gap/overlap at {start} != {pos}"
+            pos += n
+        # distinct texts only (duplicates pack once)
+        n_distinct = len({t.strip() for _i, t, _l in rows if t.strip()})
+        assert len(out) == n_distinct
+        out2 = sorted(
+            (x["start_offset"], x["n_tokens"])
+            for x in textops.pack_plan(docs.repartition(7), ctx=32).collect()
+        )
+        assert out2 == out
+
+
+def test_kcore_matches_peeling_across_random_graphs(spark):
+    """Brute-force property: the h-index fixed point equals classic
+    peeling coreness on random graphs of varying density (converged runs
+    gated by assert_converged; sparse graphs get a bigger round budget)."""
+    import random
+
+    from kgspark import graph
+    from tests.test_graph import _kcore_triples, _peel_coreness
+
+    for seed, n_nodes, n_edges, iters in ((5, 30, 40, 16), (13, 30, 90, 10), (21, 50, 200, 10)):
+        r = random.Random(seed)
+        nodes = [f"v{i:02d}" for i in range(n_nodes)]
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = r.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        got = {
+            x["name"]: x["coreness"]
+            for x in graph.kcore(
+                _kcore_triples(spark, edges), iters=iters, assert_converged=True
+            ).collect()
+        }
+        assert got == _peel_coreness(edges), f"seed {seed} diverged"
+
+
+def test_transitions_chain_conservation(spark):
+    """Brute-force property: transition counts reconstruct every user's
+    chain — Σ n_transitions == Σ_u (events_u - 1), per-from rows sum to
+    n_from, and p_micro is the exact integer quotient."""
+    import datetime as dt
+    import random
+
+    from kgspark import events as ev
+
+    r = random.Random(17)
+    types = ["click", "view", "buy", "error"]
+    rows = []
+    eid = 0
+    per_user = {}
+    for u in range(12):
+        k = r.randint(1, 15)
+        per_user[u] = k
+        for j in range(k):
+            rows.append(
+                (eid, dt.datetime(2025, 6, 1) + dt.timedelta(minutes=j), u,
+                 r.choice(types), 0.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ev.transitions(df).collect()
+    assert sum(x["n_transitions"] for x in out) == sum(k - 1 for k in per_user.values())
+    from collections import defaultdict
+
+    by_from = defaultdict(int)
+    for x in out:
+        by_from[x["from_type"]] += x["n_transitions"]
+        assert x["p_micro"] == x["n_transitions"] * 10**6 // x["n_from"]
+    for x in out:
+        assert by_from[x["from_type"]] == x["n_from"]
+
+
+def test_mixture_apply_copy_counts_bound_by_weight(spark):
+    """Brute-force property: every emitted doc's copy count is exactly
+    floor(weight/1e6) or floor(weight/1e6)+1, and the realized per-lang
+    total sits inside the deterministic-rounding band."""
+    import random
+
+    from kgspark import spec as kspec, textops
+
+    r = random.Random(31)
+    langs = list(kspec.MIXTURE_TARGETS_MICRO) + ["xx"]
+    rows = [(i, "t", r.choice(langs)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = {x["lang"]: x["weight_micro"] for x in textops.mixture_plan(docs).collect()}
+    from collections import Counter
+
+    copies = Counter(
+        (x["doc_id"], x["lang"]) for x in textops.mixture_apply(docs).collect()
+    )
+    n_lang = Counter(lang for _i, _t, lang in rows)
+    for (doc_id, lang), n in copies.items():
+        w = plan[lang]
+        assert n in (w // 10**6, w // 10**6 + 1)
+    for lang, w in plan.items():
+        realized = sum(n for (_d, l), n in copies.items() if l == lang)
+        lo, hi = n_lang[lang] * (w // 10**6), n_lang[lang] * (w // 10**6 + 1)
+        assert lo <= realized <= hi
+    assert all(l != "xx" for _d, l in copies)
