@@ -125,6 +125,72 @@ def dedup_stream(
     )
 
 
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming twin of
+    :func:`kgspark.events.transitions` — per-user consecutive event-type
+    pairs across micro-batches.
+
+    ``applyInPandasWithState`` keyed on user_id; state carries the user's
+    LAST event (ts, event_id, event_type), so the first event of a new
+    micro-batch pairs with the final event of any earlier batch — the
+    cross-batch boundary a per-batch window cannot see.  Within a batch,
+    rows sort by the sessionize total order (ts, event_id) before pairing.
+
+    CONTRACT (documented, tested): per-user event-time-ordered arrival
+    across micro-batches — the replay/backfill shape (AvailableNow over
+    time-partitioned drops).  An out-of-order source needs a watermark
+    reorder buffer upstream; pairing late data here would silently attach
+    it to the wrong predecessor, so the operator is specified for ordered
+    replay rather than guessing.
+
+    Output: one (user_id, from_type, to_type, ts) row per transition,
+    append mode — downstream aggregation to the transition matrix is the
+    same groupBy the batch operator runs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        last_type = state.get[2] if state.exists else None
+        out_from, out_to, out_ts = [], [], []
+        for ts, eid, etype in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+            if last_type is not None:
+                out_from.append(last_type)
+                out_to.append(etype)
+                out_ts.append(ts)
+            last_type = etype
+        tail = rows.iloc[-1]
+        state.update(
+            (int(tail["ts"].value // 1000), int(tail["event_id"]), str(tail["event_type"]))
+        )
+        if out_from:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "from_type": out_from,
+                    "to_type": out_to,
+                    "ts": out_ts,
+                }
+            )
+
+    return events.select("user_id", "ts", "event_id", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, from_type string, to_type string, ts timestamp",
+        stateStructType="last_ts_us long, last_event_id long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def docs_per_window(
     web_pages: DataFrame,
     window: str = "1 hour",

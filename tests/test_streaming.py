@@ -263,3 +263,58 @@ def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
     q.awaitTermination()
     streamed = {tuple(r) for r in spark.table("ivl_join").collect()}
     assert streamed == batch
+
+
+def test_transitions_stream_matches_batch_across_batch_boundary(spark, tmp_path):
+    """streaming.transitions_stream (applyInPandasWithState, per-user
+    last-event carry) reconstructs exactly the batch transition multiset —
+    including the pairs that SPAN micro-batches (events split into two
+    ordered drops on the ts median, so every user's boundary pair
+    straddles the drop)."""
+    import shutil
+
+    from .conftest import SF_UNIT
+
+    path = os.path.join(SF_UNIT, "events.parquet")
+    static = spark.read.parquet(path)
+    batch = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in events_mod.transitions(static).collect()
+    }
+    assert batch
+
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    mid = static.select(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).first()[0]
+    halves = [
+        static.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= mid),
+        static.filter(F.unix_micros(F.col("ts").cast("timestamp")) > mid),
+    ]
+    for i, half in enumerate(halves):
+        side = str(tmp_path / f"side-{i}")
+        half.coalesce(1).write.parquet(side)
+        part = next(f for f in os.listdir(side) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(side, part),
+                    os.path.join(stream_dir, f"drop-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming.transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from collections import Counter
+
+    streamed = Counter(
+        (r["from_type"], r["to_type"])
+        for r in spark.table("trans_stream").collect()
+    )
+    assert dict(streamed) == batch
