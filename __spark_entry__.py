@@ -233,6 +233,12 @@ def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile (first/last seen, lifetime days,
+    distinct active days, event count) — one user_id hash aggregate."""
+    return events.user_lifetime(_t(spark, sf_dir, "events"))
+
+
 def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type Markov rollup: consecutive-pair counts under
     the sessionize total order + integer row-normalized probabilities
@@ -569,6 +575,16 @@ def _q_web_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fan-out bounded by per-doc entity counts) + one pair aggregate +
     broadcast per-name counts."""
     return ontology.entity_cooccurrence(_web_built(spark)["entities"])
+
+
+def _q_web_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality over the canonical name graph:
+    integer fixed-point (1e6 div d per reachable other), level-synchronous
+    multi-source BFS, O(diameter) rounds; K-sampled-sources is the
+    documented web-scale path.  Oracle is an independent Python BFS."""
+    b = _web_built(spark)
+    cmap = canon.canonical_map(spark, b["entities"])
+    return graph.harmonic_closeness(canon.canonical_triples(b["triples"], cmap))
 
 
 def _q_web_temporal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ontology_rollup": _q_web_ontology_rollup,
         "web_temporal_triples": _q_web_temporal_triples,
         "events_transitions": _q_events_transitions,
+        "events_user_lifetime": _q_events_user_lifetime,
+        "web_graph_closeness": _q_web_graph_closeness,
     }
 
 

@@ -217,6 +217,25 @@ def transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def user_lifetime(events: DataFrame) -> DataFrame:
+    """Per-user engagement rollup: first/last event timestamps (UTC-pinned
+    strings), lifetime span in whole days, distinct active days, and total
+    event count — the user-level profile every retention/LTV analysis
+    starts from (the per-user sibling of the cohort retention rollup).
+
+    Scale shape: ONE hash aggregate on user_id with map-side partials
+    (min/max/count fold; the distinct-days term is a datediff-free
+    count_distinct over the date projection).  No windows, no joins.
+    """
+    return events.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("lifetime_days"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """F13 analog (pipeline.rs:253-256 JSON path access): typed extraction
     from the free-form ``props`` JSON column — codegen, no UDF."""

@@ -520,6 +520,79 @@ def components(triples: DataFrame) -> DataFrame:
     )
 
 
+CLOSENESS_SCALE = 10**6
+
+
+def harmonic_closeness(
+    triples: DataFrame,
+    n_sources: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Harmonic closeness centrality over the undirected name graph:
+    ``H(v) = Σ_u 1/d(v, u)`` over reachable others, in scaled INTEGER
+    arithmetic (each distance contributes ``1e6 div d`` — bit-exact, no
+    float sums; the harmonic form handles disconnected graphs where
+    classic closeness is undefined).  Also returns ``n_reachable``.
+
+    Level-synchronous multi-source BFS: the frontier is (src, node) pairs,
+    one shuffle join against the adjacency + one visited anti-join per
+    round, O(diameter) rounds, lineage truncated per round — the same loop
+    discipline as bfs_paths/components.  With all nodes as sources the
+    total state is O(n·m) worst case; at web scale pass ``n_sources`` to
+    run the standard K-sampled-sources estimate (deterministic: the K
+    lexicographically-smallest names), which bounds state by K·m.
+    """
+    e = name_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("name"), F.col("b").alias("nb"))
+        .union(e.select(F.col("b").alias("name"), F.col("a").alias("nb")))
+        .persist()
+    )
+    nodes = adj.select("name").distinct()
+    sources = (
+        nodes.orderBy("name").limit(n_sources) if n_sources else nodes
+    ).select(F.col("name").alias("src"))
+    frontier = sources.select("src", F.col("src").alias("node")).persist()
+    visited = frontier
+    per_round = []
+    dist = 0
+    while dist < max_iters:
+        dist += 1
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["name"])
+            .select("src", F.col("nb").alias("node"))
+            .distinct()
+            .join(visited, ["src", "node"], "left_anti")
+        )
+        nxt = truncate_lineage(nxt).persist()
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        per_round.append(
+            nxt.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.count(F.lit(1)) * (CLOSENESS_SCALE // dist))
+                .cast("long")
+                .alias("h"),
+            )
+        )
+        visited = truncate_lineage(visited.union(nxt)).persist()
+        frontier = nxt
+    adj.unpersist()
+    spark = triples.sparkSession
+    if not per_round:
+        return spark.createDataFrame(
+            [], "name string, n_reachable long, harmonic_micro long"
+        )
+    allr = per_round[0]
+    for r in per_round[1:]:
+        allr = allr.union(r)
+    return allr.groupBy(F.col("src").alias("name")).agg(
+        F.sum("n").cast("long").alias("n_reachable"),
+        F.sum("h").cast("long").alias("harmonic_micro"),
+    )
+
+
 KCORE_ITERS = 8
 
 

@@ -1249,6 +1249,20 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
 FROM awin
 """.strip()
 
+    # Per-user lifetime rollup (kgspark.events.user_lifetime): one fold;
+    # datediff restated as whole-day date subtraction, NTZ dates are
+    # timezone-free under the pinned-UTC sessions on both engines.
+    q["events_user_lifetime"] = """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+            AS BIGINT) AS lifetime_days,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""".strip()
+
     # Markov transition rollup (kgspark.events.transitions): lead() under
     # the sessionize total order, integer row-normalized probabilities.
     from .events import TRANSITION_MICRO

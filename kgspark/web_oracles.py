@@ -193,6 +193,31 @@ def _cooccurrence_rows(ent_rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _closeness_rows(ct_rows: list[tuple]) -> list[tuple]:
+    from collections import defaultdict, deque
+
+    nbrs: dict[str, set[str]] = defaultdict(set)
+    for s, _p, o, _d in ct_rows:
+        if s != o:
+            nbrs[s].add(o)
+            nbrs[o].add(s)
+    out = []
+    for src in nbrs:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        others = [d for n, d in dist.items() if n != src]
+        out.append(
+            (src, len(others), sum(10**6 // d for d in others))
+        )
+    return out
+
+
 def _link_prediction_rows(ct_rows: list[tuple], k: int = 50) -> list[tuple]:
     from collections import defaultdict
     from itertools import combinations
@@ -716,6 +741,11 @@ GROUP BY pred
             _cooccurrence_rows(ent_rows),
             ["a", "b", "n_ab", "n_a", "n_b", "lift_micro"],
             ["s", "s", "i", "i", "i", "i"],
+        ),
+        "web_graph_closeness": _values(
+            _closeness_rows(ct_rows),
+            ["name", "n_reachable", "harmonic_micro"],
+            ["s", "i", "i"],
         ),
         "web_temporal_triples": _values(
             _temporal_triple_rows(

@@ -302,3 +302,24 @@ def test_kcore_round_budget_honesty_on_long_path(spark):
         graph.kcore(t, assert_converged=True)
     got12 = {r["name"]: r["coreness"] for r in graph.kcore(t, iters=12, assert_converged=True).collect()}
     assert got12 == want
+
+
+def test_harmonic_closeness_hand_computed(spark):
+    """Path A-B-C plus disconnected pair X-Y: harmonic sums of 1e6 div d,
+    reachability never crosses components, and n_sources sampling limits
+    output to the K lexicographically-smallest names."""
+    edges = {("A", "B"), ("B", "C"), ("X", "Y")}
+    t = _kcore_triples(spark, edges)
+    got = {
+        r["name"]: (r["n_reachable"], r["harmonic_micro"])
+        for r in graph.harmonic_closeness(t).collect()
+    }
+    # A: d(B)=1, d(C)=2 -> 1e6 + 500000; B: two at d=1 -> 2e6; X/Y: one at d=1
+    assert got["A"] == (2, 1_500_000)
+    assert got["C"] == (2, 1_500_000)
+    assert got["B"] == (2, 2_000_000)
+    assert got["X"] == (1, 1_000_000) and got["Y"] == (1, 1_000_000)
+    sampled = {
+        r["name"] for r in graph.harmonic_closeness(t, n_sources=2).collect()
+    }
+    assert sampled == {"A", "B"}
