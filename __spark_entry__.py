@@ -233,6 +233,12 @@ def _q_docs_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU / 7-day WAU / integer stickiness — WAU via the bounded
+    explode-to-covering-days decomposition, never an inequality join."""
+    return events.rolling_active(_t(spark, sf_dir, "events"))
+
+
 def _q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user engagement profile (first/last seen, lifetime days,
     distinct active days, event count) — one user_id hash aggregate."""
@@ -969,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ontology_rollup": _q_web_ontology_rollup,
         "web_temporal_triples": _q_web_temporal_triples,
         "events_transitions": _q_events_transitions,
+        "events_rolling_active": _q_events_rolling_active,
         "events_user_lifetime": _q_events_user_lifetime,
         "web_graph_closeness": _q_web_graph_closeness,
     }

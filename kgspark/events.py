@@ -217,6 +217,55 @@ def transitions(events: DataFrame) -> DataFrame:
     )
 
 
+STICKINESS_MICRO = 10**6
+
+
+def rolling_active(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Per-day active-user rollup: DAU (distinct users that day), WAU
+    (distinct users active in the ``window_days``-day window ENDING that
+    day), and the integer stickiness ratio
+    ``stickiness_micro = dau * 1e6 div wau`` — the DAU/WAU engagement
+    dashboard every growth analysis runs over the event log.  Days are the
+    calendar days PRESENT in the data (no gap fill).
+
+    Scale shape: the naive WAU is an inequality join (day BETWEEN d-6 AND
+    d) — quadratic in busy ranges and unshuffleable as an equi-join.
+    Instead each distinct (user, day) activity row explodes to the
+    ``window_days`` rollup days it covers (bounded 7x fan-out of the
+    ALREADY-DEDUPED pair set, not the raw log), distincts once more, and
+    WAU becomes one hash aggregate on the day key.  The day dimension is
+    broadcast (|days| rows) to prune cover days past the data's horizon.
+    The ORACLE states the spec with exactly the naive inequality join
+    (single-node DuckDB is fine with it) — the parity compare proves the
+    explode decomposition reproduces it bit-exact.
+    """
+    ud = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    wau = (
+        cover.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr(f"CAST(dau * {STICKINESS_MICRO} DIV wau AS BIGINT)").alias(
+                "stickiness_micro"
+            ),
+        )
+    )
+
+
 def user_lifetime(events: DataFrame) -> DataFrame:
     """Per-user engagement rollup: first/last event timestamps (UTC-pinned
     strings), lifetime span in whole days, distinct active days, and total

@@ -1249,6 +1249,28 @@ SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
 FROM awin
 """.strip()
 
+    # DAU/WAU/stickiness rollup (kgspark.events.rolling_active): the oracle
+    # states the WAU spec with the NAIVE inequality join (day BETWEEN d-6
+    # AND d) — the Spark side decomposes it into a bounded explode + hash
+    # aggregate; parity proves the decomposition.  DuckDB date - int is
+    # whole-day arithmetic, NTZ-safe under both engines' pinned UTC.
+    from .events import STICKINESS_MICRO
+
+    q["events_rolling_active"] = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau * {STICKINESS_MICRO} // wau.wau AS BIGINT)
+       AS stickiness_micro
+FROM dau JOIN wau USING (day)
+""".strip()
+
     # Per-user lifetime rollup (kgspark.events.user_lifetime): one fold;
     # datediff restated as whole-day date subtraction, NTZ dates are
     # timezone-free under the pinned-UTC sessions on both engines.

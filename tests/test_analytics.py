@@ -826,3 +826,41 @@ def test_transitions_markov_rollup_hand_computed(spark):
     assert got[("view", "click")] == (2, 2, 1_000_000)
     assert sum(n for (f, _t2), (n, _nf, _p) in got.items() if f == "view") == 2
     assert len(got) == 3
+
+
+def test_rolling_active_dau_wau_hand_computed(spark):
+    """DAU/WAU/stickiness on a crafted three-day corpus: within-day
+    duplicate events dedup, the 7-day window includes day-6 (d3 activity
+    still counts at d9) and excludes day-8 (d1 activity gone by d9), and
+    the stickiness ratio is the integer micro quotient."""
+    import datetime as dt
+    from kgspark import events as ev
+
+    def at(day, h=12):
+        return dt.datetime(2025, 6, day, h)
+
+    rows = [
+        (1, at(1), 1, "view", 0.0, "{}"),
+        (2, at(1, 13), 1, "view", 0.0, "{}"),   # same user+day: dedup
+        (3, at(1), 2, "view", 0.0, "{}"),
+        (4, at(3), 1, "view", 0.0, "{}"),
+        (5, at(9), 1, "view", 0.0, "{}"),
+        (6, at(9), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness_micro"])
+        for r in ev.rolling_active(df).collect()
+    }
+    # d1: dau {1,2}; wau = same.  d3: dau {1}; wau {1,2} (d1 within 7).
+    # d9: dau {1,3}; wau {1,3} — u1's d3 row is exactly day-6 (included),
+    # u2's d1 row is day-8 (excluded).
+    assert got == {
+        "2025-06-01": (2, 2, 1_000_000),
+        "2025-06-03": (1, 2, 500_000),
+        "2025-06-09": (2, 2, 1_000_000),
+    }
