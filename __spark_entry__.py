@@ -840,6 +840,14 @@ def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (5 pinned rounds,
+    mode-label update, min-label ties) over the documents-corpus undirected
+    name graph — deterministic by the fixed-round spec, value-oracled
+    against the unrolled recurrence."""
+    return graph.lpa_communities(extraction.triples(_t(spark, sf_dir, "documents")))
+
+
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference graph analytics: per-name triangle participation via
     the oriented a<b<c three-join enumeration (each triangle found once)."""
@@ -966,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_current_facts": _q_web_current_facts,
         "web_negative_samples": _q_web_negative_samples,
         "graph_kcore": _q_graph_kcore,
+        "graph_lpa_communities": _q_graph_lpa_communities,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "events_anomaly": _q_events_anomaly,
         "docs_pack_plan": _q_docs_pack_plan,

@@ -520,6 +520,65 @@ def components(triples: DataFrame) -> DataFrame:
     )
 
 
+LPA_ITERS = 5
+
+
+def lpa_communities(triples: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected distinct name-pair graph: every node
+    starts labeled with its own name; each round it adopts the label most
+    frequent among its NEIGHBORS' previous-round labels, ties broken to
+    the lexicographically smallest label.  Unlike :func:`components`
+    (hash-MIN propagation, which converges to connected components), the
+    mode-label update splits dense regions joined by thin bridges — the
+    community structure, not mere reachability.
+
+    The round count is FIXED (``iters``, default 5) and part of the spec,
+    the pagerank/HITS/kcore discipline: synchronous LPA can oscillate on
+    bipartite substructures, so "run to convergence" is not well-defined —
+    a pinned round count makes the result deterministic under any
+    partitioning and lets the oracle unroll the identical recurrence.
+
+    Output: (name, community_id = final label, n_members).
+
+    Scale shape: per round ONE shuffle join (labels onto the adjacency's
+    neighbor key) + ONE hash aggregate on (name, label) + an argmax fold
+    via min(struct(-count, label)) — no windows over whole partitions;
+    lineage truncated per round so the plan stays O(1) deep.
+    """
+    e = name_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("name"), F.col("b").alias("nb"))
+        .union(e.select(F.col("b").alias("name"), F.col("a").alias("nb")))
+        .persist()
+    )
+    lab = adj.select("name").distinct().withColumn("label", F.col("name"))
+    lab = lab.persist()
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                lab.select(F.col("name").alias("nb"), "label"), "nb"
+            )
+            .groupBy("name", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        new = (
+            votes.groupBy("name")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), "label")).alias("s"))
+            .select("name", F.col("s.label").alias("label"))
+        )
+        prev = lab
+        lab = truncate_lineage(new).persist()
+        prev.unpersist()
+    adj.unpersist()
+    sizes = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return lab.join(sizes, "label").select(
+        "name", F.col("label").alias("community_id"), "n_members"
+    )
+
+
 CLOSENESS_SCALE = 10**6
 
 

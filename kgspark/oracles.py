@@ -395,6 +395,40 @@ GROUP BY name
         + f"\nSELECT name, val AS coreness FROM kc{KCORE_ITERS}"
     )
 
+    # Label-propagation communities (kgspark.graph.lpa_communities): the
+    # fixed synchronous round count is the spec, so each round unrolls to
+    # one MATERIALIZED CTE.  The argmax is restated with a row_number
+    # window (count DESC, label ASC) instead of Spark's min(struct(-n,
+    # label)) fold — independent mechanism, same deterministic pick.
+    from .graph import LPA_ITERS
+
+    lpa_ctes = [
+        "ladj AS MATERIALIZED (\n"
+        "  SELECT a AS name, b AS nb FROM e\n"
+        "  UNION ALL SELECT b AS name, a AS nb FROM e)",
+        "l0 AS MATERIALIZED (\n"
+        "  SELECT DISTINCT name, name AS label FROM ladj)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        lpa_ctes.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT name, label FROM (\n"
+            f"    SELECT name, label,\n"
+            f"           row_number() OVER (PARTITION BY name\n"
+            f"                              ORDER BY c DESC, label ASC) AS rn\n"
+            f"    FROM (SELECT ladj.name, p.label, count(*) AS c\n"
+            f"          FROM ladj JOIN l{i - 1} p ON p.name = ladj.nb\n"
+            f"          GROUP BY 1, 2))\n"
+            f"  WHERE rn = 1)"
+        )
+    q["graph_lpa_communities"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(lpa_ctes)
+        + f"\nSELECT name, label AS community_id,\n"
+        f"       CAST(count(*) OVER (PARTITION BY label) AS BIGINT)"
+        f" AS n_members\nFROM l{LPA_ITERS}"
+    )
+
     q["kg_entity_type_counts"] = f"""
 WITH {TOK},
 {_M},

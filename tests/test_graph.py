@@ -323,3 +323,43 @@ def test_harmonic_closeness_hand_computed(spark):
         r["name"] for r in graph.harmonic_closeness(t, n_sources=2).collect()
     }
     assert sampled == {"A", "B"}
+
+
+def test_lpa_communities_splits_barbell(spark):
+    """Two triangles joined by one bridge edge: LPA's mode-label update
+    resolves them as TWO communities (components would merge them into
+    one), each labeled by its earliest-converging member, sizes 3+3."""
+    tri_a = {("a1", "a2"), ("a1", "a3"), ("a2", "a3")}
+    tri_b = {("b1", "b2"), ("b1", "b3"), ("b2", "b3")}
+    bridge = {("a3", "b1")}
+    got = {
+        r["name"]: (r["community_id"], r["n_members"])
+        for r in graph.lpa_communities(
+            _kcore_triples(spark, tri_a | tri_b | bridge)
+        ).collect()
+    }
+    # Hand-unrolled 5 synchronous rounds (see kgspark.graph.lpa_communities):
+    # triangle A settles on label a1 by round 2; the bridge pulls b1's
+    # community to label a3 (b-side votes dominate its single a-side edge).
+    assert got == {
+        "a1": ("a1", 3),
+        "a2": ("a1", 3),
+        "a3": ("a1", 3),
+        "b1": ("a3", 3),
+        "b2": ("a3", 3),
+        "b3": ("a3", 3),
+    }
+
+
+def test_lpa_communities_isolated_pair_oscillation_is_pinned(spark):
+    """A single edge {X, Y} oscillates under synchronous LPA (each adopts
+    the other's previous label every round); the FIXED odd round count
+    pins the result deterministically: after 5 swaps each carries the
+    other's name."""
+    got = {
+        r["name"]: r["community_id"]
+        for r in graph.lpa_communities(
+            _kcore_triples(spark, {("X", "Y")})
+        ).collect()
+    }
+    assert got == {"X": "Y", "Y": "X"}
