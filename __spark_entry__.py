@@ -730,6 +730,16 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (15 integer fixed-point rounds; restart +
+    dangling mass to the 3 lexicographically-smallest seed names) over the
+    documents-corpus directed name graph — unreachable nodes rank exactly
+    0; bit-exact by integer design."""
+    return graph.personalized_pagerank(
+        extraction.triples(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup profile (Manku pigeonhole banding — EXACT recall at
     hamming <= 3 with 4 bands): (hamming_distance, n_pairs) rollup."""
@@ -975,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_negative_samples": _q_web_negative_samples,
         "graph_kcore": _q_graph_kcore,
         "graph_lpa_communities": _q_graph_lpa_communities,
+        "graph_ppr": _q_graph_ppr,
         "docs_mixture_plan": _q_docs_mixture_plan,
         "events_anomaly": _q_events_anomaly,
         "docs_pack_plan": _q_docs_pack_plan,

@@ -309,6 +309,63 @@ GROUP BY name
         f" FROM r{PAGERANK_ITERS}"
     )
 
+    # Personalized PageRank (kgspark.graph.personalized_pagerank): same
+    # unroll technique as the pagerank oracle; restart + dangling mass go
+    # to the deterministic seed set (the n_seeds lexicographically
+    # smallest names) via the 0/1 is_seed indicator.  k is a scalar CTE
+    # (min(n_seeds, n) by construction of the LIMIT).
+    from .graph import PPR_SEEDS
+
+    ppr_ctes = [
+        "qm AS MATERIALIZED (SELECT subj, obj FROM d)",
+        "qn AS MATERIALIZED (\n"
+        "  SELECT name, CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg\n"
+        "  FROM (SELECT subj AS name FROM qm UNION SELECT obj FROM qm) nn\n"
+        "  LEFT JOIN (SELECT subj AS name, count(*) AS out_deg FROM qm\n"
+        "             GROUP BY subj) od USING (name)\n)",
+        f"qs AS MATERIALIZED (SELECT name FROM qn ORDER BY name"
+        f" LIMIT {PPR_SEEDS})",
+        "qk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM qs)",
+        "qnn AS MATERIALIZED (\n"
+        "  SELECT qn.name, qn.out_deg,\n"
+        "         CAST(CASE WHEN qs.name IS NOT NULL THEN 1 ELSE 0 END\n"
+        "              AS BIGINT) AS is_seed\n"
+        "  FROM qn LEFT JOIN qs USING (name))",
+        f"p0 AS MATERIALIZED (SELECT name, out_deg, is_seed,\n"
+        f"  is_seed * (SELECT {PAGERANK_SCALE} // k FROM qk) AS rank"
+        f" FROM qnn)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        p = f"p{i - 1}"
+        ppr_ctes.append(
+            f"qg{i} AS MATERIALIZED (\n"
+            f"  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang\n"
+            f"  FROM {p} WHERE out_deg = 0)"
+        )
+        ppr_ctes.append(
+            f"qf{i} AS MATERIALIZED (SELECT qm.obj AS name,\n"
+            f"    CAST(sum(r.rank // r.out_deg) AS BIGINT) AS inflow\n"
+            f"  FROM qm JOIN {p} r ON qm.subj = r.name\n"
+            f"  WHERE r.out_deg > 0 GROUP BY qm.obj)"
+        )
+        ppr_ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT qnn.name, qnn.out_deg,"
+            f" qnn.is_seed,\n"
+            f"    qnn.is_seed\n"
+            f"    * (SELECT (15 * {PAGERANK_SCALE}) // (100 * k) FROM qk)\n"
+            f"    + (85 * (coalesce(qf{i}.inflow, 0)\n"
+            f"             + qnn.is_seed * ((SELECT dang FROM qg{i})\n"
+            f"                              // (SELECT k FROM qk))))\n"
+            f"      // 100 AS rank\n"
+            f"  FROM qnn LEFT JOIN qf{i} USING (name))"
+        )
+    q["graph_ppr"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(ppr_ctes)
+        + f"\nSELECT name, is_seed, CAST(rank AS BIGINT) AS ppr"
+        f" FROM p{PAGERANK_ITERS}"
+    )
+
     # Integer fixed-point HITS (kgspark.graph.hits): same technique as the
     # pagerank oracle — the recurrence is integer-defined, so each of the
     # rounds unrolls to MATERIALIZED CTEs (authority fold, normalize, hub

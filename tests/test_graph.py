@@ -363,3 +363,36 @@ def test_lpa_communities_isolated_pair_oscillation_is_pinned(spark):
         ).collect()
     }
     assert got == {"X": "Y", "Y": "X"}
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Seeds are the lexicographically smallest names.  On
+    A -> B -> C with isolated edge X -> Y and n_seeds=1 (seed A):
+    every node reachable from A gets positive rank, X gets 0 exactly
+    (integer arithmetic — no float dust), Y gets 0 (its only inflow is
+    X's 0), and rank decays along the path A > B > C."""
+    edges = {("A", "B"), ("B", "C"), ("X", "Y")}
+    got = {
+        r["name"]: (r["is_seed"], r["ppr"])
+        for r in graph.personalized_pagerank(
+            _kcore_triples(spark, edges), n_seeds=1
+        ).collect()
+    }
+    assert got["A"][0] == 1
+    assert sum(s for s, _ in got.values()) == 1
+    assert got["X"][1] == 0 and got["Y"][1] == 0
+    assert got["A"][1] > got["B"][1] > got["C"][1] > 0
+
+
+def test_personalized_pagerank_symmetric_seeds_tie(spark):
+    """Two seeds with mirror-image topology must get bit-identical ranks:
+    A -> M, B -> M with seeds {A, B} — symmetry survives the integer
+    recurrence because both seeds see the same inflow/dangling terms."""
+    got = {
+        r["name"]: r["ppr"]
+        for r in graph.personalized_pagerank(
+            _kcore_triples(spark, {("A", "M"), ("B", "M")}), n_seeds=2
+        ).collect()
+    }
+    assert got["A"] == got["B"] > 0
+    assert got["M"] > 0
