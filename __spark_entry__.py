@@ -827,6 +827,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (quote/subset detection): inverted-
+    index shingle join with a df cap, both directed containments in
+    integer micro units, max-direction threshold 0.5."""
+    return textops.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain crawl rollup over the raw web corpus (fixed
     corpus — sf_dir deliberately unused); the planted hot domain makes this
@@ -956,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_text_tfidf_topk,
         "web_domain_stats": _q_web_domain_stats,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_containment_pairs": _q_dedup_containment_pairs,
         "events_funnel": _q_events_funnel,
         "text_collocations": _q_text_collocations,
         "events_value_quantiles": _q_events_value_quantiles,

@@ -1474,6 +1474,47 @@ JOIN sh sa ON sa.kg_doc_id = doc_a
 JOIN sh sb ON sb.kg_doc_id = doc_b
 """.strip()
 
+    # Asymmetric shingle containment (kgspark.textops.containment_pairs):
+    # the capped inverted-index spec restated relationally — postings are
+    # DISTINCT (kg_doc_id, shingle) so duplicate-content rows collapse,
+    # the df cap prunes the intersection universe, denominators are the
+    # FULL per-doc shingle counts, both directed containments in integer
+    # micro units.
+    from .textops import CONTAINMENT_MAX_DF, CONTAINMENT_MICRO
+
+    q["dedup_containment_pairs"] = f"""
+WITH {TOK},
+{_SHINGLES},
+post AS (
+  SELECT DISTINCT kg_doc_id, s
+  FROM (SELECT kg_doc_id, unnest(shingles) AS s FROM sh)
+),
+sz AS (
+  SELECT DISTINCT kg_doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM sh
+),
+rare AS (
+  SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY s)
+  WHERE df <= {CONTAINMENT_MAX_DF}
+),
+kept AS (SELECT post.* FROM post JOIN rare USING (s)),
+pr AS (
+  SELECT l.kg_doc_id AS doc_a, r.kg_doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept l JOIN kept r ON l.s = r.s AND l.kg_doc_id < r.kg_doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared * {CONTAINMENT_MICRO} // sa.n_sh AS BIGINT)
+       AS a_in_b_micro,
+       CAST(n_shared * {CONTAINMENT_MICRO} // sb.n_sh AS BIGINT)
+       AS b_in_a_micro
+FROM pr
+JOIN sz sa ON sa.kg_doc_id = doc_a
+JOIN sz sb ON sb.kg_doc_id = doc_b
+WHERE greatest(n_shared * {CONTAINMENT_MICRO} // sa.n_sh,
+               n_shared * {CONTAINMENT_MICRO} // sb.n_sh) >= 500000
+""".strip()
+
     # Near-dup keep-list (kgspark.textops.dedup_clusters): the verified pair
     # set is restated exactly as in dedup_jaccard_pairs (filtered at the
     # ROUNDED score, matching the Spark filter), then transitively closed

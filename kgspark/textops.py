@@ -1431,6 +1431,84 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+CONTAINMENT_MICRO = 10**6
+CONTAINMENT_MAX_DF = 64
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_micro: int = 500_000,
+    max_df: int = CONTAINMENT_MAX_DF,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — quote/subset detection, the near-dup
+    relation Jaccard misses: a short document fully embedded in a long one
+    has Jaccard ≈ |A|/|B| (tiny) but containment(A in B) = 1.  Emits one
+    row per unordered distinct-content pair with the shared-shingle count
+    and BOTH directed containments in integer micro units
+    (``c(A in B) = |A∩B| * 1e6 div |A|``), filtered to
+    ``max(c_ab, c_ba) >= threshold_micro``.
+
+    Scale shape: an INVERTED-INDEX equi-join on the shingle key (never
+    doc x doc) — the candidate work per shingle is df², so shingles with
+    document frequency above ``max_df`` are dropped from the INTERSECTION
+    universe first (the standard prefix-filter concession: stop-shingles
+    contribute near-zero containment evidence but quadratic candidates;
+    the undercount can only REMOVE borderline pairs, never invent them).
+    Denominators stay the FULL per-doc shingle counts.  The oracle
+    restates the same capped spec relationally.
+
+    Reuses the persisted minhash_shingles frame (one text scan shared with
+    the LSH/Jaccard family); duplicate-content rows collapse to one
+    posting set per kg_doc_id before any join.
+    """
+    sh = cache.keyed_persist(
+        minhash_shingles(docs, text_col), "minhash_shingles"
+    ).select("kg_doc_id", "shingles")
+    sizes = sh.select(
+        "kg_doc_id", F.size("shingles").cast("long").alias("n_sh")
+    ).dropDuplicates(["kg_doc_id"])
+    post = sh.select(
+        "kg_doc_id", F.explode("shingles").alias("s")
+    ).distinct()
+    rare = (
+        post.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    kept = post.join(rare, "s")
+    pairs = (
+        kept.select(F.col("kg_doc_id").alias("doc_a"), "s")
+        .join(kept.select(F.col("kg_doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("kg_doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("kg_doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(f"CAST(n_shared * {CONTAINMENT_MICRO} DIV n_a AS BIGINT)")
+            .alias("a_in_b_micro"),
+            F.expr(f"CAST(n_shared * {CONTAINMENT_MICRO} DIV n_b AS BIGINT)")
+            .alias("b_in_a_micro"),
+        )
+        .filter(
+            F.greatest("a_in_b_micro", "b_in_a_micro") >= F.lit(threshold_micro)
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:

@@ -864,3 +864,37 @@ def test_rolling_active_dau_wau_hand_computed(spark):
         "2025-06-03": (1, 2, 500_000),
         "2025-06-09": (2, 2, 1_000_000),
     }
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A 5-token quote embedded verbatim in a 20-token document: Jaccard is
+    3/18 (below any near-dup threshold) but containment of the short side
+    is exactly 1.0 — the asymmetric relation the operator exists for."""
+    from kgspark import textops
+
+    long_text = " ".join(f"t{i}" for i in range(1, 21))
+    quote = "t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, quote)], ["doc_id", "text"]
+    )
+    rows = textops.containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_shared"] == 3
+    assert {r["a_in_b_micro"], r["b_in_a_micro"]} == {1_000_000, 166_666}
+
+
+def test_containment_df_cap_prunes_stop_shingles(spark):
+    """With max_df=1 the one shared shingle (df=2) leaves the intersection
+    universe and the pair disappears; at the default cap the pair scores
+    exactly the 500000 threshold boundary (1 shared of 2 shingles) and is
+    kept (>= comparison)."""
+    from kgspark import textops
+
+    docs = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z q")], ["doc_id", "text"]
+    )
+    assert textops.containment_pairs(docs, max_df=1).count() == 0
+    rows = textops.containment_pairs(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["a_in_b_micro"] == rows[0]["b_in_a_micro"] == 500_000
