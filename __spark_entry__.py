@@ -697,6 +697,13 @@ def _q_docs_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pack_plan(_t(spark, sf_dir, "documents"))
 
 
+def _q_docs_pack_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: one row per fixed-size context
+    window with reassembled token content — the explode + one seq_id
+    shuffle whose per-key state is bounded by the context length."""
+    return textops.pack_apply(_t(spark, sf_dir, "documents"))
+
+
 def _q_docs_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized mixture: each row repeated per its integer weight plus
     deterministic stochastic rounding (md5-keyed, zero RNG state).  One
@@ -997,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_plan": _q_docs_mixture_plan,
         "events_anomaly": _q_events_anomaly,
         "docs_pack_plan": _q_docs_pack_plan,
+        "docs_pack_apply": _q_docs_pack_apply,
         "docs_mixture_apply": _q_docs_mixture_apply,
         "ann_pq_topk": _q_ann_pq_topk,
         "web_entity_cooccurrence": _q_web_entity_cooccurrence,

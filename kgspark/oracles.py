@@ -730,6 +730,39 @@ SELECT kg_doc_id, n_tokens, start_offset,
 FROM po
 """.strip()
 
+    # Materialized packing (kgspark.textops.pack_apply): reassembly stated
+    # over the NAIVE global-cumsum placement (the single-node statement of
+    # the spec the distributed prefix sum must reproduce), tokens rejoined
+    # per window with string_agg ORDER BY the unique global position.
+    q["docs_pack_apply"] = f"""
+WITH {TOK},
+pk AS (
+  SELECT DISTINCT kg_doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_H60.format(x="ttext")} AS h
+  FROM tok
+),
+po AS (
+  SELECT kg_doc_id,
+         CAST(coalesce(sum(n_tokens) OVER (
+                ORDER BY h % {PACK_BUCKETS}, h, kg_doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_offset
+  FROM pk
+),
+ptok AS (SELECT DISTINCT kg_doc_id, toks FROM tok),
+ex AS (
+  SELECT po.start_offset + p.pos AS gpos, p.tok
+  FROM (SELECT kg_doc_id, unnest(toks) AS tok,
+               unnest(range(len(toks))) AS pos
+        FROM ptok) p
+  JOIN po ON po.kg_doc_id = p.kg_doc_id
+)
+SELECT gpos // {PACK_CTX_TOKENS} AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_filled,
+       string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+FROM ex GROUP BY 1
+""".strip()
+
     # Corpus-mixing plan (kgspark.textops.mixture_plan): pure integer
     # arithmetic (micro-unit shares, quotient-first products), so the SQL
     # restates it exactly.  Every aggregate is CAST AS BIGINT (HUGEINT ban).

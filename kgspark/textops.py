@@ -649,6 +649,61 @@ def pack_plan(
     )
 
 
+def pack_apply(
+    docs: DataFrame,
+    text_col: str = "text",
+    ctx: int = PACK_CTX_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Materialize the :func:`pack_plan` — the actual pretraining artifact:
+    one row per fixed-``ctx`` context window with its reassembled token
+    content (``seq_text``, single-space joined) and fill count (every
+    sequence is exactly ``ctx`` tokens except the corpus tail).
+
+    Scale shape: each doc's tokens explode once with their position
+    (linear fan-out — this IS the materialization, there is no smaller
+    output), map to global positions via the plan's start_offset, then
+    ONE shuffle on the seq_id key reassembles windows; per-key state is
+    bounded by ``ctx`` (sort_array over ≤ctx (pos, token) structs), so
+    reducers never hold more than one window.  Positions are globally
+    unique, making the sort — and therefore the value hash — fully
+    deterministic.  The oracle restates reassembly over the NAIVE
+    single-window global cumsum plan with string_agg ORDER BY.
+    """
+    plan = pack_plan(docs, text_col, ctx, n_buckets)
+    t = F.trim(F.col(text_col))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(ids.doc_id(t).alias("kg_doc_id"), _toks(text_col).alias("toks"))
+        .dropDuplicates(["kg_doc_id"])
+    )
+    ex = (
+        toks.join(plan.select("kg_doc_id", "start_offset"), "kg_doc_id")
+        .select(
+            "start_offset",
+            F.posexplode("toks").alias("pos", "tok"),
+        )
+        .select(
+            (F.col("start_offset") + F.col("pos")).alias("gpos"), "tok"
+        )
+    )
+    return (
+        ex.groupBy(F.expr(f"gpos DIV {ctx}").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_filled"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct((F.col("gpos") % ctx).alias("p"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+            ).alias("seq_text"),
+        )
+    )
+
+
 MIXTURE_MICRO = 10**6
 
 

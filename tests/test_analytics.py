@@ -747,6 +747,44 @@ def test_pack_plan_is_a_contiguous_packing(spark):
     assert pos == sum(i + 1 for i in range(25))  # total token mass
 
 
+def test_pack_apply_materializes_the_plan(spark):
+    """The materialized windows realize pack_plan exactly: every sequence
+    except the corpus tail is full (ctx tokens), the global token stream
+    reassembled from seq_texts in seq_id order equals the per-doc token
+    streams laid out in plan order, and duplicates pack once."""
+    from kgspark import textops
+
+    rows = [(i, f"w{i} " * (i + 1), "en") for i in range(25)]
+    rows.append((99, "w0 ", "en"))  # duplicate content of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = sorted(
+        (r["start_offset"], r["kg_doc_id"])
+        for r in textops.pack_plan(docs, ctx=16).collect()
+    )
+    doc_toks = {
+        r["kg_doc_id"]: r["text"].split()
+        for r in docs.selectExpr(
+            "concat('doc-', sha2(trim(text), 256)) AS kg_doc_id",
+            "trim(text) AS text",
+        ).collect()
+    }
+    expect_stream = [t for _start, d in plan for t in doc_toks[d]]
+
+    out = sorted(
+        (r["seq_id"], r["n_filled"], r["seq_text"])
+        for r in textops.pack_apply(docs, ctx=16).collect()
+    )
+    total = len(expect_stream)
+    assert [s for s, _n, _t in out] == list(range((total + 15) // 16))
+    got_stream = []
+    for seq_id, n_filled, seq_text in out:
+        toks = seq_text.split(" ")
+        assert len(toks) == n_filled
+        assert n_filled == (16 if seq_id < out[-1][0] else total - 16 * seq_id)
+        got_stream.extend(toks)
+    assert got_stream == expect_stream
+
+
 def test_mixture_apply_realizes_the_plan(spark):
     """The materialized sample repeats rows per the plan's weights:
     whole-copy floor for everyone, +1 for the deterministic remainder
