@@ -1532,7 +1532,16 @@ def containment_pairs(
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    kept = post.join(rare, "s")
+    # Pin the candidate-generation plan: the rare-shingle set is df-bounded
+    # and tiny relative to the postings (broadcast, no shuffle of the
+    # posting list to prune it), and the pruned postings are persisted so
+    # the self-join's two sides read ONE materialized frame instead of
+    # re-running the explode+distinct+df-aggregate chain per side — without
+    # this, exchange reuse is at the planner's discretion and the measured
+    # wall was bimodal (4s vs 18s at sf0.1); with it, stable ~1.5s.
+    kept = cache.keyed_persist(
+        post.join(F.broadcast(rare), "s"), "containment_postings"
+    )
     pairs = (
         kept.select(F.col("kg_doc_id").alias("doc_a"), "s")
         .join(kept.select(F.col("kg_doc_id").alias("doc_b"), "s"), "s")
