@@ -747,6 +747,16 @@ def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest distances (multi-source Bellman-Ford,
+    4 rounds) over the documents-corpus directed name graph: edge cost is
+    integer micro ``1e6 DIV n_supporting_docs`` — well-attested routes
+    beat thinly-attested direct edges; one join + hash-min per round."""
+    return graph.weighted_shortest_paths(
+        extraction.triples(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_dedup_simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup profile (Manku pigeonhole banding — EXACT recall at
     hamming <= 3 with 4 bands): (hamming_distance, n_pairs) rollup."""
@@ -1014,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_active": _q_events_rolling_active,
         "events_user_lifetime": _q_events_user_lifetime,
         "web_graph_closeness": _q_web_graph_closeness,
+        "graph_weighted_paths": _q_graph_weighted_paths,
     }
 
 

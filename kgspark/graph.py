@@ -870,6 +870,88 @@ def personalized_pagerank(
     nodes2.unpersist()
     return result
 
+
+WSP_SEEDS = 3
+WSP_HOPS = 4
+WSP_MICRO = 10**6
+
+
+def weighted_shortest_paths(
+    triples: DataFrame,
+    n_seeds: int = WSP_SEEDS,
+    hops: int = WSP_HOPS,
+    micro: int = WSP_MICRO,
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest distances (multi-source Bellman-Ford)
+    over the directed corpus name graph — the weighted companion to the
+    unweighted BFS the reference exposes (graph_search.rs:22 explores by
+    hop count only; here edge COST is evidence-derived, so a well-attested
+    2-hop route can beat a thinly-attested direct edge).
+
+    Edge weight is integer micro-cost ``micro DIV support`` where
+    ``support`` is the number of DISTINCT documents asserting the directed
+    (subj, obj) relation — more independent evidence, cheaper edge, and
+    all-integer arithmetic keeps the value hash exact.  Sources are the
+    ``n_seeds`` lexicographically smallest node names (the PPR/closeness
+    sampling rule); the relaxation runs exactly ``hops`` synchronous
+    rounds, so dist(v) = min cost over paths from any seed in <= hops
+    edges — unreachable-within-budget nodes are absent, seeds are 0.
+
+    Scale shape: one support aggregate (shuffle on the edge key), then per
+    round ONE dist⋈edges equi-join co-partitioned on the tail name plus a
+    hash-min aggregate on the head name; the frontier frame carries one
+    row per reached node (bounded by |V|), lineage truncated per round.
+    No path enumeration — costs fold, paths don't materialize.
+    """
+    edges = (
+        triples.filter(F.col("subj") != F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.countDistinct("doc_id").cast("long").alias("support"))
+        .select(
+            "subj",
+            "obj",
+            F.expr(f"CAST({micro} DIV support AS BIGINT)").alias("w"),
+        )
+    )
+    spark = triples.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(default_parts, 8))
+    edges = edges.repartition(nparts, "subj").persist()
+    n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], "name string, dist_micro long")
+    nodes = (
+        edges.select(F.col("subj").alias("name"))
+        .union(edges.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    dist = (
+        nodes.orderBy("name")
+        .limit(n_seeds)
+        .select("name", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(hops):
+        dist = truncate_lineage(dist)
+        relaxed = (
+            dist.join(edges, dist["name"] == edges["subj"])
+            .select(
+                F.col("obj").alias("name"),
+                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("name")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    result = truncate_lineage(
+        dist.select("name", F.col("dist").alias("dist_micro"))
+    )
+    edges.unpersist()
+    return result
+
+
 HITS_SCALE = 10**6
 HITS_ITERS = 10
 

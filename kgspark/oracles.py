@@ -366,6 +366,45 @@ GROUP BY name
         f" FROM p{PAGERANK_ITERS}"
     )
 
+    # Bounded-hop weighted shortest paths (kgspark.graph.weighted_
+    # shortest_paths): evidence-weighted multi-source Bellman-Ford, all
+    # integer micro-costs, so each synchronous relaxation round unrolls to
+    # one MATERIALIZED CTE (prev dist UNION ALL relaxed in-edges, hash-min
+    # per head).  Support counts DISTINCT documents per directed pair —
+    # rel2 is per-occurrence, the DISTINCT collapses it identically to the
+    # Spark side's countDistinct(doc_id).
+    from .graph import WSP_HOPS, WSP_MICRO, WSP_SEEDS
+
+    wsp_ctes = [
+        "vsup AS MATERIALIZED (\n"
+        "  SELECT subj, obj,\n"
+        "         CAST(count(DISTINCT kg_doc_id) AS BIGINT) AS support\n"
+        "  FROM rel2 WHERE subj <> obj GROUP BY subj, obj)",
+        f"vwe AS MATERIALIZED (SELECT subj, obj,\n"
+        f"  CAST({WSP_MICRO} // support AS BIGINT) AS w FROM vsup)",
+        "vwn AS MATERIALIZED (\n"
+        "  SELECT name FROM (SELECT subj AS name FROM vwe\n"
+        "                    UNION SELECT obj FROM vwe))",
+        f"v0 AS MATERIALIZED (SELECT name, CAST(0 AS BIGINT) AS dist\n"
+        f"  FROM (SELECT name FROM vwn ORDER BY name LIMIT {WSP_SEEDS}))",
+    ]
+    for i in range(1, WSP_HOPS + 1):
+        p = f"v{i - 1}"
+        wsp_ctes.append(
+            f"v{i} AS MATERIALIZED (\n"
+            f"  SELECT name, CAST(min(dist) AS BIGINT) AS dist FROM (\n"
+            f"    SELECT name, dist FROM {p}\n"
+            f"    UNION ALL\n"
+            f"    SELECT vwe.obj AS name, {p}.dist + vwe.w AS dist\n"
+            f"    FROM {p} JOIN vwe ON {p}.name = vwe.subj)\n"
+            f"  GROUP BY name)"
+        )
+    q["graph_weighted_paths"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n"
+        + ",\n".join(wsp_ctes)
+        + f"\nSELECT name, dist AS dist_micro FROM v{WSP_HOPS}"
+    )
+
     # Integer fixed-point HITS (kgspark.graph.hits): same technique as the
     # pagerank oracle — the recurrence is integer-defined, so each of the
     # rounds unrolls to MATERIALIZED CTEs (authority fold, normalize, hub

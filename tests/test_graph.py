@@ -396,3 +396,81 @@ def test_personalized_pagerank_symmetric_seeds_tie(spark):
     }
     assert got["A"] == got["B"] > 0
     assert got["M"] > 0
+
+
+def _wsp_triples(spark, edges):
+    """edges: {(subj, obj): n_supporting_docs} — each directed pair is
+    asserted in that many distinct docs, so support (and the micro edge
+    cost 1e6 DIV support) is controlled per edge."""
+    rows = [
+        (a, "p", b, f"d{i}")
+        for (a, b), n in sorted(edges.items())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string"
+    )
+
+
+def _wsp_brute(edges, seeds, hops, micro=1_000_000):
+    w = {(a, b): micro // n for (a, b), n in edges.items()}
+    dist = {s: 0 for s in seeds}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for (a, b), c in w.items():
+            if a in dist and dist[a] + c < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + c
+        dist = nxt
+    return dist
+
+
+def test_weighted_paths_evidence_beats_thin_direct_edge(spark):
+    """A->C asserted once (cost 1e6) vs A->B->C asserted 4x each
+    (250k + 250k): the well-attested 2-hop route must win."""
+    edges = {("A", "C"): 1, ("A", "B"): 4, ("B", "C"): 4}
+    got = {
+        r["name"]: r["dist_micro"]
+        for r in graph.weighted_shortest_paths(
+            _wsp_triples(spark, edges), n_seeds=1
+        ).collect()
+    }
+    assert got["A"] == 0
+    assert got["B"] == 250_000
+    assert got["C"] == 500_000
+
+
+def test_weighted_paths_hop_budget_truncates(spark):
+    """Chain A->B->C->D->E->F with hops=4: E is reached (4 edges),
+    F is absent — the budget bounds path length, not cost."""
+    chain = {(a, b): 1 for a, b in zip("ABCDE", "BCDEF")}
+    got = {
+        r["name"]: r["dist_micro"]
+        for r in graph.weighted_shortest_paths(
+            _wsp_triples(spark, chain), n_seeds=1
+        ).collect()
+    }
+    assert got["E"] == 4_000_000
+    assert "F" not in got
+
+
+def test_weighted_paths_matches_bruteforce_random_graph(spark):
+    """Fixed-seed random multigraph vs an independent driver-side bounded
+    Bellman-Ford — every (name, dist) must agree exactly, seeds = the 3
+    lexicographically smallest node names (the operator's sampling rule)."""
+    import random
+
+    rng = random.Random(2026)
+    names = [f"n{i:02d}" for i in range(14)]
+    edges = {}
+    for _ in range(40):
+        a, b = rng.sample(names, 2)
+        edges[(a, b)] = rng.randint(1, 5)
+    nodes = sorted({x for e in edges for x in e})
+    expect = _wsp_brute(edges, set(nodes[:3]), hops=4)
+    got = {
+        r["name"]: r["dist_micro"]
+        for r in graph.weighted_shortest_paths(
+            _wsp_triples(spark, edges)
+        ).collect()
+    }
+    assert got == expect
