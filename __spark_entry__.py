@@ -747,6 +747,13 @@ def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
+    query (top-5 document-frequency terms >= 5 chars): broadcast query +
+    corpus-stat joins, one score fold, TakeOrderedAndProject top-k."""
+    return textops.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
 def _q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop weighted shortest distances (multi-source Bellman-Ford,
     4 rounds) over the documents-corpus directed name graph: edge cost is
@@ -1025,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_lifetime": _q_events_user_lifetime,
         "web_graph_closeness": _q_web_graph_closeness,
         "graph_weighted_paths": _q_graph_weighted_paths,
+        "text_bm25_topk": _q_text_bm25_topk,
     }
 
 

@@ -1082,6 +1082,50 @@ SELECT kg_doc_id,
 FROM r WHERE rank <= 3
 """.strip()
 
+    # BM25 top-k retrieval (kgspark.textops.bm25_topk): the query is
+    # corpus-derived (top-5 df terms of >= 5 chars, df desc / term asc) so
+    # both engines score the SAME deterministic query; ranking and the
+    # top-k cut use the 6-decimal ROUNDED score + kg_doc_id tie-break.
+    # avgdl is an exact integer-sum ratio — bit-identical across engines.
+    from .textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_MIN_TERM_CHARS,
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+    )
+
+    q["text_bm25_topk"] = f"""
+WITH {TOK},
+bd0 AS (SELECT src_row, kg_doc_id, len(toks) AS dl, toks FROM tok),
+btf AS (
+  SELECT src_row, kg_doc_id, dl, term, count(*) AS c
+  FROM (SELECT src_row, kg_doc_id, dl, unnest(toks) AS term FROM bd0)
+  GROUP BY ALL
+),
+bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+bqt AS (
+  SELECT term, df FROM bdf WHERE length(term) >= {BM25_MIN_TERM_CHARS}
+  ORDER BY df DESC, term ASC LIMIT {BM25_QUERY_TERMS}
+),
+bst AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bd0),
+bsc AS (
+  SELECT src_row, kg_doc_id,
+         CAST(count(*) AS BIGINT) AS n_hit_terms,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (c * ({BM25_K1} + 1.0))
+           / (c + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+         ), 6) AS bm25
+  FROM btf JOIN bqt USING (term), bst
+  GROUP BY src_row, kg_doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, kg_doc_id ASC)
+            AS BIGINT) AS rank,
+       kg_doc_id, n_hit_terms, bm25
+FROM bsc ORDER BY bm25 DESC, kg_doc_id ASC LIMIT {BM25_TOPK}
+""".strip()
+
     stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     q["text_quality"] = f"""
 WITH {TOK}, d AS (

@@ -1169,6 +1169,97 @@ def tfidf_topk(
     )
 
 
+BM25_TOPK = 10
+BM25_QUERY_TERMS = 5
+BM25_MIN_TERM_CHARS = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = BM25_TOPK,
+    n_query_terms: int = BM25_QUERY_TERMS,
+) -> DataFrame:
+    """Top-k document RETRIEVAL by Okapi BM25 (k1=1.2, b=0.75) against a
+    deterministic corpus-derived query: the ``n_query_terms`` highest
+    document-frequency terms of at least ``BM25_MIN_TERM_CHARS`` chars
+    (df desc, term asc — a pure function of the corpus, so the result is
+    value-hashable with no external query input).  Per-term contribution is
+    the standard ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    smoothed ``idf = ln(1 + (N-df+0.5)/(df+0.5))``; ranking and the top-k
+    cut use the ROUNDED (6-decimal) score with kg_doc_id as tie-break, the
+    same engine-exactness discipline as tfidf_topk's integer ranking.
+
+    Scale shape: one explode + per-(row, term) hash aggregate (shared with
+    the tfidf family via the persisted tf frame), the query-term table and
+    the (N, avgdl) scalar both BROADCAST (5 rows / 1 row — the scoring join
+    never shuffles the corpus side), one score fold on the row key, and a
+    global top-k = TakeOrderedAndProject, never a full sort.  avgdl is an
+    exact integer-sum ratio, so it is bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    t = _toks(text_col)
+    d0 = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(key_col).alias("_k"),
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        F.size(t).alias("dl"),
+        t.alias("_toks"),
+    )
+    tf = (
+        d0.select("_k", "kg_doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("_k", "kg_doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = cache.keyed_persist(tf, "bm25_tf")
+    qt = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.length("term") >= BM25_MIN_TERM_CHARS)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+    )
+    st = tf.select("_k", "dl").dropDuplicates(["_k"]).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("c") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("c")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(st))
+        .groupBy("_k", "kg_doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("kg_doc_id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("kg_doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "kg_doc_id",
+        "n_hit_terms",
+        "bm25",
+    )
+
+
 def _doc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Catalyst-side identity + trim feeding every Python kernel.
 

@@ -936,3 +936,84 @@ def test_containment_df_cap_prunes_stop_shingles(spark):
     rows = textops.containment_pairs(docs).collect()
     assert len(rows) == 1
     assert rows[0]["a_in_b_micro"] == rows[0]["b_in_a_micro"] == 500_000
+
+
+def test_bm25_topk_hand_values_and_length_normalization(spark):
+    """Two docs with the SAME tf of one query term: the shorter doc must
+    score higher (b=0.75 length normalization), and the score matches a
+    hand-computed Okapi value.  Query derivation picks the >=5-char terms
+    by df: 'common' (df=3) then padding terms by term asc."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha"),
+            (2, "common beta gamma delta epsilon zeta eta theta"),
+            (3, "common other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.bm25_topk(docs, k=3, n_query_terms=1).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # all three docs contain the single query term 'common'
+    assert all(r["n_hit_terms"] == 1 for r in out)
+    n, df = 3, 3
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    avgdl = (2 + 8 + 4) / 3
+    def s(dl):
+        return round(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+    # shorter doc first: dl=2 > dl=4 > dl=8
+    assert [r["bm25"] for r in out] == sorted([s(2), s(4), s(8)], reverse=True)
+    assert out[0]["bm25"] == s(2)
+
+
+def test_bm25_topk_matches_bruteforce(spark):
+    """Fixed-seed random corpus vs an independent driver-side BM25: the
+    full top-k row set (rank, id, hits, score) must agree exactly."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(77)
+    vocab = ["aardvark", "bengal", "cormorant", "dugong", "eland",
+             "fossa", "gx", "hq", "jay", "kea"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 20))) for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["kg_doc_id"], r["n_hit_terms"], r["bm25"])
+        for r in textops.bm25_topk(docs).collect()
+    ]
+    # independent restatement
+    toks = [t.split() for t in texts]
+    dfc = Counter(w for ts in toks for w in set(ts))
+    qt = sorted(
+        (t for t in dfc if len(t) >= 5),
+        key=lambda t: (-dfc[t], t),
+    )[:5]
+    n = len(texts)
+    avgdl = sum(len(ts) for ts in toks) / n
+    rows = []
+    for i, ts in enumerate(toks):
+        c = Counter(ts)
+        hits = [t for t in qt if c[t] > 0]
+        if not hits:
+            continue
+        score = sum(
+            math.log(1 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+            * (c[t] * 2.2) / (c[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+            for t in hits
+        )
+        rows.append((ids_sha(texts[i]), len(hits), round(score, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    expect = [(k + 1, *r) for k, r in enumerate(rows[:10])]
+    assert got == expect
+
+
+def ids_sha(text):
+    import hashlib
+
+    return "doc-" + hashlib.sha256(text.strip().encode()).hexdigest()
