@@ -747,6 +747,13 @@ def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink host graph from raw HTML bytes (fixed link fixture —
+    sf_dir deliberately unused): anchor extraction + host resolution as
+    pure-Catalyst codegen projections, one edge-key hash aggregate."""
+    return pipeline.host_link_graph(datagen.crawl_link_pages(spark))
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1033,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_graph_closeness": _q_web_graph_closeness,
         "graph_weighted_paths": _q_graph_weighted_paths,
         "text_bm25_topk": _q_text_bm25_topk,
+        "web_host_graph": _q_web_host_graph,
     }
 
 

@@ -307,3 +307,58 @@ def crawl_url_variants_rows(n_base: int = 120, seed: int = 7) -> list[tuple[str,
 
 def crawl_url_variants(spark: SparkSession, n_base: int = 120, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(crawl_url_variants_rows(n_base, seed), CRAWL_URL_SCHEMA)
+
+
+CRAWL_LINK_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType(), False),
+    ]
+)
+
+
+def crawl_link_pages_rows(n_pages: int = 150, seed: int = 11) -> list[tuple[str, bytes]]:
+    """Crawl pages whose HTML carries ``<a href>`` anchors — the input
+    shape hyperlink-graph extraction exists for: absolute cross-host links
+    (with ``www.``/case noise the host normalization must collapse),
+    root-relative links (resolve to the page's own host), and non-link
+    hrefs (fragments, ``mailto:``, ``javascript:``) that must be dropped.
+    Separate from :func:`web_pages` (byte-stable driver corpus); fully
+    seeded and driver-side, like :func:`crawl_url_variants_rows`.
+    """
+    r = random.Random(seed)
+    hosts = [f"linksite{i}.test" for i in range(8)]
+    rows: list[tuple[str, bytes]] = []
+    for i in range(n_pages):
+        host = hosts[r.randrange(len(hosts))]
+        www = "www." if r.random() < 0.2 else ""
+        url = f"https://{www}{host}/p/{i}"
+        anchors = []
+        for _ in range(r.randrange(6)):
+            roll = r.random()
+            if roll < 0.45:
+                th = hosts[r.randrange(len(hosts))]
+                if r.random() < 0.25:
+                    th = "www." + th
+                if r.random() < 0.2:
+                    th = th.upper()
+                target = f"https://{th}/p/{r.randrange(n_pages)}"
+            elif roll < 0.7:
+                target = f"/p/{r.randrange(n_pages)}"
+            elif roll < 0.8:
+                target = f"#frag{r.randrange(5)}"
+            elif roll < 0.9:
+                target = "mailto:admin@example.test"
+            else:
+                target = "javascript:void(0)"
+            anchors.append(f'<a class="l" href="{target}">anchor</a>')
+        html = (
+            f"<html><body><h1>page {i}</h1><p>crawl body {i}</p>"
+            f"{''.join(anchors)}</body></html>"
+        )
+        rows.append((url, html.encode("utf-8")))
+    return rows
+
+
+def crawl_link_pages(spark: SparkSession, n_pages: int = 150, seed: int = 11) -> DataFrame:
+    return spark.createDataFrame(crawl_link_pages_rows(n_pages, seed), CRAWL_LINK_SCHEMA)

@@ -401,6 +401,55 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """HYPERLINK graph extraction — the web-scale KG substrate step the
+    text pipeline never sees: pull ``<a href>`` anchors out of the raw
+    HTML bytes, resolve them to hosts, and roll up the host→host link
+    graph (link counts + distinct linking pages + an external-edge flag).
+
+    Resolution spec (deterministic, restated independently by the oracle):
+    absolute ``http(s)://`` hrefs take their own host; root-relative
+    (leading ``/``) hrefs take the page's host; everything else
+    (fragments, ``mailto:``, ``javascript:``, scheme-relative and bare
+    paths) is dropped.  Hosts normalize as lowercase with a leading
+    ``www.`` stripped — the same collapse url_dedup applies.
+
+    Pure Catalyst end to end: decode + regexp_extract_all + explode +
+    parse_url are codegen projections, then ONE hash aggregate on the
+    (src_host, dst_host) edge key — no Python, no joins.  At 100 TB the
+    anchor fan-out rides the scan partitioning and the only shuffle is
+    edge-keyed; host skew (every page links the hot site) is aggregation
+    skew, absorbed map-side by partial aggregation.
+    """
+    html_s = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_s, F.lit(r'<a\s[^>]*href="([^"]+)"'), 1)
+
+    def _norm_host(c: Column) -> Column:
+        return F.regexp_replace(F.lower(c), r"^www\.", "")
+
+    e = pages.select(
+        F.col(url_col).alias("url"),
+        _norm_host(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("src_host"),
+        F.explode(hrefs).alias("href"),
+    )
+    dst = F.when(
+        F.col("href").rlike("^https?://"),
+        _norm_host(F.parse_url(F.col("href"), F.lit("HOST"))),
+    ).when(F.col("href").startswith("/"), F.col("src_host"))
+    return (
+        e.withColumn("dst_host", dst)
+        .filter(F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("url").cast("long").alias("n_pages"),
+        )
+        .withColumn("is_external", F.col("src_host") != F.col("dst_host"))
+    )
+
+
 def domain_stats(web_pages: DataFrame) -> DataFrame:
     """C4-style per-domain rollup of a raw page corpus: page counts,
     non-empty extraction counts, distinct-content counts, total extracted

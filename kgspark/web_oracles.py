@@ -595,6 +595,30 @@ def build() -> dict[str, str]:
         (k, r[0], len(r[1]), min(r[1]), len(r[2])) for k, r in url_acc.items()
     ]
 
+    # Host link graph (kgspark.pipeline.host_link_graph): independent
+    # restatement with re.findall + urllib.parse (vs Spark's
+    # regexp_extract_all/parse_url chain) over the seeded link fixture.
+    def _py_host(u: str) -> str:
+        h = (urlsplit(u).hostname or "").lower()
+        return h[4:] if h.startswith("www.") else h
+
+    link_acc: dict[tuple, list] = {}
+    for url, html in datagen.crawl_link_pages_rows():
+        src = _py_host(url)
+        for href in _re.findall(r'<a\s[^>]*href="([^"]+)"', html.decode("utf-8")):
+            if _re.match(r"^https?://", href):
+                dst = _py_host(href)
+            elif href.startswith("/"):
+                dst = src
+            else:
+                continue
+            rec = link_acc.setdefault((src, dst), [0, set()])
+            rec[0] += 1
+            rec[1].add(url)
+    host_graph_rows = [
+        (s, d, c, len(us), s != d) for (s, d), (c, us) in link_acc.items()
+    ]
+
     # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
     # restatement of the line rules over the raw generated pages; the
     # byte-exact cleaned page is pinned via its sha256.
@@ -632,6 +656,11 @@ def build() -> dict[str, str]:
             ["norm_url", "n_pages", "n_distinct_urls", "canonical_url",
              "n_distinct_texts"],
             ["s", "i", "i", "s", "i"],
+        ),
+        "web_host_graph": _values(
+            host_graph_rows,
+            ["src_host", "dst_host", "n_links", "n_pages", "is_external"],
+            ["s", "s", "i", "i", "b"],
         ),
         "web_domain_stats": _values(
             domain_rows,

@@ -1017,3 +1017,47 @@ def ids_sha(text):
     import hashlib
 
     return "doc-" + hashlib.sha256(text.strip().encode()).hexdigest()
+
+
+def test_host_link_graph_resolution_rules(spark):
+    """Hand-built page: absolute links take their own (normalized) host,
+    root-relative links take the page host, fragments/mailto/javascript
+    drop, and www./case noise collapses to one host."""
+    from kgspark import pipeline as pl
+
+    html = (
+        '<html><body>'
+        '<a class="x" href="https://WWW.Other.test/a">1</a>'
+        '<a href="https://other.test/b">2</a>'
+        '<a href="/local/page">3</a>'
+        '<a href="#frag">4</a>'
+        '<a href="mailto:x@y.test">5</a>'
+        '<a href="javascript:void(0)">6</a>'
+        "</body></html>"
+    ).encode("utf-8")
+    df = spark.createDataFrame(
+        [("https://www.me.test/p/1", html)], "url string, html binary"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"], r["is_external"])
+        for r in pl.host_link_graph(df).collect()
+    }
+    assert got == {
+        ("me.test", "other.test"): (2, 1, True),
+        ("me.test", "me.test"): (1, 1, False),
+    }
+
+
+def test_host_link_graph_counts_distinct_pages(spark):
+    """n_links counts anchors, n_pages counts distinct linking pages."""
+    from kgspark import pipeline as pl
+
+    a = '<a href="https://t.test/x">l</a>'
+    rows = [
+        ("https://s.test/1", (a + a).encode()),
+        ("https://s.test/2", a.encode()),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    [r] = pl.host_link_graph(df).collect()
+    assert (r["src_host"], r["dst_host"]) == ("s.test", "t.test")
+    assert (r["n_links"], r["n_pages"], r["is_external"]) == (3, 2, True)
