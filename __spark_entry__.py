@@ -754,6 +754,13 @@ def _q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.host_link_graph(datagen.crawl_link_pages(spark))
 
 
+def _q_web_anchor_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity mining over the link fixture (sf_dir unused):
+    (href, anchor-text) pairs from raw HTML, broadcast alias-dict linking,
+    (entity, target-host) rollup — the web-KG alias-evidence table."""
+    return pipeline.anchor_entities(datagen.crawl_link_pages(spark))
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1041,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": _q_graph_weighted_paths,
         "text_bm25_topk": _q_text_bm25_topk,
         "web_host_graph": _q_web_host_graph,
+        "web_anchor_entities": _q_web_anchor_entities,
     }
 
 

@@ -328,6 +328,19 @@ def crawl_link_pages_rows(n_pages: int = 150, seed: int = 11) -> list[tuple[str,
     """
     r = random.Random(seed)
     hosts = [f"linksite{i}.test" for i in range(8)]
+    # Anchor texts mix entity surface forms (the WEB_ALIAS_DICT cluster,
+    # with case noise the lower/trim normalization must collapse) and
+    # non-entity boilerplate that anchor-text linking must drop.
+    anchor_texts = [
+        "IBM",
+        "i.b.m.",
+        "International Business Machines",
+        "Acme Corp",
+        "ACME Corporation",
+        "click here",
+        "read more",
+        "anchor",
+    ]
     rows: list[tuple[str, bytes]] = []
     for i in range(n_pages):
         host = hosts[r.randrange(len(hosts))]
@@ -351,7 +364,8 @@ def crawl_link_pages_rows(n_pages: int = 150, seed: int = 11) -> list[tuple[str,
                 target = "mailto:admin@example.test"
             else:
                 target = "javascript:void(0)"
-            anchors.append(f'<a class="l" href="{target}">anchor</a>')
+            text = anchor_texts[r.randrange(len(anchor_texts))]
+            anchors.append(f'<a class="l" href="{target}">{text}</a>')
         html = (
             f"<html><body><h1>page {i}</h1><p>crawl body {i}</p>"
             f"{''.join(anchors)}</body></html>"

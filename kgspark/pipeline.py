@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from . import cache, chunking, html_extract, ids, web_extraction
+from . import cache, chunking, html_extract, ids, spec, web_extraction
 
 
 def _norm_name(c: Column) -> Column:
@@ -447,6 +447,66 @@ def host_link_graph(
             F.countDistinct("url").cast("long").alias("n_pages"),
         )
         .withColumn("is_external", F.col("src_host") != F.col("dst_host"))
+    )
+
+
+def anchor_entities(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Anchor-text ENTITY MINING — the classic web-KG evidence source: an
+    ``<a href>``'s text is a human-curated alias for whatever the link
+    points at.  Extract (href, anchor-text) pairs from the raw HTML bytes,
+    resolve hrefs to hosts (the host_link_graph rules: absolute → own
+    host, root-relative → page host, everything else dropped), normalize
+    the anchor text (lower/trim — the entity-linking key discipline), and
+    link it against the broadcast WEB alias dictionary; anchors whose text
+    is not a known alias drop (candidate generation, not open NER).
+    Output: one row per (canonical entity, target host) with link and
+    distinct-page counts — the "which hosts does the web call IBM" table.
+
+    Pure Catalyst except the tiny broadcast dict: decode + two
+    regexp_extract_all passes (href group, text group) zipped into one
+    anchors array, explode, parse_url, broadcast hash join, ONE hash
+    aggregate on the (entity, host) key.
+    """
+    html_s = F.decode(F.col(html_col), "UTF-8")
+    pat = F.lit(r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>')
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_s, pat, 1).alias("href"),
+        F.regexp_extract_all(html_s, pat, 2).alias("atext"),
+    )
+
+    def _norm_host(c: Column) -> Column:
+        return F.regexp_replace(F.lower(c), r"^www\.", "")
+
+    e = pages.select(
+        F.col(url_col).alias("url"),
+        _norm_host(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("src_host"),
+        F.explode(pairs).alias("a"),
+    ).select(
+        "url",
+        "src_host",
+        F.col("a.href").alias("href"),
+        F.lower(F.trim(F.col("a.atext"))).alias("alias"),
+    )
+    dst = F.when(
+        F.col("href").rlike("^https?://"),
+        _norm_host(F.parse_url(F.col("href"), F.lit("HOST"))),
+    ).when(F.col("href").startswith("/"), F.col("src_host"))
+    alias_dim = (
+        pages.sparkSession.createDataFrame(
+            spec.web_alias_rows(), ["alias", "entity_name"]
+        )
+    )
+    return (
+        e.withColumn("dst_host", dst)
+        .filter(F.col("dst_host").isNotNull())
+        .join(F.broadcast(alias_dim), "alias")
+        .groupBy("entity_name", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("url").cast("long").alias("n_pages"),
+        )
     )
 
 

@@ -619,6 +619,32 @@ def build() -> dict[str, str]:
         (s, d, c, len(us), s != d) for (s, d), (c, us) in link_acc.items()
     ]
 
+    # Anchor-text entity mining (kgspark.pipeline.anchor_entities):
+    # independent restatement — two-group re.findall, urllib host
+    # resolution, dict lookup on the lower/trim alias key.
+    web_alias = dict(spec.web_alias_rows())
+    anchor_acc: dict[tuple, list] = {}
+    for url, html in datagen.crawl_link_pages_rows():
+        src = _py_host(url)
+        for href, atext in _re.findall(
+            r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>', html.decode("utf-8")
+        ):
+            if _re.match(r"^https?://", href):
+                dst = _py_host(href)
+            elif href.startswith("/"):
+                dst = src
+            else:
+                continue
+            ent = web_alias.get(atext.strip().lower())
+            if ent is None:
+                continue
+            rec = anchor_acc.setdefault((ent, dst), [0, set()])
+            rec[0] += 1
+            rec[1].add(url)
+    anchor_rows = [
+        (ent, d, c, len(us)) for (ent, d), (c, us) in anchor_acc.items()
+    ]
+
     # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
     # restatement of the line rules over the raw generated pages; the
     # byte-exact cleaned page is pinned via its sha256.
@@ -661,6 +687,11 @@ def build() -> dict[str, str]:
             host_graph_rows,
             ["src_host", "dst_host", "n_links", "n_pages", "is_external"],
             ["s", "s", "i", "i", "b"],
+        ),
+        "web_anchor_entities": _values(
+            anchor_rows,
+            ["entity_name", "dst_host", "n_links", "n_pages"],
+            ["s", "s", "i", "i"],
         ),
         "web_domain_stats": _values(
             domain_rows,

@@ -1061,3 +1061,30 @@ def test_host_link_graph_counts_distinct_pages(spark):
     [r] = pl.host_link_graph(df).collect()
     assert (r["src_host"], r["dst_host"]) == ("s.test", "t.test")
     assert (r["n_links"], r["n_pages"], r["is_external"]) == (3, 2, True)
+
+
+def test_anchor_entities_links_and_drops(spark):
+    """Hand-built page: entity-alias anchor texts link (case/spacing
+    normalized), boilerplate anchor texts drop, non-link hrefs drop."""
+    from kgspark import pipeline as pl
+
+    html = (
+        "<html><body>"
+        '<a href="https://t.test/1">IBM</a>'
+        '<a href="https://t.test/2"> international business machines </a>'
+        '<a href="/local">ACME CORPORATION</a>'
+        '<a href="https://t.test/3">click here</a>'
+        '<a href="mailto:x@y.test">IBM</a>'
+        "</body></html>"
+    ).encode("utf-8")
+    df = spark.createDataFrame(
+        [("https://www.me.test/p", html)], "url string, html binary"
+    )
+    got = {
+        (r["entity_name"], r["dst_host"]): (r["n_links"], r["n_pages"])
+        for r in pl.anchor_entities(df).collect()
+    }
+    assert got == {
+        ("IBM", "t.test"): (2, 1),
+        ("Acme Corp", "me.test"): (1, 1),
+    }
