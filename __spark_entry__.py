@@ -761,6 +761,18 @@ def _q_web_anchor_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.anchor_entities(datagen.crawl_link_pages(spark))
 
 
+def _q_web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank COMPOSED over the hyperlink host graph
+    (fixed link fixture — sf_dir unused): host_link_graph edges feed the
+    same bit-exact Pregel loop the corpus name graph uses — the web-scale
+    host-authority table."""
+    g = pipeline.host_link_graph(datagen.crawl_link_pages(spark))
+    tri = g.select(
+        F.col("src_host").alias("subj"), F.col("dst_host").alias("obj")
+    )
+    return graph.pagerank(tri).select(F.col("name").alias("host"), "pagerank")
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1049,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _q_text_bm25_topk,
         "web_host_graph": _q_web_host_graph,
         "web_anchor_entities": _q_web_anchor_entities,
+        "web_host_rank": _q_web_host_rank,
     }
 
 

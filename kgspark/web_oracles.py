@@ -645,6 +645,31 @@ def build() -> dict[str, str]:
         (ent, d, c, len(us)) for (ent, d), (c, us) in anchor_acc.items()
     ]
 
+    # Host PageRank (graph.pagerank composed over pipeline.host_link_graph):
+    # independent driver-side restatement of the integer fixed-point
+    # recurrence over the fixture's host edges — the same bit-exact update
+    # the Spark loop computes, so the VALUES oracle is exact.
+    from .graph import PAGERANK_ITERS, PAGERANK_SCALE
+
+    hg_edges = {(s, d) for (s, d) in link_acc if s != d}
+    hg_nodes = sorted({x for e in hg_edges for x in e})
+    hg_out: dict[str, int] = {}
+    for s, _d in hg_edges:
+        hg_out[s] = hg_out.get(s, 0) + 1
+    hn = len(hg_nodes)
+    hr = {v: PAGERANK_SCALE // hn for v in hg_nodes}
+    for _ in range(PAGERANK_ITERS):
+        dang = sum(hr[v] for v in hg_nodes if hg_out.get(v, 0) == 0)
+        inflow: dict[str, int] = {}
+        for s, d in hg_edges:
+            inflow[d] = inflow.get(d, 0) + hr[s] // hg_out[s]
+        hr = {
+            v: (15 * PAGERANK_SCALE) // (100 * hn)
+            + (85 * (inflow.get(v, 0) + dang // hn)) // 100
+            for v in hg_nodes
+        }
+    host_rank_rows = sorted(hr.items())
+
     # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
     # restatement of the line rules over the raw generated pages; the
     # byte-exact cleaned page is pinned via its sha256.
@@ -692,6 +717,9 @@ def build() -> dict[str, str]:
             anchor_rows,
             ["entity_name", "dst_host", "n_links", "n_pages"],
             ["s", "s", "i", "i"],
+        ),
+        "web_host_rank": _values(
+            host_rank_rows, ["host", "pagerank"], ["s", "i"]
         ),
         "web_domain_stats": _values(
             domain_rows,
