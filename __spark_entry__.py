@@ -773,6 +773,13 @@ def _q_web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(tri).select(F.col("name").alias("host"), "pagerank")
 
 
+def _q_web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer jumping (fixed redirect
+    fixture — sf_dir unused): 3 doubling rounds resolve chains up to 8
+    hops in 3 self-join shuffles; loops come back is_resolved=false."""
+    return pipeline.redirect_resolve(datagen.crawl_redirects(spark))
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1062,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_graph": _q_web_host_graph,
         "web_anchor_entities": _q_web_anchor_entities,
         "web_host_rank": _q_web_host_rank,
+        "web_redirect_resolve": _q_web_redirect_resolve,
     }
 
 

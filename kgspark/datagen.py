@@ -376,3 +376,36 @@ def crawl_link_pages_rows(n_pages: int = 150, seed: int = 11) -> list[tuple[str,
 
 def crawl_link_pages(spark: SparkSession, n_pages: int = 150, seed: int = 11) -> DataFrame:
     return spark.createDataFrame(crawl_link_pages_rows(n_pages, seed), CRAWL_LINK_SCHEMA)
+
+
+CRAWL_REDIRECT_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType(), False),
+        StructField("dst_url", StringType(), False),
+    ]
+)
+
+
+def crawl_redirects_rows(n_chains: int = 40, seed: int = 13) -> list[tuple[str, str]]:
+    """HTTP redirect edges: chains of length 1-6 ending at a terminal page
+    (a URL that is not itself a redirect source), plus one planted 3-cycle
+    — the pathological shape (redirect loops exist in real crawls) that
+    pointer jumping must mark unresolved instead of looping on.  Seeded
+    and driver-side like the other crawl fixtures.
+    """
+    r = random.Random(seed)
+    rows: list[tuple[str, str]] = []
+    uid = 0
+    for _ in range(n_chains):
+        length = 1 + r.randrange(6)
+        chain = [f"https://r{r.randrange(5)}.test/u{uid + j}" for j in range(length + 1)]
+        uid += length + 1
+        for a, b in zip(chain, chain[1:]):
+            rows.append((a, b))
+    cyc = [f"https://rc.test/c{j}" for j in range(3)]
+    rows += [(cyc[0], cyc[1]), (cyc[1], cyc[2]), (cyc[2], cyc[0])]
+    return rows
+
+
+def crawl_redirects(spark: SparkSession, n_chains: int = 40, seed: int = 13) -> DataFrame:
+    return spark.createDataFrame(crawl_redirects_rows(n_chains, seed), CRAWL_REDIRECT_SCHEMA)

@@ -510,6 +510,55 @@ def anchor_entities(
     )
 
 
+REDIRECT_ROUNDS = 3
+
+
+def redirect_resolve(
+    redirects: DataFrame, rounds: int = REDIRECT_ROUNDS
+) -> DataFrame:
+    """Redirect-chain resolution by POINTER JUMPING — O(log L) rounds
+    instead of the O(L) per-hop walk: each round replaces every pointer
+    with its pointer's pointer (``p ← p∘p``), so ``rounds`` rounds resolve
+    chains up to ``2^rounds`` hops.  A URL whose final pointer is still a
+    redirect source after the budget (a loop, or a chain longer than the
+    budget) comes back ``is_resolved = false`` — redirect cycles exist in
+    real crawls and must terminate the job, not hang it.
+
+    Exact semantics (restated by the oracle): final_url is the pointer
+    after ``min(2^rounds, steps-to-terminal)`` hops.  Scale shape: per
+    round ONE self-equi-join of the pointer frame on the pointer key and
+    nothing else — the frame stays one row per redirect source, lineage
+    truncated per round; doubling makes a 64-hop chain cost 6 shuffles,
+    the property linear frontier walks lose at crawl scale.
+    """
+    from .session import truncate_lineage
+
+    e = redirects.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("ptr")
+    ).distinct()
+    ptr = e.persist()
+    ptr.count()
+    srcs = ptr.select("src").distinct()
+    for _ in range(rounds):
+        ptr = truncate_lineage(ptr)
+        hop = ptr.select(F.col("src").alias("_hsrc"), F.col("ptr").alias("_hptr"))
+        ptr = ptr.join(hop, ptr["ptr"] == hop["_hsrc"], "left").select(
+            "src", F.coalesce("_hptr", "ptr").alias("ptr")
+        )
+    return (
+        ptr.join(
+            srcs.select(F.col("src").alias("ptr"), F.lit(1).alias("_issrc")),
+            "ptr",
+            "left",
+        )
+        .select(
+            F.col("src").alias("src_url"),
+            F.col("ptr").alias("final_url"),
+            F.col("_issrc").isNull().alias("is_resolved"),
+        )
+    )
+
+
 def domain_stats(web_pages: DataFrame) -> DataFrame:
     """C4-style per-domain rollup of a raw page corpus: page counts,
     non-empty extraction counts, distinct-content counts, total extracted

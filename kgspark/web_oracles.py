@@ -670,6 +670,23 @@ def build() -> dict[str, str]:
         }
     host_rank_rows = sorted(hr.items())
 
+    # Redirect resolution (kgspark.pipeline.redirect_resolve): independent
+    # restatement — the doubling loop computes p^(min(2^rounds, steps))(x),
+    # so the oracle WALKS exactly that many hops (1 + (2^rounds - 1)),
+    # stopping early at a terminal; resolved iff the final URL is not
+    # itself a redirect source.
+    from .pipeline import REDIRECT_ROUNDS
+
+    ptrmap = dict(datagen.crawl_redirects_rows())
+    redirect_rows = []
+    for src in ptrmap:
+        cur = ptrmap[src]
+        for _ in range(2**REDIRECT_ROUNDS - 1):
+            if cur not in ptrmap:
+                break
+            cur = ptrmap[cur]
+        redirect_rows.append((src, cur, cur not in ptrmap))
+
     # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
     # restatement of the line rules over the raw generated pages; the
     # byte-exact cleaned page is pinned via its sha256.
@@ -720,6 +737,11 @@ def build() -> dict[str, str]:
         ),
         "web_host_rank": _values(
             host_rank_rows, ["host", "pagerank"], ["s", "i"]
+        ),
+        "web_redirect_resolve": _values(
+            redirect_rows,
+            ["src_url", "final_url", "is_resolved"],
+            ["s", "s", "b"],
         ),
         "web_domain_stats": _values(
             domain_rows,

@@ -342,3 +342,50 @@ def test_mixture_apply_copy_counts_bound_by_weight(spark):
         lo, hi = n_lang[lang] * (w // 10**6), n_lang[lang] * (w // 10**6 + 1)
         assert lo <= realized <= hi
     assert all(l != "xx" for _d, l in copies)
+
+
+def test_redirect_resolve_matches_walk_on_random_graphs(spark):
+    """Brute-force property: pointer jumping with R rounds equals a plain
+    per-hop walk of min(2^R, steps-to-terminal) hops on random redirect
+    graphs (random functional graphs — chains, trees into sinks, cycles);
+    is_resolved iff the walk's final URL is not a redirect source."""
+    import random
+
+    for seed in (3, 7, 19):
+        r = random.Random(seed)
+        n = 60
+        # functional graph: ~2/3 of nodes are redirect sources
+        ptr = {}
+        for i in range(n):
+            if r.random() < 0.66:
+                j = r.randrange(n)
+                if j != i:
+                    ptr[f"u{i}"] = f"u{j}"
+        edges = list(ptr.items())
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src_url string, dst_url string")
+        got = {
+            x["src_url"]: (x["final_url"], x["is_resolved"])
+            for x in pipeline.redirect_resolve(df).collect()
+        }
+        assert set(got) == set(ptr)
+        budget = 2**pipeline.REDIRECT_ROUNDS
+        for src, dst in ptr.items():
+            cur, hops = dst, 1
+            while cur in ptr and hops < budget:
+                cur = ptr[cur]
+                hops += 1
+            assert got[src] == (cur, cur not in ptr), src
+
+
+def test_redirect_resolve_planted_cycle_unresolved(spark):
+    """The planted 3-cycle in the fixture must come back is_resolved=false
+    for all three members, and every chain member must resolve to the
+    chain's terminal."""
+    df = datagen.crawl_redirects(spark)
+    rows = pipeline.redirect_resolve(df).collect()
+    cyc = {x for x in rows if x["src_url"].startswith("https://rc.test/")}
+    assert len(cyc) == 3 and all(not x["is_resolved"] for x in cyc)
+    rest = [x for x in rows if not x["src_url"].startswith("https://rc.test/")]
+    assert rest and all(x["is_resolved"] for x in rest)
