@@ -165,6 +165,20 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term counts probed at the exact top-20 terms:
+    one word-count shuffle, d·w bounded sketch state, TakeOrderedAndProject
+    top-k, broadcast probe — the sketch overestimate is observable per term."""
+    return textops.cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+def _q_docs_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV distinct-count sketch next to the exact count:
+    engine-independent sha256-prefix hashes, all-integer estimate, two-phase
+    top-k so no group ever sorts in a single task."""
+    return textops.distinct_kmv(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprint in ONE narrow scan (the
     vocab_fingerprint column absorbs the former text_fingerprint query)."""
@@ -976,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_delim": _q_kg_chunks_delim,
         # --- dedup family ---
         "dedup_exact": _q_dedup_exact,
+        "docs_distinct_kmv": _q_docs_distinct_kmv,
+        "text_cms_heavy_hitters": _q_text_cms_heavy_hitters,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,

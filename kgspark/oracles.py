@@ -702,6 +702,54 @@ WHERE length(trim(text)) > 0
 GROUP BY sha256(trim(text))
 """.strip()
 
+    # KMV sketch (kgspark.textops.distinct_kmv): same sha256-prefix hash,
+    # same all-integer estimate arithmetic (`//` is DuckDB's integer div,
+    # matching Spark's `div`); small-set rule when a group has < k hashes.
+    q["docs_distinct_kmv"] = """
+WITH d AS (
+  SELECT DISTINCT lang,
+         greatest(CAST(concat('0x', substr(sha256(text), 1, 12)) AS BIGINT), 1) AS hv
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT lang, hv,
+         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_distinct,
+       CAST(64 AS BIGINT) AS kmv_k,
+       CAST(CASE WHEN max(n) < 64 THEN max(n)
+            ELSE 17732923532771328 // max(CASE WHEN rn = 64 THEN hv END)
+            END AS BIGINT) AS kmv_estimate
+FROM r GROUP BY lang
+""".strip()
+
+    # Count-min sketch (kgspark.textops.cms_heavy_hitters): identical
+    # md5-hash sketch rebuilt in SQL; sum() is cast to BIGINT (DuckDB sums
+    # BIGINT into HUGEINT, which the dtype-parity gate bans).
+    q["text_cms_heavy_hitters"] = f"""
+WITH {TOK},
+tc AS (SELECT unnest(toks) AS term FROM tok),
+counts AS (SELECT term, count(*) AS exact_count FROM tc GROUP BY term),
+js AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j,
+         CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || term), 1, 15) AS BIGINT) % 512 AS cell,
+         CAST(sum(exact_count) AS BIGINT) AS c
+  FROM counts CROSS JOIN js
+  GROUP BY 1, 2
+),
+topk AS (SELECT term, exact_count FROM counts ORDER BY exact_count DESC, term LIMIT 20)
+SELECT t.term, t.exact_count, min(c.c) AS cms_count,
+       min(c.c) - t.exact_count AS cms_over
+FROM topk t
+CROSS JOIN js
+JOIN cells c ON c.j = js.j
+ AND c.cell = CAST('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || '|' || t.term), 1, 15) AS BIGINT) % 512
+GROUP BY 1, 2
+""".strip()
+
     q["text_token_stats"] = f"""
 WITH {TOK}
 SELECT kg_doc_id,

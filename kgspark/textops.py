@@ -1836,3 +1836,127 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     return _doc_text(docs, text_col).mapInPandas(
         gen, schema="kg_doc_id string, simhash long"
     )
+
+
+KMV_K = 64                       # sketch size: k minimum hash values
+_KMV_SPAN = 1 << 48              # 12-hex-char hash prefix value space
+_KMV_NUM = (KMV_K - 1) * _KMV_SPAN  # (k-1)/kth-min-fraction, integer form
+
+
+def distinct_kmv(
+    docs: DataFrame, col: str = "text", group_col: str = "lang", k: int = KMV_K
+) -> DataFrame:
+    """Per-group distinct-count estimation with a KMV (K-Minimum-Values)
+    sketch (Bar-Yossef et al. 2002) next to the exact count, so the
+    estimate's error is directly observable.  The hash is the first 12 hex
+    chars of sha256 — engine-independent, so the DuckDB oracle recomputes
+    the identical sketch; estimate = (k-1) * 2^48 `div` h_k, all-integer
+    (the numerator exceeds 2^53, so float division would drift between
+    engines).  Groups with fewer than k distinct hashes report the exact
+    count (standard KMV small-set rule).
+
+    Scale shape: (1) distinct on (group, 48-bit hash) — the unavoidable
+    dedup shuffle, uniform keys by construction; (2) per-(group,
+    input-partition) row_number prune to k — fine-grained window keys, so
+    a billion-row group never sorts in one task; (3) final per-group fold
+    over ≤ k·P surviving rows.  Exact counts fall out of (1) with map-side
+    partial aggregation.  The sketch row is O(groups) regardless of corpus
+    size — the 100 TB shape for "how many distinct pages per language".
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(F.substring(F.sha2(F.col(col), 256), 1, 12), 16, 10).cast("long")
+    dd = (
+        docs.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.greatest(h, F.lit(1)).alias("hv"))
+        .distinct()
+        .persist()
+    )
+    counts = dd.groupBy("grp").agg(F.count(F.lit(1)).alias("n_distinct"))
+    w_local = Window.partitionBy("grp", "pid").orderBy("hv")
+    pruned = (
+        dd.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("pid", "rn")
+    )
+    kth = pruned.groupBy("grp").agg(
+        F.element_at(F.slice(F.sort_array(F.collect_list("hv")), 1, k), -1).alias("h_last")
+    )
+    return (
+        counts.join(kth, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_distinct",
+            F.lit(k).cast("long").alias("kmv_k"),
+            F.when(F.col("n_distinct") < k, F.col("n_distinct"))
+            .otherwise(F.expr(f"{_KMV_NUM}L div h_last"))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+CMS_D = 4        # count-min depth (independent hash rows)
+CMS_W = 512      # count-min width (cells per row)
+CMS_TOPK = 20    # heavy hitters reported
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """Count-Min-Sketch term frequencies (Cormode & Muthukrishnan 2005)
+    probed at the exact top-k heavy hitters, so the sketch's one-sided
+    overestimate (``cms_count ≥ exact_count``, Markov-bounded by the d×w
+    budget) is directly observable per term.  Hashes are the md5-derived
+    60-bit `_hash60` over ``'cms' || j || '|' || term`` — engine-portable,
+    so the DuckDB oracle rebuilds the identical sketch.
+
+    Scale shape: token explode → term hash-aggregate is word-count with
+    map-side combine (the only corpus-sized shuffle); the sketch is built
+    from the VOCAB-sized count table (CMS is linear, so hashing weighted
+    distinct terms equals hashing the raw stream) and partial-aggregates
+    into at most d·w cells of state per task; top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort); the
+    probe joins the ≤ d·w-row sketch broadcast.  Total driver-bound state
+    is O(d·w + k) at any corpus size.
+    """
+    counts = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .persist()
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    cell = F.pmod(
+        _hash60(
+            F.concat(
+                F.lit("cms"), F.col("j").cast("string"), F.lit("|"), F.col("term")
+            )
+        ),
+        F.lit(w),
+    )
+    cells = (
+        counts.select("term", "exact_count", js)
+        .withColumn("cell", cell)
+        .groupBy("j", "cell")
+        .agg(F.sum("exact_count").alias("c"))
+    )
+    topk = counts.orderBy(F.desc("exact_count"), F.asc("term")).limit(k)
+    return (
+        topk.select("term", "exact_count", js)
+        .withColumn("cell", cell)
+        .join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("c").alias("cms_count"))
+        .select(
+            "term",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("cms_over"),
+        )
+    )

@@ -389,3 +389,82 @@ def test_redirect_resolve_planted_cycle_unresolved(spark):
     assert len(cyc) == 3 and all(not x["is_resolved"] for x in cyc)
     rest = [x for x in rows if not x["src_url"].startswith("https://rc.test/")]
     assert rest and all(x["is_resolved"] for x in rest)
+
+
+def test_distinct_kmv_matches_bruteforce_and_is_accurate(spark):
+    """Brute-force property: the sketch row equals a pure-Python KMV over
+    the same sha256-prefix hashes on random corpora (dupes, small groups
+    under k, one group far above k); and the estimate for the large group
+    lands within 3/sqrt(k) relative error (KMV's theoretical band)."""
+    import hashlib
+    import random
+
+    from kgspark import textops
+
+    r = random.Random(23)
+    rows = []
+    # small groups (< k distinct) + one large group (~600 distinct)
+    for lang, n in (("aa", 5), ("bb", 40), ("cc", 600)):
+        texts = [f"{lang}-doc-{i}-{r.randrange(10)}" for i in range(n)]
+        rows += [(i, t, lang) for i, t in enumerate(texts)]
+        rows += [(1000 + i, t, lang) for i, t in enumerate(texts[: n // 3])]  # dupes
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {x["lang"]: x for x in textops.distinct_kmv(df).collect()}
+
+    k, span = textops.KMV_K, 1 << 48
+    by_lang = {}
+    for _i, t, lang in rows:
+        hv = max(int(hashlib.sha256(t.encode()).hexdigest()[:12], 16), 1)
+        by_lang.setdefault(lang, set()).add(hv)
+    for lang, hs in by_lang.items():
+        n_d = len(hs)
+        est = n_d if n_d < k else (k - 1) * span // sorted(hs)[k - 1]
+        row = got[lang]
+        assert (row["n_distinct"], row["kmv_k"], row["kmv_estimate"]) == (n_d, k, est)
+    big = got["cc"]
+    rel = abs(big["kmv_estimate"] - big["n_distinct"]) / big["n_distinct"]
+    assert rel <= 3 / (k ** 0.5), rel
+
+
+def test_cms_heavy_hitters_matches_bruteforce(spark):
+    """Brute-force property: on random Zipf-ish corpora the operator's rows
+    equal a pure-Python count-min sketch (same md5 hashes) probed at the
+    exact top-k, and the CMS overestimate is never negative."""
+    import hashlib
+    import random
+
+    from kgspark import textops
+
+    r = random.Random(41)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = []
+    for i in range(120):
+        n = 1 + r.randrange(30)
+        toks = [vocab[min(r.randrange(1, 81), r.randrange(1, 81)) - 1] for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (x["term"], x["exact_count"], x["cms_count"], x["cms_over"])
+        for x in textops.cms_heavy_hitters(df).collect()
+    )
+
+    from collections import Counter
+
+    cnt = Counter(t for _i, txt in rows for t in txt.split())
+    d, w, k = textops.CMS_D, textops.CMS_W, textops.CMS_TOPK
+
+    def h(j, term):
+        return int(hashlib.md5(f"cms{j}|{term}".encode()).hexdigest()[:15], 16) % w
+
+    table = [[0] * w for _ in range(d)]
+    for term, c in cnt.items():
+        for j in range(d):
+            table[j][h(j, term)] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    exp = sorted(
+        (t, c, min(table[j][h(j, t)] for j in range(d)),
+         min(table[j][h(j, t)] for j in range(d)) - c)
+        for t, c in top
+    )
+    assert got == exp
+    assert all(o >= 0 for _t, _c, _e, o in got)
