@@ -165,6 +165,21 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+def _q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-key prefilter audited against exact membership:
+    members = order custkeys, candidates = every customer (~1/3 have no
+    orders — real negatives).  No false negatives by construction; FPs
+    are observable and re-checked by the exact join the filter gates."""
+    from kgspark import sketches
+
+    return sketches.bloom_prefilter(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def _q_text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch term counts probed at the exact top-20 terms:
     one word-count shuffle, d·w bounded sketch state, TakeOrderedAndProject
@@ -992,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "docs_distinct_kmv": _q_docs_distinct_kmv,
         "text_cms_heavy_hitters": _q_text_cms_heavy_hitters,
+        "bloom_prefilter": _q_bloom_prefilter,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,

@@ -750,6 +750,37 @@ JOIN cells c ON c.j = js.j
 GROUP BY 1, 2
 """.strip()
 
+    # Bloom prefilter (kgspark.sketches.bloom_prefilter): the identical
+    # md5-hash bit array rebuilt in SQL — same sizing rule
+    # m = 2^max(8, ceil(log2(16 n))), same 32-bit words, same k=3 probes.
+    q["bloom_prefilter"] = """
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+m AS (SELECT CAST(power(2, greatest(8, ceil(log2(16 * count(*))))) AS BIGINT) AS m FROM keys),
+js AS (SELECT unnest(range(3)) AS j),
+pos AS (
+  SELECT CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+         % (SELECT m FROM m) AS pos
+  FROM keys CROSS JOIN js
+),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+cand AS (SELECT DISTINCT c_custkey AS cand_key FROM customer),
+probe AS (
+  SELECT cand_key,
+         CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || CAST(cand_key AS VARCHAR)), 1, 15) AS BIGINT)
+         % (SELECT m FROM m) AS pos
+  FROM cand CROSS JOIN js
+)
+SELECT p.cand_key,
+       bool_and(coalesce((w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) != 0, false)) AS bloom_hit,
+       bool_and(p.cand_key IN (SELECT k FROM keys)) AS is_member
+FROM probe p LEFT JOIN words w ON w.word = p.pos // 32
+GROUP BY 1
+""".strip()
+
     q["text_token_stats"] = f"""
 WITH {TOK}
 SELECT kg_doc_id,

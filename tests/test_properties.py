@@ -468,3 +468,49 @@ def test_cms_heavy_hitters_matches_bruteforce(spark):
     )
     assert got == exp
     assert all(o >= 0 for _t, _c, _e, o in got)
+
+
+def test_bloom_prefilter_no_false_negatives_and_matches_bruteforce(spark):
+    """Brute-force property: the Bloom verdicts equal a pure-Python filter
+    built with the same md5 hashes and sizing rule; members are NEVER
+    missed; and an undersized filter (m=256 floor vs 300 keys) actually
+    produces false positives — i.e. the FP path is exercised, not vacuous."""
+    import hashlib
+    import random
+
+    from kgspark import sketches
+
+    r = random.Random(47)
+    members = r.sample(range(10_000), 300)
+    cands = members[:150] + r.sample(range(10_000, 20_000), 200)
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    cdf = spark.createDataFrame([(k,) for k in cands], "cand_key long")
+    out = {x["cand_key"]: (x["bloom_hit"], x["is_member"])
+           for x in sketches.bloom_prefilter(mdf, cdf, "k", "cand_key").collect()}
+
+    m = sketches.bloom_m_bits(300)
+
+    def positions(k):
+        return [
+            int(hashlib.md5(f"bloom{j}|{k}".encode()).hexdigest()[:15], 16) % m
+            for j in range(sketches.BLOOM_HASHES)
+        ]
+
+    bits = set()
+    for k in members:
+        bits.update(positions(k))
+    mem = set(members)
+    assert set(out) == set(cands)
+    for k in cands:
+        exp_hit = all(p in bits for p in positions(k))
+        assert out[k] == (exp_hit, k in mem), k
+    assert all(out[k][0] for k in members[:150])  # no false negatives
+
+    # undersized filter -> observable false positives, still no FNs
+    small = sketches.bloom_build(mdf.selectExpr("k"), "k", 256)
+    hits = {
+        x["cand_key"]: x["bloom_hit"]
+        for x in sketches.bloom_probe(cdf, "cand_key", small, 256).collect()
+    }
+    assert all(hits[k] for k in members[:150])
+    assert any(hits[k] for k in cands if k not in mem)
