@@ -809,6 +809,15 @@ def _q_web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.redirect_resolve(datagen.crawl_redirects(spark))
 
 
+def _q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-exclusion verdicts over the messy crawl-frontier
+    fixture (fixed fixtures — sf_dir unused): group selection, longest
+    literal prefix wins, allow wins ties, absent host defaults to allow."""
+    return pipeline.robots_filter(
+        datagen.crawl_url_variants(spark), datagen.crawl_robots(spark)
+    )
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1102,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_entities": _q_web_anchor_entities,
         "web_host_rank": _q_web_host_rank,
         "web_redirect_resolve": _q_web_redirect_resolve,
+        "web_robots_filter": _q_web_robots_filter,
     }
 
 

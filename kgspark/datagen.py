@@ -409,3 +409,55 @@ def crawl_redirects_rows(n_chains: int = 40, seed: int = 13) -> list[tuple[str, 
 
 def crawl_redirects(spark: SparkSession, n_chains: int = 40, seed: int = 13) -> DataFrame:
     return spark.createDataFrame(crawl_redirects_rows(n_chains, seed), CRAWL_REDIRECT_SCHEMA)
+
+
+CRAWL_ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("agent", StringType(), False),
+        StructField("rule", StringType(), False),       # 'allow' | 'disallow'
+        StructField("path_prefix", StringType(), False),
+    ]
+)
+
+
+def crawl_robots_rows(seed: int = 17) -> list[tuple[str, str, str, str]]:
+    """Parsed robots.txt rule groups for the crawl-fixture hosts (RFC 9309
+    shapes, literal path prefixes): every host has a ``*`` group; some also
+    have a ``kgbot`` group that OVERRIDES ``*`` (group selection, not
+    merge — the spec rule crawlers get wrong most often); longest-match
+    pairs (``/page/1`` vs ``/page/11``) exercise specificity; one host
+    disallows ``/`` for ``*`` but allows kgbot back in.  Hosts absent here
+    (e.g. the ``www.``-variant hosts) default to allow-all.
+    """
+    r = random.Random(seed)
+    rows: list[tuple[str, str, str, str]] = []
+    for site in range(6):
+        host = f"example-site{site}.test"
+        if site == 0:
+            # blanket disallow for *, kgbot group re-allows a subtree
+            rows += [
+                (host, "*", "disallow", "/"),
+                (host, "kgbot", "disallow", "/"),
+                (host, "kgbot", "allow", "/page/1"),
+            ]
+            continue
+        if site == 1:
+            # longest-match specificity ladder in the * group
+            rows += [
+                (host, "*", "disallow", "/page/1"),
+                (host, "*", "allow", "/page/11"),
+                (host, "*", "disallow", "/page/113"),
+            ]
+            continue
+        # sites 2-5: seeded mix of * rules; site 3 gets a kgbot group
+        for _ in range(2 + r.randrange(3)):
+            kind = "disallow" if r.random() < 0.6 else "allow"
+            rows.append((host, "*", kind, f"/page/{r.randrange(12)}"))
+        if site == 3:
+            rows.append((host, "kgbot", "allow", "/"))
+    return rows
+
+
+def crawl_robots(spark: SparkSession, seed: int = 17) -> DataFrame:
+    return spark.createDataFrame(crawl_robots_rows(seed), CRAWL_ROBOTS_SCHEMA)

@@ -581,3 +581,72 @@ def domain_stats(web_pages: DataFrame) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("total_text_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+ROBOTS_AGENT = "kgbot"
+
+
+def robots_filter(
+    pages: DataFrame, robots: DataFrame, agent: str = ROBOTS_AGENT
+) -> DataFrame:
+    """Robots-exclusion verdict per frontier URL (RFC 9309 subset: literal
+    path prefixes, no wildcards).  Semantics restated by the oracle:
+    (1) GROUP SELECTION, not merge — a host with a group for ``agent``
+    uses ONLY that group, else its ``*`` group, else allow-all;
+    (2) among the selected group's rules whose prefix matches the URL
+    path, the LONGEST prefix wins, allow winning length ties;
+    (3) no matching rule → allowed.  Hosts compare case-insensitively
+    (DNS), paths case-sensitively, ports/query/fragment excluded.
+
+    Scale shape: the rules table is hosts×rules (tiny next to a frontier)
+    → broadcast; the verdict is one narrow parse projection + the
+    broadcast join + one per-url max-struct fold.  The frontier never
+    shuffles except that final fold on its own key.
+    """
+    u = (
+        pages.select("url")
+        .distinct()
+        .select(
+            "url",
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            F.coalesce(
+                F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+                F.lit("/"),
+            ).alias("path"),
+        )
+    )
+    grp = (
+        robots.groupBy("host")
+        .agg(F.max((F.col("agent") == agent).cast("int")).alias("has_agent"))
+        .select(
+            "host",
+            F.when(F.col("has_agent") == 1, agent).otherwise("*").alias("sel"),
+        )
+    )
+    rules = robots.join(grp, "host").filter(F.col("agent") == F.col("sel"))
+    j = u.join(F.broadcast(rules), "host", "left").withColumn(
+        "matched",
+        F.col("path_prefix").isNotNull()
+        & F.col("path").startswith(F.col("path_prefix")),
+    )
+    return (
+        j.groupBy("url", "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("matched"),
+                    F.struct(
+                        F.length("path_prefix").alias("l"),
+                        (F.col("rule") == "allow").cast("int").alias("a"),
+                        F.col("path_prefix").alias("p"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select(
+            "url",
+            "host",
+            F.col("b.p").alias("matched_prefix"),
+            F.coalesce(F.col("b.a") == 1, F.lit(True)).alias("allowed"),
+        )
+    )

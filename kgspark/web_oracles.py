@@ -31,6 +31,8 @@ def _q(s: str) -> str:
 
 
 def _lit(c, t: str) -> str:
+    if c is None:
+        return "NULL"
     if t == "s":
         return _q(c)
     if t == "b":
@@ -687,6 +689,35 @@ def build() -> dict[str, str]:
             cur = ptrmap[cur]
         redirect_rows.append((src, cur, cur not in ptrmap))
 
+    # Robots exclusion (kgspark.pipeline.robots_filter): independent
+    # urllib-based restatement of the RFC 9309 subset — group selection
+    # (agent group overrides *, never merges), longest matching literal
+    # prefix, allow wins length ties, absent host/rule => allowed.
+    from urllib.parse import urlparse
+
+    from .pipeline import ROBOTS_AGENT
+
+    by_host: dict[str, list[tuple[str, str, str]]] = {}
+    for h, a, k, pfx in datagen.crawl_robots_rows():
+        by_host.setdefault(h, []).append((a, k, pfx))
+    robots_rows = []
+    for url in sorted({u for u, _t in datagen.crawl_url_variants_rows()}):
+        pu = urlparse(url)
+        host = (pu.hostname or "").lower()
+        path = pu.path or "/"
+        grp = by_host.get(host, [])
+        want = ROBOTS_AGENT if any(a == ROBOTS_AGENT for a, _k, _p in grp) else "*"
+        matches = [
+            (len(pfx), 1 if k == "allow" else 0, pfx)
+            for a, k, pfx in grp
+            if a == want and path.startswith(pfx)
+        ]
+        if matches:
+            _l, a_, p_ = max(matches)
+            robots_rows.append((url, host, p_, bool(a_)))
+        else:
+            robots_rows.append((url, host, None, True))
+
     # C4 line cleanup (kgspark.textops.c4_line_clean): independent Python
     # restatement of the line rules over the raw generated pages; the
     # byte-exact cleaned page is pinned via its sha256.
@@ -742,6 +773,11 @@ def build() -> dict[str, str]:
             redirect_rows,
             ["src_url", "final_url", "is_resolved"],
             ["s", "s", "b"],
+        ),
+        "web_robots_filter": _values(
+            robots_rows,
+            ["url", "host", "matched_prefix", "allowed"],
+            ["s", "s", "s", "b"],
         ),
         "web_domain_stats": _values(
             domain_rows,

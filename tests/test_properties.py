@@ -514,3 +514,74 @@ def test_bloom_prefilter_no_false_negatives_and_matches_bruteforce(spark):
     }
     assert all(hits[k] for k in members[:150])
     assert any(hits[k] for k in cands if k not in mem)
+
+
+def test_robots_filter_matches_bruteforce_on_random_rules(spark):
+    """Brute-force property: the Spark verdict equals a plain-Python RFC 9309
+    evaluation (group selection, longest literal prefix, allow wins ties,
+    absent host allows) on random rule tables and random frontier paths —
+    including hosts with agent-only groups, *-only groups, both, and none."""
+    import random
+
+    for seed in (5, 11, 23):
+        r = random.Random(seed)
+        hosts = [f"h{i}.test" for i in range(8)]
+        rules = []
+        for h in hosts[:6]:  # last two hosts have NO robots rows at all
+            agents = ["*", "kgbot"] if r.random() < 0.5 else [r.choice(["*", "kgbot"])]
+            for a in agents:
+                for _ in range(1 + r.randrange(4)):
+                    kind = "disallow" if r.random() < 0.5 else "allow"
+                    depth = 1 + r.randrange(3)
+                    pfx = "/" + "/".join(str(r.randrange(4)) for _ in range(depth))
+                    rules.append((h, a, kind, pfx))
+        urls = []
+        for _ in range(80):
+            h = r.choice(hosts)
+            depth = r.randrange(4)
+            path = "/" + "/".join(str(r.randrange(4)) for _ in range(depth))
+            urls.append((f"https://{h}{path if depth else ''}", "t"))
+        pages = spark.createDataFrame(urls, "url string, text string")
+        robots = spark.createDataFrame(
+            rules, "host string, agent string, rule string, path_prefix string"
+        )
+        got = {
+            x["url"]: (x["matched_prefix"], x["allowed"])
+            for x in pipeline.robots_filter(pages, robots).collect()
+        }
+        assert set(got) == {u for u, _t in urls}
+        from urllib.parse import urlparse
+
+        by_host = {}
+        for h, a, k, p in rules:
+            by_host.setdefault(h, []).append((a, k, p))
+        for url in {u for u, _t in urls}:
+            pu = urlparse(url)
+            host, path = (pu.hostname or "").lower(), pu.path or "/"
+            grp = by_host.get(host, [])
+            want = "kgbot" if any(a == "kgbot" for a, _k, _p in grp) else "*"
+            m = [
+                (len(p), 1 if k == "allow" else 0, p)
+                for a, k, p in grp
+                if a == want and path.startswith(p)
+            ]
+            exp = (max(m)[2], bool(max(m)[1])) if m else (None, True)
+            assert got[url] == exp, (url, got[url], exp)
+
+
+def test_robots_filter_fixture_semantics(spark):
+    """Pinned fixture checks: the blanket-disallow host re-allows kgbot only
+    under /page/1*; the specificity ladder flips allow/disallow at each
+    longer prefix; rule-less hosts (www. variants) default to allow."""
+    out = {
+        x["url"]: (x["matched_prefix"], x["allowed"])
+        for x in pipeline.robots_filter(
+            datagen.crawl_url_variants(spark), datagen.crawl_robots(spark)
+        ).collect()
+    }
+    s0 = {u: v for u, v in out.items() if "example-site0.test" in u and "www." not in u}
+    assert s0 and all(
+        v[1] == ("/page/1" in u and v[0] == "/page/1") for u, v in s0.items()
+    )
+    www = {u: v for u, v in out.items() if "www.example-site0" in u}
+    assert www and all(v == (None, True) for v in www.values())
