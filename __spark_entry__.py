@@ -39,6 +39,7 @@ from kgspark import (  # noqa: E402
     textops,
     vec_oracles,
     vecops,
+    warc,
     web_oracles,
 )
 from kgspark import ids as kgids  # noqa: E402
@@ -818,6 +819,46 @@ def _q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC record table over the 4-file member-per-record gzip fixture
+    (fixed fixture — sf_dir unused): mapInPandas member walk + record parse,
+    raw bodies reported as sha256 so the driver compare stays string-typed."""
+    from kgspark import html_extract  # noqa: F401  (module co-located)
+
+    return warc.warc_records(datagen.warc_files(spark)).select(
+        "file_name",
+        "rec_offset",
+        "rec_length",
+        "warc_type",
+        "record_id",
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        "payload_digest",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.coalesce(F.length("html"), F.lit(-1)).cast("int").alias("html_len"),
+    )
+
+
+def _q_warc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index (SURT urlkey + offset/length locator +
+    payload digest) over the WARC fixture — the range-read handle table."""
+    return warc.warc_index(datagen.warc_files(spark))
+
+
+def _q_warc_extract_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule byte-identity invariant THROUGH the WARC path: ingest
+    the containerized corpus, run the extraction stage, emit per-url text
+    sha256 — the oracle pins the golden text digests, so any container-layer
+    byte damage (or extraction drift) hash-mismatches."""
+    from kgspark import html_extract
+
+    return html_extract.extract_stage(warc.warc_pages(datagen.warc_files(spark))).select(
+        "url", "text_sha256", F.col("extract_error").alias("error")
+    )
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1112,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank": _q_web_host_rank,
         "web_redirect_resolve": _q_web_redirect_resolve,
         "web_robots_filter": _q_web_robots_filter,
+        "warc_records": _q_warc_records,
+        "warc_index": _q_warc_index,
+        "warc_extract_digests": _q_warc_extract_digests,
     }
 
 

@@ -461,3 +461,55 @@ def crawl_robots_rows(seed: int = 17) -> list[tuple[str, str, str, str]]:
 
 def crawl_robots(spark: SparkSession, seed: int = 17) -> DataFrame:
     return spark.createDataFrame(crawl_robots_rows(seed), CRAWL_ROBOTS_SCHEMA)
+
+
+WARC_FILES_SCHEMA = StructType(
+    [
+        StructField("file_name", StringType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def warc_files_rows(
+    n_docs: int = 160, n_files: int = 4, seed: int = 42
+) -> list[tuple[str, bytes]]:
+    """The web corpus re-containerized as Common-Crawl-style WARC files:
+    contiguous doc shards, member-per-record gzip, a warcinfo head record
+    per file, and (file 0 only) a trailing ``request`` record so ingest
+    provably skips non-response types.  Same (n_docs, seed) as the pages
+    fixture, so the WARC path and the direct path describe one corpus and
+    the byte-identity digest gate can compare them per url."""
+    from . import warccodec
+
+    pages = [
+        (url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), html)
+        for url, ts, html, _text, _lang in web_pages_rows(n_docs, seed)
+    ]
+    per = (len(pages) + n_files - 1) // n_files
+    out: list[tuple[str, bytes]] = []
+    for k in range(n_files):
+        shard = pages[k * per : (k + 1) * per]
+        extra = None
+        if k == 0 and shard:
+            req = warccodec.make_record(
+                "request",
+                warccodec.http_response_block(b"", status=200),
+                url=shard[0][0],
+                date=shard[0][1],
+                content_type="application/http; msgtype=request",
+            )
+            extra = [req]
+        out.append(
+            (
+                f"crawl-{seed}-{k:05d}.warc.gz",
+                warccodec.make_warc(shard, gzip_members=True, extra_records=extra),
+            )
+        )
+    return out
+
+
+def warc_files(
+    spark: SparkSession, n_docs: int = 160, n_files: int = 4, seed: int = 42
+) -> DataFrame:
+    return spark.createDataFrame(warc_files_rows(n_docs, n_files, seed), WARC_FILES_SCHEMA)

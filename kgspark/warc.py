@@ -1,0 +1,171 @@
+"""WARC ingestion operators — Common-Crawl-style container → pages table.
+
+The engine's authoritative input is the pages table
+``(url, warc_ts, html, text, lang)`` (BASELINE input_hint); real crawl
+corpora arrive as WARC files.  This module is the bridge: a mapInPandas
+kernel over ``(file_name, content binary)`` rows splits the member-per-record
+gzip stream (:mod:`kgspark.warccodec`), parses each record, and emits the
+record table; projections derive the CDX-style index (the offset/length
+locator pairs that make a 100 TB archive range-readable) and the
+pages-shaped response view that feeds the existing extraction pipeline.
+
+Scale shape: file-level parallelism — ``spark.read.format("binaryFile")``
+(or a manifest of object-store paths) gives one row per WARC file; the
+kernel is per-file, no shuffle, and emits only pruned columns, so the
+stage is embarrassingly parallel and its partition count follows the file
+listing.  Whole-file bytes bound executor memory at one file per task
+(crawl WARCs are ~1 GiB by convention); finer grain comes from the CDX
+index itself — once built, (offset, length) locators let any later stage
+range-read single records instead of whole files
+(:func:`kgspark.warccodec.parse_record_at`).
+
+Reference seam: this replaces the reference's upload/filesystem document
+source (runtime/src/routes/documents.rs upload + extract entry) for the
+web analog — the reference reads loose files; a web-scale crawl reads WARC.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import warccodec
+
+_RECORDS_SCHEMA = StructType(
+    [
+        StructField("file_name", StringType()),
+        StructField("rec_offset", LongType()),
+        StructField("rec_length", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("payload_digest", StringType()),
+        StructField("html", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def warc_records(files: DataFrame) -> DataFrame:
+    """(file_name, content) → one row per WARC record (+ per-file error rows).
+
+    Structural corruption surfaces as a row with ``error`` set and the rest
+    null (the html_extract error-record convention) — a bad file never
+    kills the job, and the error rows are the crawl-health metric surface.
+    """
+    pruned = files.select("file_name", "content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _RECORDS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fname, blob in zip(pdf["file_name"], pdf["content"]):
+                try:
+                    recs = warccodec.parse_warc(bytes(blob))
+                except Exception as e:
+                    rows.append(
+                        (fname, None, None, None, None, None, None, None,
+                         None, None, None, f"{type(e).__name__}: {e}")
+                    )
+                    continue
+                for r in recs:
+                    rows.append(
+                        (
+                            fname,
+                            r["offset"],
+                            r["length"],
+                            r["warc_type"],
+                            r["record_id"],
+                            r["url"],
+                            r["warc_date"],
+                            r["http_status"],
+                            r["content_type"],
+                            r["payload_digest"],
+                            r["body"],
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(_parse, schema=_RECORDS_SCHEMA)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-style sort-friendly URL key, pure Catalyst (codegen, no Python).
+
+    ``https://www.Sub.Example.test/a/b?z=1&a=2`` →
+    ``test,example,sub)/a/b?a=2&z=1``: host lowercased, one leading
+    ``www.`` dropped, labels reversed comma-joined, ``)`` + path (default
+    ``/``), query params sorted.  Keys for the same logical resource
+    cluster lexicographically — the web-archive index ordering that turns
+    per-host scans into contiguous range reads.
+    """
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.nullif(F.parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/"))
+    q = F.parse_url(url, F.lit("QUERY"))
+    sorted_q = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def warc_index(files: DataFrame) -> DataFrame:
+    """CDX-style capture index: one row per response record.
+
+    ``(urlkey, warc_date, file_name, rec_offset, rec_length,
+    payload_digest, http_status)`` — urlkey is the SURT sort key, the
+    locator pair is the range-read handle.  At archive scale this table is
+    written sorted/partitioned by urlkey so lookups and per-host scans
+    prune partitions; the digest column is the cross-crawl dedup key.
+    """
+    return (
+        warc_records(files)
+        .filter((F.col("warc_type") == "response") & F.col("error").isNull())
+        .select(
+            surt_key(F.col("url")).alias("urlkey"),
+            "warc_date",
+            "file_name",
+            "rec_offset",
+            "rec_length",
+            "payload_digest",
+            "http_status",
+        )
+    )
+
+
+def warc_pages(files: DataFrame) -> DataFrame:
+    """Response records → the engine's pages input shape
+    ``(url, warc_ts timestamp, html binary)`` — the WARC-side entry to the
+    extraction pipeline; downstream stages are unchanged."""
+    return (
+        warc_records(files)
+        .filter((F.col("warc_type") == "response") & F.col("error").isNull())
+        .select(
+            "url",
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+            "html",
+        )
+    )

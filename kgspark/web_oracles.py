@@ -743,8 +743,102 @@ def build() -> dict[str, str]:
             )
         )
 
+    # WARC container (kgspark.warc / kgspark.warccodec): independent
+    # restatement of the ISO 28500 walk over the SAME fixture blobs —
+    # whole-member zlib inflate (wbits=16+MAX) + partition-based header
+    # split, vs the codec's chunked member feed + framed slicing.  Payload
+    # digests are RECOMPUTED (base32 sha1 of the parsed body), not read
+    # back from the header, so the digest column is pinned independently.
+    import base64 as _b64
+    import zlib as _zl
+
+    warc_rec_rows: list[tuple] = []
+    warc_idx_rows: list[tuple] = []
+    for fname, blob in datagen.warc_files_rows(WEB_N, 4, WEB_SEED):
+        pos = 0
+        while pos < len(blob):
+            d = _zl.decompressobj(wbits=16 + _zl.MAX_WBITS)
+            data = d.decompress(blob[pos:])
+            assert d.eof, "oracle: truncated member"
+            length = len(blob) - pos - len(d.unused_data)
+            head, _sep, payload_plus = data.partition(b"\r\n\r\n")
+            lines = head.decode("latin-1").split("\r\n")
+            assert lines[0] == "WARC/1.0", "oracle: bad version line"
+            h = {}
+            for ln in lines[1:]:
+                k, _c, v = ln.partition(": ")
+                h[k.lower()] = v
+            n = int(h["content-length"])
+            payload = payload_plus[:n]
+            wtype = h["warc-type"]
+            url = h.get("warc-target-uri")
+            status = ctype = body_sha = None
+            body_len = -1
+            digest = None
+            if h.get("content-type", "").startswith("application/http"):
+                hh, _s2, body = payload.partition(b"\r\n\r\n")
+                hlines = hh.decode("latin-1").split("\r\n")
+                status = int(hlines[0].split(" ")[1])
+                hth = {}
+                for ln in hlines[1:]:
+                    k, _c, v = ln.partition(": ")
+                    hth[k.lower()] = v
+                ctype = hth.get("content-type")
+                body_sha = hashlib.sha256(body).hexdigest()
+                body_len = len(body)
+                if wtype == "response":
+                    digest = "sha1:" + _b64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+            warc_rec_rows.append(
+                (fname, pos, length, wtype, h["warc-record-id"], url,
+                 h["warc-date"], status, ctype,
+                 h.get("warc-payload-digest"), body_sha, body_len)
+            )
+            if wtype == "response":
+                pu = urlparse(url)
+                host = (pu.hostname or "").lower()
+                if host.startswith("www."):
+                    host = host[4:]
+                urlkey = ",".join(reversed(host.split("."))) + ")" + (pu.path or "/")
+                if pu.query:
+                    urlkey += "?" + "&".join(sorted(pu.query.split("&")))
+                warc_idx_rows.append(
+                    (urlkey, h["warc-date"], fname, pos, length, digest, status)
+                )
+            pos += length
+
+    # Byte-identity THROUGH the container: expected per-url digest is the
+    # sha256 of the GOLDEN text (generator contract), never the extractor's
+    # own output; error restates the extraction error contract (fixture
+    # html is always non-empty utf-8, so the only class is empty_extraction).
+    warc_dig_rows = [
+        (
+            url,
+            hashlib.sha256(text.encode("utf-8")).hexdigest(),
+            None if text else "empty_extraction",
+        )
+        for url, _ts, _html, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED)
+    ]
+
     n_docs = len(g.docs)
     return {
+        "warc_records": _values(
+            warc_rec_rows,
+            ["file_name", "rec_offset", "rec_length", "warc_type",
+             "record_id", "url", "warc_date", "http_status", "content_type",
+             "payload_digest", "html_sha", "html_len"],
+            ["s", "i", "i", "s", "s", "s", "s", "i", "s", "s", "s", "i"],
+        ),
+        "warc_index": _values(
+            warc_idx_rows,
+            ["urlkey", "warc_date", "file_name", "rec_offset", "rec_length",
+             "payload_digest", "http_status"],
+            ["s", "s", "s", "i", "i", "s", "i"],
+        ),
+        "warc_extract_digests": _values(
+            warc_dig_rows, ["url", "text_sha256", "error"], ["s", "s", "s"]
+        ),
         "web_c4_clean": _values(
             c4_rows,
             ["url", "n_lines", "n_kept_lines", "passes_c4", "cleaned_sha256"],

@@ -1,0 +1,153 @@
+"""WARC container codec + ingest operators (kgspark.warccodec / kgspark.warc).
+
+Codec tests are pure Python (spec properties: round-trip, splittable
+member access, determinism, marker-proof framing).  Operator tests drive
+the Spark kernels: never-crash on garbage, non-response skipping, and the
+north-rule byte-identity invariant THROUGH the container path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kgspark import datagen, warc, warccodec
+
+
+def _random_pages(seed: int, n: int) -> list[tuple[str, str, bytes]]:
+    r = random.Random(seed)
+    pages = []
+    for i in range(n):
+        # adversarial bodies: WARC markers, CRLF runs, non-UTF8, empty
+        body = random.Random(seed * 1000 + i).randbytes(r.randrange(0, 400))
+        if i % 4 == 0:
+            body = b"WARC/1.0\r\n\r\n" + body + b"\r\n\r\n"
+        if i % 7 == 0:
+            body = b""
+        pages.append(
+            (f"https://t{seed}.test/{i}", f"2026-02-0{1 + i % 9}T00:00:0{i % 10}Z", body)
+        )
+    return pages
+
+
+def test_roundtrip_both_layouts_marker_proof_bodies():
+    """Every record written is parsed back exactly — url, date, body,
+    digest — in both the gzip member-per-record and plain layouts, with
+    bodies that embed ``WARC/1.0`` and ``\\r\\n\\r\\n`` (framing must advance
+    by Content-Length, never by marker scan)."""
+    for seed in (1, 2):
+        pages = _random_pages(seed, 23)
+        for gz in (True, False):
+            blob = warccodec.make_warc(pages, gzip_members=gz)
+            recs = warccodec.parse_warc(blob)
+            assert recs[0]["warc_type"] == "warcinfo"
+            resp = [r for r in recs if r["warc_type"] == "response"]
+            assert [(r["url"], r["warc_date"], r["body"]) for r in resp] == pages
+            for r in resp:
+                assert r["payload_digest"] == warccodec.payload_digest(r["body"])
+
+
+def test_gzip_members_are_independently_addressable():
+    """The splittable-access contract: for every record, inflating ONLY
+    ``blob[offset : offset+length]`` yields that record — the property the
+    CDX locator pair (and 100 TB range reads) depends on."""
+    pages = _random_pages(3, 17)
+    blob = warccodec.make_warc(pages, gzip_members=True)
+    recs = warccodec.parse_warc(blob)
+    assert sum(r["length"] for r in recs) == len(blob)
+    for r in recs:
+        solo = warccodec.parse_record_at(blob, r["offset"], r["length"])
+        assert solo["record_id"] == r["record_id"]
+        assert solo["body"] == r["body"]
+
+
+def test_warc_bytes_deterministic():
+    pages = _random_pages(4, 9)
+    assert warccodec.make_warc(pages) == warccodec.make_warc(pages)
+    assert warccodec.make_warc(pages, gzip_members=False) == warccodec.make_warc(
+        pages, gzip_members=False
+    )
+
+
+def test_parse_rejects_corruption_with_clear_errors():
+    import pytest
+
+    pages = _random_pages(5, 3)
+    blob = warccodec.make_warc(pages)
+    with pytest.raises(ValueError):
+        warccodec.parse_warc(blob[: len(blob) - 7])  # truncated member
+    plain = warccodec.make_warc(pages, gzip_members=False)
+    with pytest.raises(ValueError):
+        warccodec.parse_warc(b"GARBAGE" + plain)
+    import re
+
+    rec = warccodec.make_response_record(
+        "https://x.test/", "2026-01-01T00:00:00Z", b"hello"
+    )
+    bad = re.sub(
+        rb"Content-Length: (\d+)\r\n\r\n",
+        lambda m: b"Content-Length: %d\r\n\r\n" % (int(m.group(1)) + 1),
+        rec,
+        count=1,
+    )
+    assert bad != rec
+    with pytest.raises(ValueError):
+        # lying WARC Content-Length (+1 shifts the trailer check)
+        warccodec.parse_warc(bad)
+
+
+def test_records_kernel_never_crashes_emits_error_rows(spark):
+    """Garbage, truncated, and empty blobs become error ROWS, never task
+    failures — a bad crawl file cannot kill the ingest job."""
+    good = datagen.warc_files_rows(20, 1)[0][1]
+    rows = [
+        ("good.warc.gz", bytearray(good)),
+        ("trunc.warc.gz", bytearray(good[:-9])),
+        ("garbage.bin", bytearray(random.Random(0).randbytes(300))),
+        ("empty.bin", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, datagen.WARC_FILES_SCHEMA)
+    out = warc.warc_records(df).select("file_name", "error").collect()
+    by_file = {}
+    for x in out:
+        by_file.setdefault(x["file_name"], []).append(x["error"])
+    assert all(e is None for e in by_file["good.warc.gz"])
+    assert [e for e in by_file["trunc.warc.gz"] if e], "truncation not reported"
+    assert [e for e in by_file["garbage.bin"] if e], "garbage not reported"
+    assert "empty.bin" not in by_file  # zero records, zero errors
+
+
+def test_ingest_skips_non_response_and_matches_fixture(spark):
+    recs = warc.warc_records(datagen.warc_files(spark))
+    counts = {x["warc_type"]: x["n"] for x in recs.groupBy("warc_type").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"warcinfo": 4, "request": 1, "response": 160}
+    assert warc.warc_pages(datagen.warc_files(spark)).count() == 160
+
+
+def test_byte_identity_through_the_container(spark):
+    """North-rule invariant through the WARC path: extraction over
+    warc-ingested pages is byte-identical (per url) to the golden text —
+    digest_check applied to the container-roundtripped corpus is empty."""
+    from kgspark import html_extract
+
+    golden = spark.createDataFrame(
+        [(u, t) for u, _ts, _h, t, _l in datagen.web_pages_rows(160, 42)],
+        "url string, text string",
+    )
+    ex = html_extract.extract_stage(warc.warc_pages(datagen.warc_files(spark)))
+    joined = ex.join(golden, "url")
+    assert joined.count() == 160
+    assert html_extract.digest_check(joined).limit(1).count() == 0
+
+
+def test_surt_key_pins(spark):
+    rows = [
+        ("https://www.Sub.Example.test/a/b?z=1&a=2",),
+        ("https://example.test",),
+        ("http://h.test:8080/x",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [x["k"] for x in df.select(warc.surt_key(F.col("url")).alias("k")).collect()]
+    assert got == ["test,example,sub)/a/b?a=2&z=1", "test,example)/", "test,h)/x"]
