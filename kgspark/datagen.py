@@ -513,3 +513,46 @@ def warc_files(
     spark: SparkSession, n_docs: int = 160, n_files: int = 4, seed: int = 42
 ) -> DataFrame:
     return spark.createDataFrame(warc_files_rows(n_docs, n_files, seed), WARC_FILES_SCHEMA)
+
+
+def warc_files_distributed(
+    spark: SparkSession,
+    n_docs: int = 40000,
+    n_files: int = 64,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Bench-scale WARC corpus, rendered EXECUTOR-SIDE: ``spark.range`` over
+    file ordinals, each task renders its contiguous doc shard and muxes one
+    member-per-record gzip WARC file — no driver materialization, the same
+    discipline as :func:`web_pages_distributed`.  Same (seed, n_docs) ↦ same
+    bytes regardless of partitioning."""
+    import pandas as pd
+
+    per = (n_docs + n_files - 1) // n_files
+
+    def gen(batches):
+        from . import warccodec
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                lo, hi = k * per, min((k + 1) * per, n_docs)
+                pages = [
+                    (url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), html)
+                    for url, ts, html, _t, _l in (
+                        _render_doc(seed, i, n_docs) for i in range(lo, hi)
+                    )
+                ]
+                rows.append(
+                    (
+                        f"crawl-{seed}-{k:05d}.warc.gz",
+                        warccodec.make_warc(pages, gzip_members=True),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["file_name", "content"])
+
+    return spark.range(
+        0, n_files, numPartitions=partitions or min(n_files, 32)
+    ).mapInPandas(gen, WARC_FILES_SCHEMA)
