@@ -819,6 +819,21 @@ def _q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch schedule over the messy crawl frontier (fixed
+    fixture — sf_dir unused): per-host slot sequence + offset, one window
+    over a single host-key shuffle."""
+    return pipeline.fetch_schedule(datagen.crawl_url_variants(spark))
+
+
+def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot diff (fixed two-snapshot fixture): per-url
+    unchanged/changed/new/gone verdict via one full-outer url join."""
+    return pipeline.crawl_diff(
+        datagen.crawl_snapshot(spark, "old"), datagen.crawl_snapshot(spark, "new")
+    )
+
+
 def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WARC record table over the 4-file member-per-record gzip fixture
     (fixed fixture — sf_dir unused): mapInPandas member walk + record parse,
@@ -1153,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank": _q_web_host_rank,
         "web_redirect_resolve": _q_web_redirect_resolve,
         "web_robots_filter": _q_web_robots_filter,
+        "web_fetch_schedule": _q_web_fetch_schedule,
+        "web_crawl_diff": _q_web_crawl_diff,
         "warc_records": _q_warc_records,
         "warc_index": _q_warc_index,
         "warc_extract_digests": _q_warc_extract_digests,

@@ -556,3 +556,48 @@ def warc_files_distributed(
     return spark.range(
         0, n_files, numPartitions=partitions or min(n_files, 32)
     ).mapInPandas(gen, WARC_FILES_SCHEMA)
+
+
+CRAWL_SNAPSHOT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("content_sha", StringType(), False),
+    ]
+)
+
+
+def crawl_snapshot_rows(
+    which: str, n_docs: int = 160, seed: int = 42
+) -> list[tuple[str, str]]:
+    """Two deterministic crawl snapshots of the web corpus for recrawl-diff:
+    ``old`` = every page with its golden-text digest; ``new`` = same corpus
+    one crawl later — every 20th page (kind 3) is gone, kinds 7/11 changed
+    content (digest moved), plus 12 urls that did not exist before."""
+    assert which in ("old", "new")
+    rows: list[tuple[str, str]] = []
+    for i, (url, _ts, _html, text, _lang) in enumerate(web_pages_rows(n_docs, seed)):
+        kind = i % 20
+        if which == "old":
+            rows.append((url, hashlib.sha256(text.encode("utf-8")).hexdigest()))
+        else:
+            if kind == 3:
+                continue  # page gone
+            body = text + " v2" if kind in (7, 11) else text
+            rows.append((url, hashlib.sha256(body.encode("utf-8")).hexdigest()))
+    if which == "new":
+        for j in range(12):
+            rows.append(
+                (
+                    f"https://example-new.test/{j}",
+                    hashlib.sha256(f"new page {j}".encode("utf-8")).hexdigest(),
+                )
+            )
+    return rows
+
+
+def crawl_snapshot(
+    spark: SparkSession, which: str, n_docs: int = 160, seed: int = 42
+) -> DataFrame:
+    return spark.createDataFrame(
+        crawl_snapshot_rows(which, n_docs, seed), CRAWL_SNAPSHOT_SCHEMA
+    )

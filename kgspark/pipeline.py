@@ -650,3 +650,63 @@ def robots_filter(
             F.coalesce(F.col("b.a") == 1, F.lit(True)).alias("allowed"),
         )
     )
+
+
+FETCH_DELAY_S = 5
+
+
+def fetch_schedule(frontier: DataFrame, delay_s: int = FETCH_DELAY_S) -> DataFrame:
+    """Politeness-constrained fetch schedule: per-host serialization.
+
+    Crawlers must not hammer a host — fetches to one host are spaced
+    ``delay_s`` apart, while distinct hosts proceed in parallel.  That is
+    exactly a per-host sequence: ``slot`` = position within the host's
+    queue (deterministic url order), ``scheduled_offset_s`` = slot ×
+    delay.  One window over a single host-key shuffle; no joins.
+
+    The scale lesson this operator encodes: crawl makespan is
+    ``max_h(count(h)) × delay`` — the HOTTEST host, not the corpus size,
+    is the critical path, so frontier sharding must partition by host
+    (politeness is per-host state) while accepting that a hot host's
+    queue is irreducibly sequential.  ``n_host`` is emitted so the skew
+    profile is visible to the scheduler above.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        frontier.select("url")
+        .distinct()
+        .withColumn("host", host)
+        .withColumn("slot", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .withColumn("scheduled_offset_s", (F.col("slot") * delay_s).cast("long"))
+        .withColumn(
+            "n_host", F.count(F.lit(1)).over(Window.partitionBy("host")).cast("long")
+        )
+    )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Recrawl snapshot diff: per-url verdict between two crawl snapshots.
+
+    ``unchanged`` (same content digest), ``changed`` (url in both, digest
+    moved), ``new`` (only in the later snapshot), ``gone`` (only in the
+    earlier).  One full-outer equi-join on url — a single co-partitioned
+    shuffle at any scale; digests compare as fixed-width strings so the
+    join carries no page bodies.  This verdict is what drives recrawl
+    scheduling and WARC ``revisit`` records (an unchanged verdict means
+    the fetch can be stored as a digest-only revisit instead of a copy).
+    """
+    o = old.select(F.col("url"), F.col("content_sha").alias("old_sha"))
+    n = new.select(F.col("url"), F.col("content_sha").alias("new_sha"))
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        "old_sha",
+        "new_sha",
+        F.when(F.col("old_sha").isNull(), "new")
+        .when(F.col("new_sha").isNull(), "gone")
+        .when(F.col("old_sha") == F.col("new_sha"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

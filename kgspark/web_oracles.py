@@ -743,6 +743,35 @@ def build() -> dict[str, str]:
             )
         )
 
+    # Politeness fetch schedule (kgspark.pipeline.fetch_schedule):
+    # independent restatement — group distinct frontier urls by
+    # urllib-parsed host, sort each host's queue by url, slot = position,
+    # offset = slot * FETCH_DELAY_S.
+    from .pipeline import FETCH_DELAY_S
+
+    sched_by_host: dict[str, list[str]] = {}
+    for url in sorted({u for u, _t in datagen.crawl_url_variants_rows()}):
+        h = (urlparse(url).hostname or "").lower()
+        sched_by_host.setdefault(h, []).append(url)
+    sched_rows = [
+        (url, h, i, i * FETCH_DELAY_S, len(urls))
+        for h, urls in sched_by_host.items()
+        for i, url in enumerate(sorted(urls))
+    ]
+
+    # Recrawl diff (kgspark.pipeline.crawl_diff): independent dict-based
+    # restatement of the full-outer verdict over the two snapshot fixtures.
+    old_map = dict(datagen.crawl_snapshot_rows("old"))
+    new_map = dict(datagen.crawl_snapshot_rows("new"))
+    diff_rows = []
+    for url in sorted(set(old_map) | set(new_map)):
+        o, n = old_map.get(url), new_map.get(url)
+        status = (
+            "new" if o is None else "gone" if n is None
+            else "unchanged" if o == n else "changed"
+        )
+        diff_rows.append((url, o, n, status))
+
     # WARC container (kgspark.warc / kgspark.warccodec): independent
     # restatement of the ISO 28500 walk over the SAME fixture blobs —
     # whole-member zlib inflate (wbits=16+MAX) + partition-based header
@@ -823,6 +852,14 @@ def build() -> dict[str, str]:
 
     n_docs = len(g.docs)
     return {
+        "web_fetch_schedule": _values(
+            sched_rows,
+            ["url", "host", "slot", "scheduled_offset_s", "n_host"],
+            ["s", "s", "i", "i", "i"],
+        ),
+        "web_crawl_diff": _values(
+            diff_rows, ["url", "old_sha", "new_sha", "status"], ["s", "s", "s", "s"]
+        ),
         "warc_records": _values(
             warc_rec_rows,
             ["file_name", "rec_offset", "rec_length", "warc_type",

@@ -585,3 +585,44 @@ def test_robots_filter_fixture_semantics(spark):
     )
     www = {u: v for u, v in out.items() if "www.example-site0" in u}
     assert www and all(v == (None, True) for v in www.values())
+
+
+def test_fetch_schedule_per_host_invariants(spark):
+    """Per host: slots are exactly 0..n-1 (dense, no collisions — the
+    politeness guarantee), offsets are slot*delay, n_host is the queue
+    length; hosts compare case-insensitively so URL-case variants of one
+    host share one queue."""
+    out = pipeline.fetch_schedule(datagen.crawl_url_variants(spark), delay_s=3).collect()
+    by_host: dict[str, list] = {}
+    for x in out:
+        by_host.setdefault(x["host"], []).append(x)
+    assert len(by_host) > 1
+    for h, xs in by_host.items():
+        assert h == h.lower()
+        assert sorted(x["slot"] for x in xs) == list(range(len(xs)))
+        assert all(x["scheduled_offset_s"] == x["slot"] * 3 for x in xs)
+        assert all(x["n_host"] == len(xs) for x in xs)
+        # deterministic order: slot follows sorted url order
+        assert [x["url"] for x in sorted(xs, key=lambda x: x["slot"])] == sorted(
+            x["url"] for x in xs
+        )
+
+
+def test_crawl_diff_matches_bruteforce_on_random_snapshots(spark):
+    import random
+
+    for seed in (2, 9):
+        r = random.Random(seed)
+        urls = [f"https://d.test/{i}" for i in range(50)]
+        old = {u: f"sha{r.randrange(5)}" for u in urls if r.random() < 0.8}
+        new = {u: f"sha{r.randrange(5)}" for u in urls if r.random() < 0.8}
+        odf = spark.createDataFrame(list(old.items()), "url string, content_sha string")
+        ndf = spark.createDataFrame(list(new.items()), "url string, content_sha string")
+        got = {x["url"]: x["status"] for x in pipeline.crawl_diff(odf, ndf).collect()}
+        assert set(got) == set(old) | set(new)
+        for u in got:
+            exp = (
+                "new" if u not in old else "gone" if u not in new
+                else "unchanged" if old[u] == new[u] else "changed"
+            )
+            assert got[u] == exp, (u, got[u], exp)
