@@ -874,6 +874,17 @@ def _q_warc_extract_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_revisit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-payload-digest revisit verdicts for the recrawl: crawl 2's
+    responses joined on (urlkey, digest) against crawl 1's CDX index —
+    byte-identical refetches point at the prior capture instead of storing
+    a second copy; changed and brand-new pages come back is_revisit=false."""
+    return warc.plan_revisits(
+        warc.warc_index(datagen.warc_files(spark)),
+        warc.warc_records(datagen.warc_files_second(spark)),
+    )
+
+
 def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval against the deterministic corpus-derived
     query (top-5 document-frequency terms >= 5 chars): broadcast query +
@@ -1173,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _q_warc_records,
         "warc_index": _q_warc_index,
         "warc_extract_digests": _q_warc_extract_digests,
+        "warc_revisit_plan": _q_warc_revisit_plan,
     }
 
 

@@ -601,3 +601,41 @@ def crawl_snapshot(
     return spark.createDataFrame(
         crawl_snapshot_rows(which, n_docs, seed), CRAWL_SNAPSHOT_SCHEMA
     )
+
+
+def crawl2_pages_rows(
+    n_docs: int = 160, seed: int = 42
+) -> list[tuple[str, str, bytes]]:
+    """The recrawl, at the WARC level: same corpus 30 days later under the
+    crawl-snapshot rules — every 20th page (kind 3) is gone, kinds 7/11
+    changed bytes (an appended paragraph, so the payload digest moves),
+    everything else byte-identical (revisit candidates), plus 12 pages that
+    did not exist in crawl 1."""
+    rows: list[tuple[str, str, bytes]] = []
+    for i, (url, ts, html, _text, _lang) in enumerate(web_pages_rows(n_docs, seed)):
+        kind = i % 20
+        if kind == 3:
+            continue
+        date2 = (ts + dt.timedelta(days=30)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        if kind in (7, 11):
+            html = html.replace(b"</body>", b"<p>updated in recrawl.</p></body>", 1)
+        rows.append((url, date2, html))
+    for j in range(12):
+        rows.append(
+            (
+                f"https://example-new.test/{j}",
+                "2025-02-01T00:00:00Z",
+                f"<html><body><p>new page {j}.</p></body></html>".encode("ascii"),
+            )
+        )
+    return rows
+
+
+def warc_files_second(spark: SparkSession, n_docs: int = 160, seed: int = 42) -> DataFrame:
+    """Crawl 2 containerized as one WARC file (member-per-record gzip)."""
+    from . import warccodec
+
+    blob = warccodec.make_warc(crawl2_pages_rows(n_docs, seed), gzip_members=True)
+    return spark.createDataFrame(
+        [(f"crawl2-{seed}-00000.warc.gz", blob)], WARC_FILES_SCHEMA
+    )

@@ -135,11 +135,12 @@ def surt_key(url: Column) -> Column:
 def warc_index(files: DataFrame) -> DataFrame:
     """CDX-style capture index: one row per response record.
 
-    ``(urlkey, warc_date, file_name, rec_offset, rec_length,
-    payload_digest, http_status)`` — urlkey is the SURT sort key, the
-    locator pair is the range-read handle.  At archive scale this table is
-    written sorted/partitioned by urlkey so lookups and per-host scans
-    prune partitions; the digest column is the cross-crawl dedup key.
+    ``(urlkey, warc_date, url, file_name, rec_offset, rec_length,
+    payload_digest, http_status)`` — urlkey is the SURT sort key, ``url``
+    the original URI (CDX's ``original`` field), the locator pair the
+    range-read handle.  At archive scale this table is written
+    sorted/partitioned by urlkey so lookups and per-host scans prune
+    partitions; the digest column is the cross-crawl dedup key.
     """
     return (
         warc_records(files)
@@ -147,12 +148,65 @@ def warc_index(files: DataFrame) -> DataFrame:
         .select(
             surt_key(F.col("url")).alias("urlkey"),
             "warc_date",
+            "url",
             "file_name",
             "rec_offset",
             "rec_length",
             "payload_digest",
             "http_status",
         )
+    )
+
+
+def plan_revisits(prior_index: DataFrame, new_records: DataFrame) -> DataFrame:
+    """Identical-payload-digest revisit planning (WARC 1.0 revisit profile).
+
+    A recrawl fetch whose payload digest equals a prior capture of the
+    same resource need not be stored again — the archive writes a
+    ``revisit`` record pointing at the prior capture
+    (``WARC-Refers-To-Target-URI`` / ``WARC-Refers-To-Date``) instead of
+    a second copy; that is how crawl archives stay sublinear in refetch
+    volume.  This operator computes the verdict: for each response in the
+    new crawl, ``is_revisit`` plus the latest prior capture it refers to.
+
+    Scale shape: the prior side is the CDX index (urlkey-partitioned,
+    digest column only — no bodies), pre-aggregated to one row per
+    (urlkey, digest); one equi-join on (urlkey, payload_digest) against
+    the new crawl's records.  Both sides shuffle on the same compound
+    key; nothing carries page content.
+    """
+    prior = (
+        prior_index.groupBy("urlkey", "payload_digest")
+        .agg(
+            F.max(
+                F.struct(F.col("warc_date").alias("d"), F.col("url").alias("u"))
+            ).alias("m")
+        )
+        .select(
+            "urlkey",
+            "payload_digest",
+            F.col("m.d").alias("refers_to_date"),
+            F.col("m.u").alias("refers_to_url"),
+        )
+    )
+    new = (
+        new_records.filter(
+            (F.col("warc_type") == "response") & F.col("error").isNull()
+        )
+        .select(
+            "url",
+            "warc_date",
+            "payload_digest",
+            surt_key(F.col("url")).alias("urlkey"),
+        )
+    )
+    return new.join(prior, ["urlkey", "payload_digest"], "left").select(
+        "url",
+        "warc_date",
+        "payload_digest",
+        F.col("refers_to_date").isNotNull().alias("is_revisit"),
+        "refers_to_url",
+        "refers_to_date",
     )
 
 

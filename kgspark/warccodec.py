@@ -133,6 +133,31 @@ def make_response_record(
     )
 
 
+def make_revisit_record(
+    url: str, date: str, refers_to_url: str, refers_to_date: str, digest: str
+) -> bytes:
+    """A WARC ``revisit`` record (identical-payload-digest profile): the
+    archive's dedup unit — carries the digest and a pointer to the prior
+    capture instead of a second body copy."""
+    extra = (
+        f"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n"
+        f"WARC-Refers-To-Target-URI: {refers_to_url}\r\n"
+        f"WARC-Refers-To-Date: {refers_to_date}\r\n"
+        f"WARC-Payload-Digest: {digest}\r\n"
+    )
+    rec = make_record(
+        "revisit",
+        b"",
+        url=url,
+        date=date,
+        content_type="application/http; msgtype=response",
+    )
+    # splice the profile headers just before the Content-Type header
+    marker = b"Content-Type: "
+    i = rec.find(marker)
+    return rec[:i] + extra.encode("ascii") + rec[i:]
+
+
 def make_warcinfo_record(date: str = "2026-01-01T00:00:00Z") -> bytes:
     fields = b"software: kgspark-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
     return make_record(
@@ -231,12 +256,13 @@ def _parse_one(rec: bytes, offset: int, length: int) -> dict:
         "url": fields.get("warc-target-uri"),
         "warc_date": fields.get("warc-date", ""),
         "payload_digest": fields.get("warc-payload-digest"),
+        "headers": fields,
         "http_status": None,
         "content_type": None,
         "body": None,
         "end": sep + 4 + n + 4,
     }
-    if fields.get("content-type", "").startswith("application/http"):
+    if n and fields.get("content-type", "").startswith("application/http"):
         hsep = payload.find(_TRAILER)
         if hsep < 0:
             raise ValueError(f"unterminated HTTP head at offset {offset}")

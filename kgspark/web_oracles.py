@@ -833,9 +833,44 @@ def build() -> dict[str, str]:
                 if pu.query:
                     urlkey += "?" + "&".join(sorted(pu.query.split("&")))
                 warc_idx_rows.append(
-                    (urlkey, h["warc-date"], fname, pos, length, digest, status)
+                    (urlkey, h["warc-date"], url, fname, pos, length, digest, status)
                 )
             pos += length
+
+    # Revisit planning (kgspark.warc.plan_revisits): independent
+    # restatement — digests computed straight from the generator page
+    # bytes (never via the codec), urlkeys via urlparse; a crawl-2 fetch
+    # is a revisit iff crawl 1 captured the same urlkey with the same
+    # body digest, and it refers to that capture.
+    def _okey(u: str) -> str:
+        pu = urlparse(u)
+        hh = (pu.hostname or "").lower()
+        if hh.startswith("www."):
+            hh = hh[4:]
+        k = ",".join(reversed(hh.split("."))) + ")" + (pu.path or "/")
+        if pu.query:
+            k += "?" + "&".join(sorted(pu.query.split("&")))
+        return k
+
+    def _dig(body: bytes) -> str:
+        import base64 as _b
+
+        return "sha1:" + _b.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+
+    prior_caps: dict[tuple[str, str], tuple[str, str]] = {}
+    for url, ts, html, _t, _l in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        d1 = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        key = (_okey(url), _dig(html))
+        cand = (d1, url)
+        if key not in prior_caps or cand > prior_caps[key]:
+            prior_caps[key] = cand
+    revisit_rows = []
+    for url, d2, body in datagen.crawl2_pages_rows(WEB_N, WEB_SEED):
+        ref = prior_caps.get((_okey(url), _dig(body)))
+        revisit_rows.append(
+            (url, d2, _dig(body), ref is not None,
+             ref[1] if ref else None, ref[0] if ref else None)
+        )
 
     # Byte-identity THROUGH the container: expected per-url digest is the
     # sha256 of the GOLDEN text (generator contract), never the extractor's
@@ -869,9 +904,15 @@ def build() -> dict[str, str]:
         ),
         "warc_index": _values(
             warc_idx_rows,
-            ["urlkey", "warc_date", "file_name", "rec_offset", "rec_length",
-             "payload_digest", "http_status"],
-            ["s", "s", "s", "i", "i", "s", "i"],
+            ["urlkey", "warc_date", "url", "file_name", "rec_offset",
+             "rec_length", "payload_digest", "http_status"],
+            ["s", "s", "s", "s", "i", "i", "s", "i"],
+        ),
+        "warc_revisit_plan": _values(
+            revisit_rows,
+            ["url", "warc_date", "payload_digest", "is_revisit",
+             "refers_to_url", "refers_to_date"],
+            ["s", "s", "s", "b", "s", "s"],
         ),
         "warc_extract_digests": _values(
             warc_dig_rows, ["url", "text_sha256", "error"], ["s", "s", "s"]

@@ -151,3 +151,42 @@ def test_surt_key_pins(spark):
     df = spark.createDataFrame(rows, "url string")
     got = [x["k"] for x in df.select(warc.surt_key(F.col("url")).alias("k")).collect()]
     assert got == ["test,example,sub)/a/b?a=2&z=1", "test,example)/", "test,h)/x"]
+
+
+def test_revisit_record_roundtrip():
+    """A revisit record carries zero-length http payload + the
+    identical-payload-digest profile headers, and parses back cleanly in a
+    mixed file (the headers dict exposes the refers-to pointers)."""
+    rev = warccodec.make_revisit_record(
+        "https://a.test/x", "2026-03-01T00:00:00Z",
+        "https://a.test/x", "2026-01-01T00:00:00Z", "sha1:ABC234",
+    )
+    pages = [("https://a.test/x", "2026-01-01T00:00:00Z", b"<p>v1</p>")]
+    blob = warccodec.make_warc(pages, gzip_members=True, extra_records=[rev])
+    recs = warccodec.parse_warc(blob)
+    r = [x for x in recs if x["warc_type"] == "revisit"]
+    assert len(r) == 1
+    h = r[0]["headers"]
+    assert h["warc-refers-to-target-uri"] == "https://a.test/x"
+    assert h["warc-refers-to-date"] == "2026-01-01T00:00:00Z"
+    assert h["warc-profile"].endswith("identical-payload-digest")
+    assert r[0]["payload_digest"] == "sha1:ABC234"
+    assert r[0]["http_status"] is None  # zero-length payload, nothing to parse
+
+
+def test_plan_revisits_fixture_counts(spark):
+    """The recrawl fixture's verdict census: 136 byte-identical refetches
+    are revisits pointing at crawl 1 (152 surviving urls - 16 changed),
+    16 changed + 12 new pages are full stores."""
+    out = warc.plan_revisits(
+        warc.warc_index(datagen.warc_files(spark)),
+        warc.warc_records(datagen.warc_files_second(spark)),
+    ).collect()
+    assert len(out) == 164
+    rev = [x for x in out if x["is_revisit"]]
+    assert len(rev) == 136
+    assert all(x["refers_to_url"] == x["url"] for x in rev)
+    assert all(x["refers_to_date"] < x["warc_date"] for x in rev)
+    non = [x for x in out if not x["is_revisit"]]
+    assert sum(1 for x in non if "example-new.test" in x["url"]) == 12
+    assert all(x["refers_to_url"] is None for x in non)
