@@ -272,3 +272,54 @@ def interval_join_stream(
         .cast("long")
         .alias("delta_us"),
     )
+
+
+def read_warc_files_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of WARC blob drops — the shape a continuously
+    running crawler hands the pipeline: each drop is a parquet of
+    (file_name, content) rows, each row one member-per-record gzip WARC."""
+    return (
+        spark.readStream.schema(datagen.WARC_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def ingest_warc_available_now(
+    spark: SparkSession,
+    input_path: str,
+    wh: materialize.Warehouse,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+) -> int:
+    """Drain pending WARC drops into the warehouse; returns micro-batch count.
+
+    Each micro-batch runs container parse → pages → the SAME resumable
+    construction fold as the table path (``materialize.run_pipeline``), so
+    replayed or duplicate WARC files dissolve in the content-addressed
+    anti-join exactly like replayed pages.  The container carries no lang
+    column; ingest tags BCP-47 ``und`` (language-ID is a downstream stage,
+    not container metadata).
+    """
+    from . import warc
+
+    stream = read_warc_files_stream(spark, input_path, max_files_per_trigger)
+    n_batches = {"n": 0}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        n_batches["n"] += 1
+        pages = warc.warc_pages(batch_df).withColumn("lang", F.lit("und"))
+        materialize.run_pipeline(
+            spark, pages, wh, run_id=f"warc-epoch-{epoch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

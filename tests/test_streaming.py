@@ -318,3 +318,46 @@ def test_transitions_stream_matches_batch_across_batch_boundary(spark, tmp_path)
         for r in spark.table("trans_stream").collect()
     )
     assert dict(streamed) == batch
+
+
+def test_warc_stream_ingest_exactly_once_and_parity(spark, tmp_path):
+    """Streaming WARC drops: container parse inside the foreachBatch sink,
+    replayed WARC files dissolve in the content-addressed anti-join, and
+    the final triples equal the direct table path (lang is 'und' through
+    the container — triples do not depend on it)."""
+    tmp = str(tmp_path)
+
+    # two drops: files 0-1, then a REPLAY of file 1 plus files 2-3
+    def drop(name, idx):
+        spark.createDataFrame(
+            [files[i] for i in idx], datagen.WARC_FILES_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(os.path.join(tmp, "input"))
+
+    files = datagen.warc_files_rows(n_docs=N, n_files=4, seed=SEED)
+    drop("w1", [0, 1])
+    wh = materialize.Warehouse(spark, os.path.join(tmp, "wh"))
+    streaming.ingest_warc_available_now(
+        spark, os.path.join(tmp, "input"), wh, os.path.join(tmp, "ckpt")
+    )
+    n1 = wh.read("docs").count()
+    assert n1 > 0
+
+    drop("w2", [1, 2, 3])  # file 1 replayed
+    streaming.ingest_warc_available_now(
+        spark, os.path.join(tmp, "input"), wh, os.path.join(tmp, "ckpt")
+    )
+    runs = wh.manifest()["runs"]
+    assert any(
+        r["skipped_docs"] > 0 or r.get("prefiltered_pages", 0) > 0
+        for r in runs[1:]
+    )
+    web = datagen.web_pages(spark, N, SEED)
+    batch_triples = {
+        tuple(r)
+        for r in pipeline.build(web)["triples"].select("subj", "pred", "obj").collect()
+    }
+    stream_triples = {
+        tuple(r)
+        for r in wh.read("triples").select("subj", "pred", "obj").collect()
+    }
+    assert stream_triples == batch_triples

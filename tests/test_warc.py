@@ -190,3 +190,24 @@ def test_plan_revisits_fixture_counts(spark):
     non = [x for x in out if not x["is_revisit"]]
     assert sum(1 for x in non if "example-new.test" in x["url"]) == 12
     assert all(x["refers_to_url"] is None for x in non)
+
+
+def test_full_kg_construction_from_container_bytes(spark, tmp_path):
+    """Full circle: WARC bytes → record kernel → pages → run_pipeline
+    warehouse batch → the SAME triples as the direct-table path.  The
+    container carries no ``lang`` column (that is table metadata, not WARC
+    data), so the ingest tags BCP-47 ``und`` — triples derive from
+    extracted text only, so the two paths must agree row-for-row."""
+    from kgspark import materialize, pipeline
+
+    pages = warc.warc_pages(datagen.warc_files(spark)).withColumn(
+        "lang", F.lit("und")
+    )
+    wh = materialize.Warehouse(spark, str(tmp_path / "wh"))
+    materialize.run_pipeline(spark, pages, wh, run_id="warc-1")
+    got = wh.read("triples").select("subj", "pred", "obj")
+    want = pipeline.build(
+        datagen.web_pages(spark, 160, 42), reuse=False
+    )["triples"].select("subj", "pred", "obj")
+    assert got.exceptAll(want).limit(1).count() == 0
+    assert want.exceptAll(got).limit(1).count() == 0
