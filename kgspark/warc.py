@@ -223,3 +223,25 @@ def warc_pages(files: DataFrame) -> DataFrame:
             "html",
         )
     )
+
+
+def read_warc_dir(spark, path: str, glob: str = "*.warc.gz") -> DataFrame:
+    """WARC files on disk/object store → the (file_name, content) frame the
+    record kernel consumes, via Spark's ``binaryFile`` source.
+
+    This is the deployment entry: a 100 TB archive is a listing of ~1 GiB
+    objects; ``binaryFile`` gives one row per object with the bytes as a
+    binary column, partition count follows the listing, and the kernel
+    stays file-parallel.  (Whole-file rows bound executor memory at one
+    file per task — finer grain comes from the CDX index the first parse
+    emits, via :func:`kgspark.warccodec.parse_record_at` range reads.)
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("content"),
+        )
+    )

@@ -211,3 +211,19 @@ def test_full_kg_construction_from_container_bytes(spark, tmp_path):
     )["triples"].select("subj", "pred", "obj")
     assert got.exceptAll(want).limit(1).count() == 0
     assert want.exceptAll(got).limit(1).count() == 0
+
+
+def test_read_warc_dir_binaryfile_source(spark, tmp_path):
+    """binaryFile deployment entry: real .warc.gz files on disk parse to
+    the same records as the in-memory fixture frame."""
+    import os
+
+    for name, blob in datagen.warc_files_rows(40, 2):
+        with open(os.path.join(tmp_path, name), "wb") as f:
+            f.write(blob)
+    open(os.path.join(tmp_path, "not-a-warc.txt"), "w").write("ignore me")
+    files = warc.read_warc_dir(spark, str(tmp_path))
+    assert files.count() == 2
+    recs = warc.warc_records(files)
+    assert recs.filter(F.col("error").isNotNull()).count() == 0
+    assert recs.filter(F.col("warc_type") == "response").count() == 40
