@@ -834,6 +834,13 @@ def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples lines for the distinct web KG (fixed corpus): IRIs
+    minted by form-encoding names under the kg.example base — the
+    interchange serialization any triple store loads."""
+    return graph.to_ntriples(_web_built(spark)["triples"])
+
+
 def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WARC record table over the 4-file member-per-record gzip fixture
     (fixed fixture — sf_dir unused): mapInPandas member walk + record parse,
@@ -1185,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_index": _q_warc_index,
         "warc_extract_digests": _q_warc_extract_digests,
         "warc_revisit_plan": _q_warc_revisit_plan,
+        "web_rdf_ntriples": _q_web_rdf_ntriples,
     }
 
 

@@ -1173,3 +1173,44 @@ def pagerank(
     d2.unpersist()
     nodes2.unpersist()
     return result
+
+
+NT_BASE = "https://kg.example/"
+
+
+def to_ntriples(triples: DataFrame, base: str = NT_BASE) -> DataFrame:
+    """RDF N-Triples serialization of the KG — the interchange format
+    downstream triple stores load.
+
+    One line per distinct (subj, pred, obj): ``<s-iri> <p-iri> <o-iri> .``
+    with IRIs minted under ``base`` (``entity/`` and ``prop/`` namespaces)
+    and names form-encoded (java.net.URLEncoder semantics via Catalyst's
+    ``url_encode`` — space→'+', unreserved ``[A-Za-z0-9._*-]`` kept, the
+    rest %XX), so every emitted IRI is N-Triples-legal for any name.
+    Pure Catalyst projection after one distinct — the export is a
+    distributed text write (``df.write.text``), never a driver collect,
+    so a 10^11-triple graph serializes at scan speed.
+    """
+
+    def iri(ns: str, col) -> "F.Column":
+        return F.concat(F.lit(f"<{base}{ns}/"), F.url_encode(col), F.lit(">"))
+
+    return (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .select(
+            F.concat_ws(
+                " ",
+                iri("entity", F.col("subj")),
+                iri("prop", F.col("pred")),
+                iri("entity", F.col("obj")),
+                F.lit("."),
+            ).alias("ntriple")
+        )
+    )
+
+
+def export_ntriples(triples: DataFrame, path: str, base: str = NT_BASE) -> None:
+    """Write the graph as N-Triples text files (S8 download-sink analog,
+    distributed — one part file per partition, loadable by any RDF store)."""
+    to_ntriples(triples, base).write.mode("overwrite").text(path)

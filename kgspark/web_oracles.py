@@ -743,6 +743,33 @@ def build() -> dict[str, str]:
             )
         )
 
+    # RDF N-Triples (kgspark.graph.to_ntriples): independent restatement —
+    # a python form-encoder (URLEncoder semantics: space→'+', unreserved
+    # [A-Za-z0-9._*-] kept, the rest uppercase %XX over UTF-8 bytes) over
+    # the golden distinct triple set.
+    def _form_enc(s: str) -> str:
+        out = []
+        for b in s.encode("utf-8"):
+            c = chr(b)
+            if c.isalnum() or c in "._*-":
+                out.append(c)
+            elif c == " ":
+                out.append("+")
+            else:
+                out.append(f"%{b:02X}")
+        return "".join(out)
+
+    nt_rows = sorted(
+        {
+            (
+                f"<https://kg.example/entity/{_form_enc(s)}> "
+                f"<https://kg.example/prop/{_form_enc(p)}> "
+                f"<https://kg.example/entity/{_form_enc(o)}> .",
+            )
+            for s, p, o, _d in g.triples
+        }
+    )
+
     # Politeness fetch schedule (kgspark.pipeline.fetch_schedule):
     # independent restatement — group distinct frontier urls by
     # urllib-parsed host, sort each host's queue by url, slot = position,
@@ -887,6 +914,7 @@ def build() -> dict[str, str]:
 
     n_docs = len(g.docs)
     return {
+        "web_rdf_ntriples": _values(nt_rows, ["ntriple"], ["s"]),
         "web_fetch_schedule": _values(
             sched_rows,
             ["url", "host", "slot", "scheduled_offset_s", "n_host"],

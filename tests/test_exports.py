@@ -71,3 +71,35 @@ def test_document_summaries(built):
         assert row["summary"] == d["content_summary"]
         if d["content_length"] > 200:
             assert row["summary"].endswith("…") and len(row["summary"]) == 201
+
+
+def test_export_ntriples_distributed_text(spark, tmp_path):
+    """export_ntriples writes loadable N-Triples text (distributed write,
+    no driver collect): read-back equals the to_ntriples frame, every line
+    is <iri> <iri> <iri> . with encoded names, round-trippable."""
+    import os
+    import re
+    from urllib.parse import unquote_plus
+
+    from kgspark import datagen, graph, pipeline
+
+    triples = pipeline.build(datagen.web_pages(spark, 60, 42), reuse=False)["triples"]
+    out = os.path.join(tmp_path, "kg.nt")
+    graph.export_ntriples(triples, out)
+    lines = {x["value"] for x in spark.read.text(out).collect()}
+    want = {x["ntriple"] for x in graph.to_ntriples(triples).collect()}
+    assert lines == want and lines
+    pat = re.compile(
+        r"^<https://kg\.example/entity/([^ >]+)> <https://kg\.example/prop/([^ >]+)> "
+        r"<https://kg\.example/entity/([^ >]+)> \.$"
+    )
+    names = {t for t in triples.select("subj").toPandas()["subj"]}
+    for ln in lines:
+        m = pat.match(ln)
+        assert m, ln
+        assert " " not in m.group(1)  # IRI-legal: no raw spaces
+    # decode round-trip recovers original surface forms
+    decoded = {unquote_plus(pat.match(ln).group(1)) for ln in lines}
+    assert decoded <= {
+        t for t in triples.select("subj").toPandas()["subj"]
+    } | {t for t in names}
