@@ -210,7 +210,12 @@ def _split_members(blob: bytes) -> list[tuple[int, int, bytes]]:
             piece = mv[pos + fed : pos + fed + chunk]
             if len(piece) == 0:
                 raise ValueError(f"truncated gzip member at offset {pos}")
-            parts.append(d.decompress(piece, MAX_RECORD_BYTES))
+            try:
+                parts.append(d.decompress(piece, MAX_RECORD_BYTES))
+            except zlib.error as e:
+                # corrupt deflate/crc must surface as the codec's one
+                # error type — kernels catch ValueError per file
+                raise ValueError(f"bad gzip member at offset {pos}: {e}")
             if sum(map(len, parts)) > MAX_RECORD_BYTES:
                 raise ValueError(f"oversized gzip member at offset {pos}")
             fed += len(piece)

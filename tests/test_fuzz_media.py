@@ -331,3 +331,61 @@ def test_mkv_encoder_roundtrip_arbitrary_shapes(w, h, n_frames, seed):
         pw, ph, pf = mkvcodec.parse_mkv(payload)
         assert (pw, ph) == (w, h) and pf == frames, lacing
         assert mkvcodec.parse_meta(payload) == (w, h, n_frames), lacing
+
+
+# ---------------------------------------------------------------- WARC codec
+# Same contract as the media kernels: the Spark kernel (kgspark.warc)
+# catches per file, so the codec must fail with ValueError (clean, cheap)
+# or succeed — never hang, never raise anything else, never allocate
+# unboundedly on a lying Content-Length.
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_parse_warc_random_bytes(data):
+    from kgspark import warccodec
+
+    try:
+        recs = warccodec.parse_warc(data)
+    except ValueError:
+        return
+    assert isinstance(recs, list)
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_fuzz_parse_warc_mutated_valid_file(data):
+    """Single-byte mutations of a real member-per-record gzip WARC:
+    ValueError or a successful (possibly shorter) parse — nothing else."""
+    from kgspark import datagen, warccodec
+
+    blob = bytearray(datagen.warc_files_rows(6, 1)[0][1])
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    blob[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        recs = warccodec.parse_warc(bytes(blob))
+    except ValueError:
+        return
+    assert isinstance(recs, list)
+
+
+def test_fuzz_warc_lying_length_fails_cheaply():
+    """A declared Content-Length of MAX_RECORD_BYTES with 50 actual bytes
+    must reject without allocating the declared size, and an
+    over-the-cap declaration rejects outright."""
+    from kgspark import warccodec
+
+    import re
+
+    base = warccodec.make_response_record("https://x.test/", "2026-01-01T00:00:00Z", b"hi")
+    for n in (warccodec.MAX_RECORD_BYTES - 1, warccodec.MAX_RECORD_BYTES + 1):
+        lying = re.sub(
+            rb"Content-Length: \d+\r\n\r\n", b"Content-Length: %d\r\n\r\n" % n,
+            base, count=1,
+        )
+        assert lying != base
+        try:
+            warccodec.parse_warc(lying)
+            assert False, "lying length accepted"
+        except ValueError:
+            pass
