@@ -834,6 +834,23 @@ def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl KG delta THROUGH the container path: both crawls'
+    WARC fixtures run the full construction fold, distinct triple sets
+    full-outer-join on the triple key → added / removed / kept — the
+    incremental-KG read a recrawl produces."""
+    p1 = warc.warc_pages(datagen.warc_files(spark)).withColumn(
+        "lang", F.lit("und")
+    )
+    p2 = warc.warc_pages(datagen.warc_files_second(spark)).withColumn(
+        "lang", F.lit("und")
+    )
+    return pipeline.triple_delta(
+        pipeline.build(p1, reuse=False)["triples"],
+        pipeline.build(p2, reuse=False)["triples"],
+    )
+
+
 def _q_web_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples lines for the distinct web KG (fixed corpus): IRIs
     minted by form-encoding names under the kg.example base — the
@@ -1193,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_digests": _q_warc_extract_digests,
         "warc_revisit_plan": _q_warc_revisit_plan,
         "web_rdf_ntriples": _q_web_rdf_ntriples,
+        "kg_crawl_delta": _q_kg_crawl_delta,
     }
 
 

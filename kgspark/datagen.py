@@ -603,32 +603,59 @@ def crawl_snapshot(
     )
 
 
-def crawl2_pages_rows(
-    n_docs: int = 160, seed: int = 42
-) -> list[tuple[str, str, bytes]]:
-    """The recrawl, at the WARC level: same corpus 30 days later under the
-    crawl-snapshot rules — every 20th page (kind 3) is gone, kinds 7/11
-    changed bytes (an appended paragraph, so the payload digest moves),
-    everything else byte-identical (revisit candidates), plus 12 pages that
-    did not exist in crawl 1."""
-    rows: list[tuple[str, str, bytes]] = []
-    for i, (url, ts, html, _text, _lang) in enumerate(web_pages_rows(n_docs, seed)):
+_RECRAWL_SENTENCE = "Acme Corp founded Globex."
+_NEW_PAGE_SENTENCES = [
+    "Alan Turing visited Paris.",
+    "Ada Lovelace wrote On Computable Numbers.",
+    "Globex works at London.",
+]
+
+
+def crawl2_web_rows(n_docs: int = 160, seed: int = 42):
+    """The recrawl as full web rows (url, ts, html, golden text, lang):
+    same corpus 30 days later under the crawl-snapshot rules — every 20th
+    page (kind 3) is gone, kinds 7/11 changed bytes (an appended entity
+    sentence, so the payload digest moves AND the KG can change),
+    everything else byte-identical (revisit candidates), plus 12 pages
+    that did not exist in crawl 1 (the first 3 carrying entity sentences).
+    Golden text follows the extraction contract: appended <p> blocks
+    append their text as new newline-joined blocks."""
+    rows = []
+    for i, (url, ts, html, text, lang) in enumerate(web_pages_rows(n_docs, seed)):
         kind = i % 20
+        ts2 = ts + dt.timedelta(days=30)
         if kind == 3:
             continue
-        date2 = (ts + dt.timedelta(days=30)).strftime("%Y-%m-%dT%H:%M:%SZ")
         if kind in (7, 11):
-            html = html.replace(b"</body>", b"<p>updated in recrawl.</p></body>", 1)
-        rows.append((url, date2, html))
+            html = html.replace(
+                b"</body>",
+                f"<p>{_RECRAWL_SENTENCE}</p></body>".encode("ascii"),
+                1,
+            )
+            text = (text + "\n" if text else "") + _RECRAWL_SENTENCE
+        rows.append((url, ts2, html, text, lang))
     for j in range(12):
+        body = _NEW_PAGE_SENTENCES[j] if j < 3 else f"new page {j}."
         rows.append(
             (
                 f"https://example-new.test/{j}",
-                "2025-02-01T00:00:00Z",
-                f"<html><body><p>new page {j}.</p></body></html>".encode("ascii"),
+                dt.datetime(2025, 2, 1, 0, 0, 0),
+                f"<html><body><p>{body}</p></body></html>".encode("ascii"),
+                body,
+                "en",
             )
         )
     return rows
+
+
+def crawl2_pages_rows(
+    n_docs: int = 160, seed: int = 42
+) -> list[tuple[str, str, bytes]]:
+    """:func:`crawl2_web_rows` in WARC page form (url, rfc3339 date, html)."""
+    return [
+        (url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), html)
+        for url, ts, html, _t, _l in crawl2_web_rows(n_docs, seed)
+    ]
 
 
 def warc_files_second(spark: SparkSession, n_docs: int = 160, seed: int = 42) -> DataFrame:

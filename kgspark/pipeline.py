@@ -710,3 +710,31 @@ def crawl_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+def triple_delta(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
+    """Cross-crawl KG delta: what the graph learned, lost, and kept.
+
+    Distinct (subj, pred, obj) sets from two crawl's construction folds,
+    full-outer-joined on the triple key → status ``added`` (asserted only
+    by the new crawl), ``removed`` (its only supporting docs are gone),
+    ``kept``.  One co-partitioned three-column equi-join; the inputs are
+    already distinct triple sets, so the frame never exceeds
+    |KG_old ∪ KG_new| at any corpus scale.  This is the incremental-KG
+    read: recrawl → delta → downstream consumers patch instead of reload.
+    """
+    o = old_triples.select("subj", "pred", "obj").distinct().withColumn(
+        "_o", F.lit(1)
+    )
+    n = new_triples.select("subj", "pred", "obj").distinct().withColumn(
+        "_n", F.lit(1)
+    )
+    return o.join(n, ["subj", "pred", "obj"], "full_outer").select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("_o").isNull(), "added")
+        .when(F.col("_n").isNull(), "removed")
+        .otherwise("kept")
+        .alias("status"),
+    )

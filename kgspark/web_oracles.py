@@ -770,6 +770,18 @@ def build() -> dict[str, str]:
         }
     )
 
+    # Cross-crawl KG delta (kgspark.pipeline.triple_delta): independent
+    # restatement — the imperative refimpl fold runs on BOTH crawls' web
+    # rows (crawl 2 via the recrawl generator), then plain set algebra.
+    t1 = {(s, p, o) for s, p, o, _d in g.triples}
+    g2 = refimpl.run(datagen.crawl2_web_rows(WEB_N, WEB_SEED))
+    t2 = {(s, p, o) for s, p, o, _d in g2.triples}
+    delta_rows = sorted(
+        [(s, p, o, "added") for (s, p, o) in t2 - t1]
+        + [(s, p, o, "removed") for (s, p, o) in t1 - t2]
+        + [(s, p, o, "kept") for (s, p, o) in t1 & t2]
+    )
+
     # Politeness fetch schedule (kgspark.pipeline.fetch_schedule):
     # independent restatement — group distinct frontier urls by
     # urllib-parsed host, sort each host's queue by url, slot = position,
@@ -915,6 +927,9 @@ def build() -> dict[str, str]:
     n_docs = len(g.docs)
     return {
         "web_rdf_ntriples": _values(nt_rows, ["ntriple"], ["s"]),
+        "kg_crawl_delta": _values(
+            delta_rows, ["subj", "pred", "obj", "status"], ["s", "s", "s", "s"]
+        ),
         "web_fetch_schedule": _values(
             sched_rows,
             ["url", "host", "slot", "scheduled_offset_s", "n_host"],
