@@ -834,6 +834,25 @@ def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_charset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-charset normalization through the container: mixed-charset
+    crawl fixture → pure-Catalyst transcode (ISO-8859-1 / UTF-16 family →
+    UTF-8) → extraction; the windows-1252 page passes through and reports
+    a per-doc UTF-8 error instead of mojibake."""
+    from kgspark import html_extract
+
+    pages = warc.transcode_pages(
+        warc.warc_records(datagen.warc_files_charset(spark))
+    )
+    return html_extract.extract_stage(pages).select(
+        "url",
+        "charset",
+        "transcode_status",
+        F.col("extracted_text").alias("text"),
+        F.col("extract_error").alias("error"),
+    )
+
+
 def _q_kg_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-crawl KG delta THROUGH the container path: both crawls'
     WARC fixtures run the full construction fold, distinct triple sets
@@ -1211,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_plan": _q_warc_revisit_plan,
         "web_rdf_ntriples": _q_web_rdf_ntriples,
         "kg_crawl_delta": _q_kg_crawl_delta,
+        "warc_charset_docs": _q_warc_charset_docs,
     }
 
 

@@ -666,3 +666,41 @@ def warc_files_second(spark: SparkSession, n_docs: int = 160, seed: int = 42) ->
     return spark.createDataFrame(
         [(f"crawl2-{seed}-00000.warc.gz", blob)], WARC_FILES_SCHEMA
     )
+
+
+# (label, python-codec, http charset token, paragraph text)
+_CHARSET_PAGES: list[tuple[str, str, str, str]] = [
+    ("latin1-cafe", "iso-8859-1", "ISO-8859-1", "Le café est ouvert à Paris."),
+    ("latin1-mueller", "iso-8859-1", "iso-8859-1", "Müller führt die Fabrik."),
+    ("latin1-senor", "iso-8859-1", "ISO-8859-1", "El señor visitó São Paulo."),
+    ("utf16le-greek", "utf-16-le", "UTF-16LE", "αβγ run of Greek letters."),
+    ("utf16be-accents", "utf-16-be", "UTF-16BE", "Tête-à-tête résumé."),
+    ("cp1252-euro", "cp1252", "windows-1252", "Price list: 99 € exactly."),
+    ("utf8-plain", "utf-8", "utf-8", "Plain utf-8 page body."),
+    ("none-declared", "utf-8", "", "No charset declared at all."),
+]
+
+
+def charset_pages_rows() -> list[tuple[str, str, bytes, str]]:
+    """Mixed-charset crawl pages (url, rfc3339 date, html bytes in the
+    DECLARED encoding, http content-type): the transcode fixture.  The
+    windows-1252 page is deliberately outside Catalyst's charset set —
+    its 0x80 euro byte is invalid UTF-8, so it must surface as a per-doc
+    extraction error, never a silent mojibake decode."""
+    rows = []
+    for i, (label, codec, token, text) in enumerate(_CHARSET_PAGES):
+        html = f"<html><body><p>{text}</p></body></html>".encode(codec)
+        ct = f"text/html; charset={token}" if token else "text/html"
+        rows.append(
+            (f"https://charset.test/{label}", f"2025-03-01T00:00:{i:02d}Z", html, ct)
+        )
+    return rows
+
+
+def warc_files_charset(spark: SparkSession) -> DataFrame:
+    from . import warccodec
+
+    blob = warccodec.make_warc(charset_pages_rows(), gzip_members=True)
+    return spark.createDataFrame(
+        [("crawl-charset-00000.warc.gz", blob)], WARC_FILES_SCHEMA
+    )

@@ -245,3 +245,48 @@ def read_warc_dir(spark, path: str, glob: str = "*.warc.gz") -> DataFrame:
             F.col("content"),
         )
     )
+
+
+# Charsets Catalyst's decode/encode supports (CharsetProvider); anything
+# else (gbk, windows-1252, shift_jis, ...) passes through UNTOUCHED with
+# status 'unsupported_charset' and dies honestly at the extractor's UTF-8
+# gate as a per-doc error record — never a silent mojibake decode.
+_TRANSCODE_CHARSETS = ("iso-8859-1", "utf-16", "utf-16be", "utf-16le", "utf-32")
+
+
+def transcode_pages(records: DataFrame) -> DataFrame:
+    """Response records → pages with html normalized to UTF-8 bytes.
+
+    Real crawls declare charsets in the HTTP ``Content-Type``; the
+    extraction contract is UTF-8.  This stage reads the declared charset
+    and transcodes the supported set — PURE Catalyst (`decode`/`encode`
+    per literal-charset branch, whole-stage codegen, no Python) — so the
+    downstream byte-identity digest is defined on the normalized bytes.
+
+    ``transcode_status``: ``utf8`` (declared utf-8/us-ascii/absent —
+    passthrough), ``transcoded`` (supported non-UTF-8 charset), or
+    ``unsupported_charset`` (passthrough; the UTF-8 gate downstream
+    reports it per doc).
+    """
+    cs = F.lower(
+        F.regexp_extract(F.coalesce("content_type", F.lit("")), r"charset=([A-Za-z0-9_\-]+)", 1)
+    )
+    transcoded = F.col("html")
+    for c in _TRANSCODE_CHARSETS:
+        transcoded = F.when(
+            cs == c, F.encode(F.decode(F.col("html"), c.upper()), "UTF-8")
+        ).otherwise(transcoded)
+    passthrough = cs.isin("", "utf-8", "utf8", "us-ascii")
+    return (
+        records.filter((F.col("warc_type") == "response") & F.col("error").isNull())
+        .select(
+            "url",
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+            cs.alias("charset"),
+            F.when(passthrough, F.col("html")).otherwise(transcoded).alias("html"),
+            F.when(passthrough, F.lit("utf8"))
+            .when(cs.isin(*_TRANSCODE_CHARSETS), F.lit("transcoded"))
+            .otherwise(F.lit("unsupported_charset"))
+            .alias("transcode_status"),
+        )
+    )

@@ -122,11 +122,15 @@ def make_record(
 
 
 def make_response_record(
-    url: str, date: str, html: bytes, status: int = 200
+    url: str,
+    date: str,
+    html: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
 ) -> bytes:
     return make_record(
         "response",
-        http_response_block(html, status=status),
+        http_response_block(html, status=status, content_type=content_type),
         url=url,
         date=date,
         body_for_digest=html,
@@ -176,13 +180,16 @@ def make_warc(
     ``gzip_members=True`` is the crawl-archive layout: every record its own
     gzip member, members concatenated — splittable at member boundaries.
     ``extra_records`` (already-rendered uncompressed records, e.g. a
-    ``request`` record) are appended after the responses.
+    ``request`` record) are appended after the responses.  Pages are
+    (url, date, html) or (url, date, html, http-content-type) tuples.
     """
     records: list[bytes] = []
     if warcinfo:
         records.append(make_warcinfo_record(pages[0][1] if pages else "2026-01-01T00:00:00Z"))
-    for url, date, html in pages:
-        records.append(make_response_record(url, date, html))
+    for page in pages:
+        url, date, html = page[0], page[1], page[2]
+        ct = page[3] if len(page) > 3 else "text/html; charset=utf-8"
+        records.append(make_response_record(url, date, html, content_type=ct))
     records.extend(extra_records or [])
     if gzip_members:
         return b"".join(gzip_member(r) for r in records)

@@ -770,6 +770,23 @@ def build() -> dict[str, str]:
         }
     )
 
+    # Charset normalization (kgspark.warc.transcode_pages): independent
+    # restatement — expected text comes from the fixture's SOURCE strings
+    # (never a decoder), status/error from the declared-token rule; the
+    # windows-1252 page must fail the UTF-8 gate, not mojibake.
+    charset_rows = []
+    for label, _codec, token, text in datagen._CHARSET_PAGES:
+        cs = token.lower()
+        if cs in ("", "utf-8", "utf8", "us-ascii"):
+            status, out_text, err = "utf8", text, None
+        elif cs in ("iso-8859-1", "utf-16", "utf-16be", "utf-16le", "utf-32"):
+            status, out_text, err = "transcoded", text, None
+        else:
+            status, out_text, err = "unsupported_charset", "", "utf8_decode_error"
+        charset_rows.append(
+            (f"https://charset.test/{label}", cs, status, out_text, err)
+        )
+
     # Cross-crawl KG delta (kgspark.pipeline.triple_delta): independent
     # restatement — the imperative refimpl fold runs on BOTH crawls' web
     # rows (crawl 2 via the recrawl generator), then plain set algebra.
@@ -929,6 +946,11 @@ def build() -> dict[str, str]:
         "web_rdf_ntriples": _values(nt_rows, ["ntriple"], ["s"]),
         "kg_crawl_delta": _values(
             delta_rows, ["subj", "pred", "obj", "status"], ["s", "s", "s", "s"]
+        ),
+        "warc_charset_docs": _values(
+            charset_rows,
+            ["url", "charset", "transcode_status", "text", "error"],
+            ["s", "s", "s", "s", "s"],
         ),
         "web_fetch_schedule": _values(
             sched_rows,

@@ -227,3 +227,32 @@ def test_read_warc_dir_binaryfile_source(spark, tmp_path):
     recs = warc.warc_records(files)
     assert recs.filter(F.col("error").isNotNull()).count() == 0
     assert recs.filter(F.col("warc_type") == "response").count() == 40
+
+
+def test_charset_transcode_pure_catalyst_and_honest_failure(spark):
+    """Charset normalization adds ZERO Python to the plan (the container
+    kernel is the only MapInPandas; decode/encode are codegen), declared
+    ISO-8859-1/UTF-16 pages extract their accented text exactly, and the
+    windows-1252 page fails the UTF-8 gate per-doc instead of mojibake."""
+    from kgspark import html_extract
+
+    pages = warc.transcode_pages(
+        warc.warc_records(datagen.warc_files_charset(spark))
+    )
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    out = {
+        x["url"]: x
+        for x in html_extract.extract_stage(pages).collect()
+    }
+    cafe = out["https://charset.test/latin1-cafe"]
+    assert cafe["extracted_text"] == "Le café est ouvert à Paris."
+    assert cafe["transcode_status"] == "transcoded"
+    greek = out["https://charset.test/utf16le-greek"]
+    assert greek["extracted_text"].startswith("αβγ")
+    euro = out["https://charset.test/cp1252-euro"]
+    assert euro["transcode_status"] == "unsupported_charset"
+    assert euro["extract_error"] == "utf8_decode_error"
+    assert euro["extracted_text"] == ""
