@@ -834,6 +834,13 @@ def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier discovery over the per-host sitemap fixture
+    (fixed — sf_dir unused): pure-Catalyst per-<url> field extraction,
+    XML entities unescaped, priority as exact micro integer."""
+    return pipeline.sitemap_frontier(datagen.sitemaps(spark))
+
+
 def _q_warc_charset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-charset normalization through the container: mixed-charset
     crawl fixture → pure-Catalyst transcode (ISO-8859-1 / UTF-16 family →
@@ -1231,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_rdf_ntriples": _q_web_rdf_ntriples,
         "kg_crawl_delta": _q_kg_crawl_delta,
         "warc_charset_docs": _q_warc_charset_docs,
+        "web_sitemap_frontier": _q_web_sitemap_frontier,
     }
 
 

@@ -704,3 +704,46 @@ def warc_files_charset(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [("crawl-charset-00000.warc.gz", blob)], WARC_FILES_SCHEMA
     )
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("xml", StringType(), False),
+    ]
+)
+
+
+def sitemap_rows(seed: int = 29) -> list[tuple[str, str]]:
+    """Deterministic sitemap.xml documents per host (sitemaps.org profile):
+    full entries (loc+lastmod+priority), loc-only entries, XML-escaped
+    query urls (&amp;), and whitespace-padded values."""
+    r = random.Random(seed)
+    rows = []
+    for s in range(3):
+        host = f"example-site{s}.test"
+        entries = []
+        for i in range(4 + r.randrange(4)):
+            loc = f"https://{host}/page/{r.randrange(40)}"
+            if s == 2 and i % 2 == 0:
+                loc += f"?a={r.randrange(9)}&amp;b={r.randrange(9)}"
+            parts = [f"<loc> {loc} </loc>"] if i % 3 == 0 else [f"<loc>{loc}</loc>"]
+            if i % 2 == 0:
+                parts.append(f"<lastmod>2025-0{1 + i % 9}-15</lastmod>")
+            if i % 4 == 0:
+                parts.append(f"<priority>0.{1 + r.randrange(9)}</priority>")
+            entries.append("<url>" + "".join(parts) + "</url>")
+        rows.append(
+            (
+                host,
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "\n".join(entries)
+                + "\n</urlset>",
+            )
+        )
+    return rows
+
+
+def sitemaps(spark: SparkSession, seed: int = 29) -> DataFrame:
+    return spark.createDataFrame(sitemap_rows(seed), SITEMAP_SCHEMA)

@@ -738,3 +738,52 @@ def triple_delta(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
         .otherwise("kept")
         .alias("status"),
     )
+
+
+def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
+    """Sitemap-driven frontier discovery: (host, sitemap xml) → one row per
+    ``<url>`` entry with loc / lastmod / priority_micro.
+
+    Pure Catalyst: split the document on ``</url>`` closers, explode, and
+    regexp-extract the child fields per fragment (namespace-proof — the
+    sitemap namespace prefixes element names, never changes the local
+    ``<loc>``/``<lastmod>``/``<priority>`` tokens this profile reads; the
+    five XML predefined entities are unescaped in loc).  Priority becomes
+    an exact micro integer via DECIMAL, never a float.  One narrow
+    projection + explode — no shuffle at all; a 10^8-sitemap crawl seeds
+    its frontier at scan speed, and the output joins directly against
+    :func:`robots_filter` / :func:`fetch_schedule`.
+    """
+    frag = F.explode(F.split(F.col("xml"), "</url>")).alias("frag")
+    loc_raw = F.regexp_extract(F.col("frag"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    loc = loc_raw
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),  # ampersand LAST so &amp;lt; decodes as '&lt;' literal
+    ):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.nullif(
+        F.regexp_extract(F.col("frag"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1),
+        F.lit(""),
+    )
+    prio = F.nullif(
+        F.regexp_extract(F.col("frag"), r"<priority>\s*([^<]+?)\s*</priority>", 1),
+        F.lit(""),
+    )
+    return (
+        sitemaps.select("host", frag)
+        .filter(F.col("frag").contains("<loc>"))
+        .select(
+            "host",
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            prio.alias("prio_s"),
+        )
+        .withColumn(
+            "priority_micro",
+            F.expr(
+                "CAST(CAST(CAST(prio_s AS DECIMAL(8,6)) * 1000000 AS DECIMAL(10,0)) AS BIGINT)"
+            ),
+        )
+        .drop("prio_s")
+    )

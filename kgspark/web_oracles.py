@@ -41,9 +41,14 @@ def _lit(c, t: str) -> str:
 
 
 def _values(rows: list[tuple], cols: list[str], types: list[str]) -> str:
+    # None-safe sort (rows may carry NULL cells after a non-unique prefix);
+    # ordering only shapes the SQL literal — the compare is order-insensitive.
+    def _key(r: tuple):
+        return tuple((c is None, "" if c is None else str(c)) for c in r)
+
     body = ",\n".join(
         "(" + ", ".join(_lit(c, t) for c, t in zip(r, types)) + ")"
-        for r in sorted(rows)
+        for r in sorted(rows, key=_key)
     )
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
 
@@ -770,6 +775,28 @@ def build() -> dict[str, str]:
         }
     )
 
+    # Sitemap frontier (kgspark.pipeline.sitemap_frontier): independent
+    # restatement via xml.etree — a REAL XML parser (namespace-aware,
+    # entity-decoding) vs the operator's split/regexp mechanism.
+    import xml.etree.ElementTree as _ET
+
+    sm_rows = []
+    for host, xml_doc in datagen.sitemap_rows():
+        root = _ET.fromstring(xml_doc)
+        ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+        for u in root.findall("sm:url", ns):
+            loc = u.find("sm:loc", ns).text.strip()
+            lm = u.find("sm:lastmod", ns)
+            pr = u.find("sm:priority", ns)
+            prio = (
+                int(round(float(pr.text.strip()) * 1_000_000))
+                if pr is not None
+                else None
+            )
+            sm_rows.append(
+                (host, loc, lm.text.strip() if lm is not None else None, prio)
+            )
+
     # Charset normalization (kgspark.warc.transcode_pages): independent
     # restatement — expected text comes from the fixture's SOURCE strings
     # (never a decoder), status/error from the declared-token rule; the
@@ -946,6 +973,11 @@ def build() -> dict[str, str]:
         "web_rdf_ntriples": _values(nt_rows, ["ntriple"], ["s"]),
         "kg_crawl_delta": _values(
             delta_rows, ["subj", "pred", "obj", "status"], ["s", "s", "s", "s"]
+        ),
+        "web_sitemap_frontier": _values(
+            sm_rows,
+            ["host", "loc", "lastmod", "priority_micro"],
+            ["s", "s", "s", "i"],
         ),
         "warc_charset_docs": _values(
             charset_rows,

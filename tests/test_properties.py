@@ -626,3 +626,52 @@ def test_crawl_diff_matches_bruteforce_on_random_snapshots(spark):
                 else "unchanged" if old[u] == new[u] else "changed"
             )
             assert got[u] == exp, (u, got[u], exp)
+
+
+def test_sitemap_frontier_matches_etree_on_random_sitemaps(spark):
+    """Brute-force property: the split/regexp Catalyst parse equals a real
+    xml.etree parse on random sitemaps — optional fields, whitespace
+    padding, XML-escaped ampersands in loc, multi-line layout."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    for seed in (4, 13):
+        r = random.Random(seed)
+        rows = []
+        for s in range(4):
+            host = f"h{s}.test"
+            entries = []
+            for i in range(1 + r.randrange(6)):
+                loc = f"https://{host}/p/{r.randrange(30)}"
+                if r.random() < 0.4:
+                    loc += f"?x={r.randrange(5)}&amp;y={r.randrange(5)}"
+                e = [f"<loc>{' ' * r.randrange(2)}{loc}{' ' * r.randrange(2)}</loc>"]
+                if r.random() < 0.5:
+                    e.append(f"<lastmod>2025-0{1 + r.randrange(9)}-01</lastmod>")
+                if r.random() < 0.5:
+                    e.append(f"<priority>{r.randrange(10) / 10}</priority>")
+                sep = "\n" if r.random() < 0.5 else ""
+                entries.append("<url>" + sep.join(e) + "</url>")
+            rows.append(
+                (host,
+                 '<?xml version="1.0"?><urlset '
+                 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                 + "\n".join(entries) + "</urlset>")
+            )
+        df = spark.createDataFrame(rows, "host string, xml string")
+        got = sorted(
+            (x["host"], x["loc"], x["lastmod"], x["priority_micro"])
+            for x in pipeline.sitemap_frontier(df).collect()
+        )
+        ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+        want = []
+        for host, doc in rows:
+            for u in ET.fromstring(doc).findall("sm:url", ns):
+                lm = u.find("sm:lastmod", ns)
+                pr = u.find("sm:priority", ns)
+                want.append(
+                    (host, u.find("sm:loc", ns).text.strip(),
+                     lm.text.strip() if lm is not None else None,
+                     int(round(float(pr.text) * 1e6)) if pr is not None else None)
+                )
+        assert got == sorted(want)
