@@ -500,10 +500,16 @@ def warc_files_rows(
                 content_type="application/http; msgtype=request",
             )
             extra = [req]
+        # the first response of every file is stored with chunked
+        # transfer framing — every shard exercises the dechunk path
+        chunked = {shard[0][0]} if shard else set()
         out.append(
             (
                 f"crawl-{seed}-{k:05d}.warc.gz",
-                warccodec.make_warc(shard, gzip_members=True, extra_records=extra),
+                warccodec.make_warc(
+                    shard, gzip_members=True, extra_records=extra,
+                    chunk_urls=chunked,
+                ),
             )
         )
     return out

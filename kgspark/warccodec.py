@@ -82,15 +82,64 @@ def gzip_member(data: bytes) -> bytes:
 
 
 def http_response_block(
-    body: bytes, status: int = 200, content_type: str = "text/html; charset=utf-8"
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    chunk_size: int = 97,
 ) -> bytes:
+    """HTTP/1.1 response bytes; ``chunked=True`` stores the body with
+    Transfer-Encoding chunked framing (hex size CRLF data CRLF …
+    terminated by a zero chunk) — the wire form crawlers capture verbatim
+    into WARC.  An odd default chunk size so chunk boundaries land inside
+    multi-byte sequences in tests."""
     reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(status, "OK")
+    if chunked:
+        head = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Transfer-Encoding: chunked\r\n\r\n"
+        ).encode("ascii")
+        chunks = []
+        for i in range(0, len(body), chunk_size):
+            piece = body[i : i + chunk_size]
+            chunks.append(f"{len(piece):x}\r\n".encode("ascii") + piece + b"\r\n")
+        chunks.append(b"0\r\n\r\n")
+        return head + b"".join(chunks)
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("ascii")
     return head + body
+
+
+def dechunk(raw: bytes) -> bytes:
+    """Decode Transfer-Encoding chunked framing → logical body.  Bounded
+    (total ≤ MAX_RECORD_BYTES) and strict: bad hex sizes, missing chunk
+    CRLFs, or a missing zero-terminator raise ValueError."""
+    out: list[bytes] = []
+    total = 0
+    pos = 0
+    while True:
+        nl = raw.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing size line terminator")
+        size_tok = raw[pos:nl].split(b";", 1)[0].strip()  # ignore extensions
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad chunk size {size_tok[:16]!r}")
+        if n < 0 or total + n > MAX_RECORD_BYTES:
+            raise ValueError("chunked body: size outside bounds")
+        if n == 0:
+            return b"".join(out)
+        piece = raw[nl + 2 : nl + 2 + n]
+        if len(piece) != n or raw[nl + 2 + n : nl + 4 + n] != _CRLF:
+            raise ValueError("chunked body: truncated chunk or missing CRLF")
+        out.append(piece)
+        total += n
+        pos = nl + 4 + n
 
 
 def make_record(
@@ -127,10 +176,16 @@ def make_response_record(
     html: bytes,
     status: int = 200,
     content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
 ) -> bytes:
+    # payload digest is of the LOGICAL body (after transfer decoding),
+    # regardless of how the wire framed it — the cross-crawl dedup key
+    # must not depend on chunk boundaries.
     return make_record(
         "response",
-        http_response_block(html, status=status, content_type=content_type),
+        http_response_block(
+            html, status=status, content_type=content_type, chunked=chunked
+        ),
         url=url,
         date=date,
         body_for_digest=html,
@@ -174,6 +229,7 @@ def make_warc(
     gzip_members: bool = True,
     warcinfo: bool = True,
     extra_records: list[bytes] | None = None,
+    chunk_urls: set[str] | frozenset[str] = frozenset(),
 ) -> bytes:
     """Assemble a WARC file from (url, rfc3339-date, html) pages.
 
@@ -189,7 +245,11 @@ def make_warc(
     for page in pages:
         url, date, html = page[0], page[1], page[2]
         ct = page[3] if len(page) > 3 else "text/html; charset=utf-8"
-        records.append(make_response_record(url, date, html, content_type=ct))
+        records.append(
+            make_response_record(
+                url, date, html, content_type=ct, chunked=url in chunk_urls
+            )
+        )
     records.extend(extra_records or [])
     if gzip_members:
         return b"".join(gzip_member(r) for r in records)
@@ -284,9 +344,12 @@ def _parse_one(rec: bytes, offset: int, length: int) -> dict:
             raise ValueError(f"bad HTTP status line at offset {offset}")
         http = _parse_headers(header_block)
         body = payload[hsep + 4 :]
-        want = http.get("content-length")
-        if want is not None and int(want) != len(body):
-            raise ValueError(f"HTTP Content-Length mismatch at offset {offset}")
+        if http.get("transfer-encoding", "").lower() == "chunked":
+            body = dechunk(body)
+        else:
+            want = http.get("content-length")
+            if want is not None and int(want) != len(body):
+                raise ValueError(f"HTTP Content-Length mismatch at offset {offset}")
         out["http_status"] = int(parts[1])
         out["content_type"] = http.get("content-type")
         out["body"] = body

@@ -896,6 +896,25 @@ def build() -> dict[str, str]:
                     k, _c, v = ln.partition(": ")
                     hth[k.lower()] = v
                 ctype = hth.get("content-type")
+                if hth.get("transfer-encoding", "").lower() == "chunked":
+                    # independent dechunk: split on CRLF and fold size/data
+                    # line pairs (vs the codec's indexed walk)
+                    parts = body.split(b"\r\n")
+                    acc, i2 = [], 0
+                    while True:
+                        n2 = int(parts[i2].split(b";")[0], 16)
+                        if n2 == 0:
+                            break
+                        # data may itself contain CRLF: rejoin until n2 met
+                        buf = parts[i2 + 1]
+                        j2 = i2 + 1
+                        while len(buf) < n2:
+                            j2 += 1
+                            buf += b"\r\n" + parts[j2]
+                        assert len(buf) == n2, "oracle: chunk length drift"
+                        acc.append(buf)
+                        i2 = j2 + 1
+                    body = b"".join(acc)
                 body_sha = hashlib.sha256(body).hexdigest()
                 body_len = len(body)
                 if wtype == "response":

@@ -256,3 +256,43 @@ def test_charset_transcode_pure_catalyst_and_honest_failure(spark):
     assert euro["transcode_status"] == "unsupported_charset"
     assert euro["extract_error"] == "utf8_decode_error"
     assert euro["extracted_text"] == ""
+
+
+def test_chunked_transfer_roundtrip_and_digest_invariance():
+    """Chunked-framed responses parse to the LOGICAL body (boundaries
+    anywhere, bodies containing CRLF runs and hex-like lines), and the
+    payload digest is identical chunked vs content-length framed — the
+    dedup key must not depend on wire framing."""
+    bodies = [
+        b"a" * 500,
+        b"ff\r\n<p>looks like a chunk size</p>\r\n0\r\n\r\ntail",
+        b"",
+        bytes(range(256)) * 3,
+    ]
+    pages = [
+        (f"https://c.test/{i}", "2026-01-01T00:00:00Z", b) for i, b in enumerate(bodies)
+    ]
+    plain = warccodec.make_warc(pages, gzip_members=True)
+    chunked = warccodec.make_warc(
+        pages, gzip_members=True, chunk_urls={u for u, _d, _b in pages}
+    )
+    rp = [r for r in warccodec.parse_warc(plain) if r["warc_type"] == "response"]
+    rc = [r for r in warccodec.parse_warc(chunked) if r["warc_type"] == "response"]
+    assert [r["body"] for r in rc] == bodies
+    assert [r["payload_digest"] for r in rc] == [r["payload_digest"] for r in rp]
+
+
+def test_dechunk_rejects_malformed():
+    import pytest
+
+    for bad in (
+        b"zz\r\nhi\r\n0\r\n\r\n",          # bad hex
+        b"5\r\nhi\r\n",                     # truncated chunk
+        b"5\r\nhello",                      # missing chunk CRLF
+        b"4\r\nhi\r\n0\r\n\r\n",            # declared size eats the CRLF
+        b"",                                # no size line
+    ):
+        with pytest.raises(ValueError):
+            warccodec.dechunk(bad)
+    assert warccodec.dechunk(b"0\r\n\r\n") == b""
+    assert warccodec.dechunk(b"3;ext=1\r\nabc\r\n0\r\n\r\n") == b"abc"
