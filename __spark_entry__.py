@@ -854,6 +854,7 @@ def _q_warc_charset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract.extract_stage(pages).select(
         "url",
         "charset",
+        "charset_source",
         "transcode_status",
         F.col("extracted_text").alias("text"),
         F.col("extract_error").alias("error"),

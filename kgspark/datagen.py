@@ -674,16 +674,21 @@ def warc_files_second(spark: SparkSession, n_docs: int = 160, seed: int = 42) ->
     )
 
 
-# (label, python-codec, http charset token, paragraph text)
-_CHARSET_PAGES: list[tuple[str, str, str, str]] = [
-    ("latin1-cafe", "iso-8859-1", "ISO-8859-1", "Le café est ouvert à Paris."),
-    ("latin1-mueller", "iso-8859-1", "iso-8859-1", "Müller führt die Fabrik."),
-    ("latin1-senor", "iso-8859-1", "ISO-8859-1", "El señor visitó São Paulo."),
-    ("utf16le-greek", "utf-16-le", "UTF-16LE", "αβγ run of Greek letters."),
-    ("utf16be-accents", "utf-16-be", "UTF-16BE", "Tête-à-tête résumé."),
-    ("cp1252-euro", "cp1252", "windows-1252", "Price list: 99 € exactly."),
-    ("utf8-plain", "utf-8", "utf-8", "Plain utf-8 page body."),
-    ("none-declared", "utf-8", "", "No charset declared at all."),
+# (label, python-codec, http charset token, meta charset token, paragraph text)
+_CHARSET_PAGES: list[tuple[str, str, str, str, str]] = [
+    ("latin1-cafe", "iso-8859-1", "ISO-8859-1", "", "Le café est ouvert à Paris."),
+    ("latin1-mueller", "iso-8859-1", "iso-8859-1", "", "Müller führt die Fabrik."),
+    ("latin1-senor", "iso-8859-1", "ISO-8859-1", "", "El señor visitó São Paulo."),
+    ("utf16le-greek", "utf-16-le", "UTF-16LE", "", "αβγ run of Greek letters."),
+    ("utf16be-accents", "utf-16-be", "UTF-16BE", "", "Tête-à-tête résumé."),
+    ("cp1252-euro", "cp1252", "windows-1252", "", "Price list: 99 € exactly."),
+    ("utf8-plain", "utf-8", "utf-8", "", "Plain utf-8 page body."),
+    ("none-declared", "utf-8", "", "", "No charset declared at all."),
+    # HTTP silent → the <meta> tier decides (browser resolution order)
+    ("meta-latin1", "iso-8859-1", "", "ISO-8859-1", "Señora Gómez è qui."),
+    ("meta-httpequiv", "iso-8859-1", "", "iso-8859-1", "Café crème à gogo."),
+    # HTTP wins over a LYING meta tag (html is really latin-1)
+    ("http-beats-meta", "iso-8859-1", "ISO-8859-1", "utf-8", "Über-häufig."),
 ]
 
 
@@ -692,10 +697,19 @@ def charset_pages_rows() -> list[tuple[str, str, bytes, str]]:
     DECLARED encoding, http content-type): the transcode fixture.  The
     windows-1252 page is deliberately outside Catalyst's charset set —
     its 0x80 euro byte is invalid UTF-8, so it must surface as a per-doc
-    extraction error, never a silent mojibake decode."""
+    extraction error, never a silent mojibake decode.  The meta-* pages
+    leave HTTP silent and declare in-document (plain <meta charset> and
+    the http-equiv form); http-beats-meta pins the resolution order."""
     rows = []
-    for i, (label, codec, token, text) in enumerate(_CHARSET_PAGES):
-        html = f"<html><body><p>{text}</p></body></html>".encode(codec)
+    for i, (label, codec, token, meta, text) in enumerate(_CHARSET_PAGES):
+        if label == "meta-httpequiv":
+            head = ('<head><meta http-equiv="Content-Type" '
+                    f'content="text/html; charset={meta}"></head>')
+        elif meta:
+            head = f'<head><meta charset="{meta}"></head>'
+        else:
+            head = ""
+        html = f"<html>{head}<body><p>{text}</p></body></html>".encode(codec)
         ct = f"text/html; charset={token}" if token else "text/html"
         rows.append(
             (f"https://charset.test/{label}", f"2025-03-01T00:00:{i:02d}Z", html, ct)

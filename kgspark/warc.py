@@ -263,14 +263,27 @@ def transcode_pages(records: DataFrame) -> DataFrame:
     per literal-charset branch, whole-stage codegen, no Python) — so the
     downstream byte-identity digest is defined on the normalized bytes.
 
-    ``transcode_status``: ``utf8`` (declared utf-8/us-ascii/absent —
+    Charset resolution is two-tier, like browsers: the HTTP
+    ``Content-Type`` token wins; when HTTP is silent, the first 1024
+    bytes are sniffed (as ISO-8859-1, byte-lossless for ASCII attrs) for
+    ``<meta charset=…>`` / ``<meta http-equiv … charset=…>``.
+    ``charset_source`` records which tier decided (http/meta/none).
+
+    ``transcode_status``: ``utf8`` (effective utf-8/us-ascii/absent —
     passthrough), ``transcoded`` (supported non-UTF-8 charset), or
     ``unsupported_charset`` (passthrough; the UTF-8 gate downstream
     reports it per doc).
     """
-    cs = F.lower(
+    http_cs = F.lower(
         F.regexp_extract(F.coalesce("content_type", F.lit("")), r"charset=([A-Za-z0-9_\-]+)", 1)
     )
+    head = F.decode(F.substring(F.col("html"), 1, 1024), "ISO-8859-1")
+    meta_cs = F.lower(
+        F.regexp_extract(
+            head, r"""(?i)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", 1
+        )
+    )
+    cs = F.when(http_cs != "", http_cs).otherwise(meta_cs)
     transcoded = F.col("html")
     for c in _TRANSCODE_CHARSETS:
         transcoded = F.when(
@@ -283,6 +296,10 @@ def transcode_pages(records: DataFrame) -> DataFrame:
             "url",
             F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
             cs.alias("charset"),
+            F.when(http_cs != "", F.lit("http"))
+            .when(meta_cs != "", F.lit("meta"))
+            .otherwise(F.lit("none"))
+            .alias("charset_source"),
             F.when(passthrough, F.col("html")).otherwise(transcoded).alias("html"),
             F.when(passthrough, F.lit("utf8"))
             .when(cs.isin(*_TRANSCODE_CHARSETS), F.lit("transcoded"))

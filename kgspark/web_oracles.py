@@ -802,8 +802,9 @@ def build() -> dict[str, str]:
     # (never a decoder), status/error from the declared-token rule; the
     # windows-1252 page must fail the UTF-8 gate, not mojibake.
     charset_rows = []
-    for label, _codec, token, text in datagen._CHARSET_PAGES:
-        cs = token.lower()
+    for label, _codec, token, meta, text in datagen._CHARSET_PAGES:
+        cs = token.lower() or meta.lower()
+        source = "http" if token else ("meta" if meta else "none")
         if cs in ("", "utf-8", "utf8", "us-ascii"):
             status, out_text, err = "utf8", text, None
         elif cs in ("iso-8859-1", "utf-16", "utf-16be", "utf-16le", "utf-32"):
@@ -811,7 +812,7 @@ def build() -> dict[str, str]:
         else:
             status, out_text, err = "unsupported_charset", "", "utf8_decode_error"
         charset_rows.append(
-            (f"https://charset.test/{label}", cs, status, out_text, err)
+            (f"https://charset.test/{label}", cs, source, status, out_text, err)
         )
 
     # Cross-crawl KG delta (kgspark.pipeline.triple_delta): independent
@@ -1000,8 +1001,8 @@ def build() -> dict[str, str]:
         ),
         "warc_charset_docs": _values(
             charset_rows,
-            ["url", "charset", "transcode_status", "text", "error"],
-            ["s", "s", "s", "s", "s"],
+            ["url", "charset", "charset_source", "transcode_status", "text", "error"],
+            ["s", "s", "s", "s", "s", "s"],
         ),
         "web_fetch_schedule": _values(
             sched_rows,

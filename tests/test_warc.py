@@ -296,3 +296,23 @@ def test_dechunk_rejects_malformed():
             warccodec.dechunk(bad)
     assert warccodec.dechunk(b"0\r\n\r\n") == b""
     assert warccodec.dechunk(b"3;ext=1\r\nabc\r\n0\r\n\r\n") == b"abc"
+
+
+def test_meta_charset_tier_and_resolution_order(spark):
+    """HTTP-silent pages resolve via <meta charset> / http-equiv sniffing;
+    an HTTP token beats a lying meta tag (browser resolution order)."""
+    out = {
+        x["url"]: x
+        for x in warc.transcode_pages(
+            warc.warc_records(datagen.warc_files_charset(spark))
+        ).collect()
+    }
+    m1 = out["https://charset.test/meta-latin1"]
+    assert (m1["charset"], m1["charset_source"]) == ("iso-8859-1", "meta")
+    m2 = out["https://charset.test/meta-httpequiv"]
+    assert (m2["charset"], m2["charset_source"]) == ("iso-8859-1", "meta")
+    hb = out["https://charset.test/http-beats-meta"]
+    assert (hb["charset"], hb["charset_source"]) == ("iso-8859-1", "http")
+    assert bytes(hb["html"]).decode("utf-8") .endswith("Über-häufig.</p></body></html>")
+    none = out["https://charset.test/none-declared"]
+    assert none["charset_source"] == "none"
