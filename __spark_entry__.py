@@ -834,6 +834,22 @@ def _q_web_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-fetch URL quality screen over the planted frontier fixture
+    (fixed — sf_dir unused): integer-only structural features + spam-token
+    screen, keep verdict engine-exact at the boundary values."""
+    return pipeline.url_quality(datagen.frontier_urls(spark))
+
+
+def _q_web_paragraph_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-page exact paragraph duplication over the raw web corpus
+    (pre-dedup — duplicate-content pages share every paragraph): one
+    paragraph hash aggregate, n_pages >= 2."""
+    return textops.paragraph_dups(
+        datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    )
+
+
 def _q_web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven frontier discovery over the per-host sitemap fixture
     (fixed — sf_dir unused): pure-Catalyst per-<url> field extraction,
@@ -1240,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_crawl_delta": _q_kg_crawl_delta,
         "warc_charset_docs": _q_warc_charset_docs,
         "web_sitemap_frontier": _q_web_sitemap_frontier,
+        "web_url_quality": _q_web_url_quality,
+        "web_paragraph_dups": _q_web_paragraph_dups,
     }
 
 

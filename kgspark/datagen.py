@@ -767,3 +767,34 @@ def sitemap_rows(seed: int = 29) -> list[tuple[str, str]]:
 
 def sitemaps(spark: SparkSession, seed: int = 29) -> DataFrame:
     return spark.createDataFrame(sitemap_rows(seed), SITEMAP_SCHEMA)
+
+
+def frontier_urls_rows(seed: int = 31) -> list[tuple[str]]:
+    """Pre-fetch frontier with planted quality shapes: clean pages, deep
+    paths, query-parameter explosions, digit-heavy session paths, and
+    spam-token urls — the url_quality fixture."""
+    r = random.Random(seed)
+    rows: list[str] = []
+    for i in range(30):  # clean
+        rows.append(f"https://site{r.randrange(5)}.test/article/{r.randrange(50)}")
+    for i in range(6):  # too deep
+        depth = 9 + r.randrange(3)
+        rows.append(
+            "https://deep.test/" + "/".join(f"d{j}" for j in range(depth))
+        )
+    for i in range(6):  # query explosion
+        n = 5 + r.randrange(4)
+        q = "&".join(f"p{j}={r.randrange(9)}" for j in range(n))
+        rows.append(f"https://tracker.test/page?{q}")
+    for i in range(6):  # digit-heavy session paths
+        rows.append(f"https://sess.test/{r.randrange(10**12)}/{r.randrange(10**10)}")
+    for tok in ("casino", "xxx-movies", "best-viagra", "freebet-now"):
+        rows.append(f"https://spam.test/{tok}/landing")
+    # boundary cases: exactly at the depth and param limits (keep=True)
+    rows.append("https://edge.test/" + "/".join(f"x{j}" for j in range(8)))
+    rows.append("https://edge.test/p?" + "&".join(f"k{j}=1" for j in range(4)))
+    return [(u,) for u in rows]
+
+
+def frontier_urls(spark: SparkSession, seed: int = 31) -> DataFrame:
+    return spark.createDataFrame(frontier_urls_rows(seed), "url string")

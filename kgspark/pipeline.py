@@ -787,3 +787,55 @@ def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
         )
         .drop("prio_s")
     )
+
+
+def url_quality(frontier: DataFrame) -> DataFrame:
+    """URL-level quality screening — the pre-fetch filter a crawl runs
+    BEFORE spending a fetch (RefinedWeb-style): structural features plus a
+    spam-token screen, all pure Catalyst over one distinct projection, no
+    shuffle beyond the distinct.
+
+    Integer features only (`digit_ratio_micro`, never a float) so the
+    keep verdict is engine-exact: drop if any spam token matches the
+    lowercased url, path depth > URL_MAX_PATH_DEPTH, query params >
+    URL_MAX_QUERY_PARAMS, or path digit ratio > 50%.
+    """
+    from . import spec
+
+    path = F.coalesce(
+        F.nullif(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")), F.lit("/")
+    )
+    q = F.parse_url(F.col("url"), F.lit("QUERY"))
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    n_params = F.when(q.isNull() | (q == ""), F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    # integer DIV, never float floor — boundary urls must not flip verdicts
+    digit_ratio_micro = F.expr(
+        "(CAST(length(_path) - length(regexp_replace(_path, '[0-9]', '')) AS BIGINT)"
+        " * 1000000) DIV length(_path)"
+    )
+    low = F.lower(F.col("url"))
+    spam = F.lit(False)
+    for tok in spec.SPAM_URL_TOKENS:
+        spam = spam | low.contains(tok)
+    return (
+        frontier.select("url")
+        .distinct()
+        .withColumn("_path", path)
+        .select(
+            "url",
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            depth.cast("int").alias("path_depth"),
+            n_params.cast("int").alias("n_query_params"),
+            digit_ratio_micro.alias("digit_ratio_micro"),
+            spam.alias("spam_token_hit"),
+        )
+        .withColumn(
+            "keep",
+            ~F.col("spam_token_hit")
+            & (F.col("path_depth") <= spec.URL_MAX_PATH_DEPTH)
+            & (F.col("n_query_params") <= spec.URL_MAX_QUERY_PARAMS)
+            & (F.col("digit_ratio_micro") <= spec.URL_MAX_DIGIT_RATIO_MICRO),
+        )
+    )

@@ -249,3 +249,12 @@ def vocab_values_sql() -> str:
     """Inline SQL VALUES table of the vocabulary (for DuckDB oracle parity)."""
     rows = ", ".join(f"('{s}', '{n}', '{t}')" for s, n, t in vocab_rows())
     return f"(VALUES {rows}) AS vocab(surface, name, entity_type)"
+
+
+# URL-level quality screening (RefinedWeb-style pre-fetch filtering):
+# shared CONFIG between the Spark operator and the oracle — never shared
+# logic.  Tokens match against the lowercased full url.
+SPAM_URL_TOKENS: tuple[str, ...] = ("casino", "xxx-", "-porn", "viagra", "freebet")
+URL_MAX_PATH_DEPTH = 8
+URL_MAX_QUERY_PARAMS = 4
+URL_MAX_DIGIT_RATIO_MICRO = 500_000

@@ -1960,3 +1960,36 @@ def cms_heavy_hitters(
             (F.col("cms_count") - F.col("exact_count")).alias("cms_over"),
         )
     )
+
+
+def paragraph_dups(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-page exact paragraph duplication — the paragraph-granular
+    dedup signal (boilerplate and syndicated blocks repeat at paragraph
+    level even when whole documents differ).
+
+    Explode newline-separated paragraphs, trim, drop empties, then ONE
+    hash aggregate on the paragraph text: (paragraph, sha256, number of
+    distinct pages carrying it, total occurrences), filtered to
+    cross-page duplicates (n_pages >= 2).  Map-side partial aggregation
+    makes the shuffle carry one row per distinct paragraph per partition;
+    at 100 TB the aggregate would key on the sha alone and carry
+    min(paragraph) as the representative — same plan shape.
+    """
+    para = F.explode(F.split(F.col(text_col), "\n")).alias("paragraph")
+    return (
+        pages.select(F.col("url"), para)
+        .select("url", F.trim(F.col("paragraph")).alias("paragraph"))
+        .filter(F.col("paragraph") != "")
+        .groupBy("paragraph")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_pages") >= 2)
+        .select(
+            F.sha2(F.col("paragraph"), 256).alias("para_sha256"),
+            "paragraph",
+            "n_pages",
+            "n_occurrences",
+        )
+    )

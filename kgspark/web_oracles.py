@@ -775,6 +775,43 @@ def build() -> dict[str, str]:
         }
     )
 
+    # URL quality screen (kgspark.pipeline.url_quality): independent
+    # urllib restatement with python integer arithmetic.
+    uq_rows = []
+    for (u,) in sorted(set(datagen.frontier_urls_rows())):
+        pu = urlparse(u)
+        host = (pu.hostname or "").lower()
+        pth = pu.path or "/"
+        depth = len([s for s in pth.split("/") if s])
+        n_params = len(pu.query.split("&")) if pu.query else 0
+        ndig = sum(c.isdigit() for c in pth)
+        ratio = (ndig * 1_000_000) // len(pth)
+        spam_hit = any(t in u.lower() for t in spec.SPAM_URL_TOKENS)
+        keep = (
+            not spam_hit
+            and depth <= spec.URL_MAX_PATH_DEPTH
+            and n_params <= spec.URL_MAX_QUERY_PARAMS
+            and ratio <= spec.URL_MAX_DIGIT_RATIO_MICRO
+        )
+        uq_rows.append((u, host, depth, n_params, ratio, spam_hit, keep))
+
+    # Paragraph duplication (kgspark.textops.paragraph_dups): independent
+    # dict fold over the raw generated pages.
+    para_pages: dict[str, set] = {}
+    para_count: dict[str, int] = {}
+    for url, _ts, _html, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        for para in text.split("\n"):
+            para = para.strip()
+            if not para:
+                continue
+            para_pages.setdefault(para, set()).add(url)
+            para_count[para] = para_count.get(para, 0) + 1
+    pd_rows = [
+        (hashlib.sha256(p.encode("utf-8")).hexdigest(), p, len(us), para_count[p])
+        for p, us in para_pages.items()
+        if len(us) >= 2
+    ]
+
     # Sitemap frontier (kgspark.pipeline.sitemap_frontier): independent
     # restatement via xml.etree — a REAL XML parser (namespace-aware,
     # entity-decoding) vs the operator's split/regexp mechanism.
@@ -993,6 +1030,17 @@ def build() -> dict[str, str]:
         "web_rdf_ntriples": _values(nt_rows, ["ntriple"], ["s"]),
         "kg_crawl_delta": _values(
             delta_rows, ["subj", "pred", "obj", "status"], ["s", "s", "s", "s"]
+        ),
+        "web_url_quality": _values(
+            uq_rows,
+            ["url", "host", "path_depth", "n_query_params",
+             "digit_ratio_micro", "spam_token_hit", "keep"],
+            ["s", "s", "i", "i", "i", "b", "b"],
+        ),
+        "web_paragraph_dups": _values(
+            pd_rows,
+            ["para_sha256", "paragraph", "n_pages", "n_occurrences"],
+            ["s", "s", "i", "i"],
         ),
         "web_sitemap_frontier": _values(
             sm_rows,

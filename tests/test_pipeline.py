@@ -118,3 +118,25 @@ def test_deterministic_across_partitionings(built, web, spark):
     t1 = pipeline.build(web.coalesce(1))["triples"].collect()
     t16 = pipeline.build(web.repartition(16))["triples"].collect()
     assert sorted(t1) == sorted(t16) == sorted(built["triples"].collect())
+
+
+def test_url_quality_boundaries_and_spam(spark):
+    """Boundary urls AT the depth/param limits keep; spam-token urls and
+    over-limit shapes drop; digit-heavy session paths exceed the ratio."""
+    from kgspark import datagen, pipeline
+
+    out = {x["url"]: x for x in pipeline.url_quality(
+        datagen.frontier_urls(spark)).collect()}
+    for u, x in out.items():
+        if "spam.test" in u:
+            assert x["spam_token_hit"] and not x["keep"], u
+        if "deep.test" in u:
+            assert x["path_depth"] > 8 and not x["keep"], u
+        if "tracker.test" in u:
+            assert x["n_query_params"] > 4 and not x["keep"], u
+        if "sess.test" in u:
+            assert x["digit_ratio_micro"] > 500_000 and not x["keep"], u
+        if "article" in u:
+            assert x["keep"], u
+    edge = [x for u, x in out.items() if "edge.test" in u]
+    assert len(edge) == 2 and all(x["keep"] for x in edge)
