@@ -850,6 +850,15 @@ def _q_web_paragraph_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level curation verdict over the raw web corpus: C4 gate +
+    exact-dup first-wins + min-length composed into the keep decision a
+    training-data pipeline acts on, with per-signal reason flags."""
+    return textops.curation_verdict(
+        datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    )
+
+
 def _q_web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven frontier discovery over the per-host sitemap fixture
     (fixed — sf_dir unused): pure-Catalyst per-<url> field extraction,
@@ -1258,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_frontier": _q_web_sitemap_frontier,
         "web_url_quality": _q_web_url_quality,
         "web_paragraph_dups": _q_web_paragraph_dups,
+        "web_curation_verdict": _q_web_curation_verdict,
     }
 
 

@@ -258,3 +258,7 @@ SPAM_URL_TOKENS: tuple[str, ...] = ("casino", "xxx-", "-porn", "viagra", "freebe
 URL_MAX_PATH_DEPTH = 8
 URL_MAX_QUERY_PARAMS = 4
 URL_MAX_DIGIT_RATIO_MICRO = 500_000
+
+
+# Page-level curation verdict thresholds (shared config, not logic).
+CURATION_MIN_CHARS = 40

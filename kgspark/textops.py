@@ -1993,3 +1993,52 @@ def paragraph_dups(pages: DataFrame, text_col: str = "text") -> DataFrame:
             "n_occurrences",
         )
     )
+
+
+def curation_verdict(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Page-level curation verdict — the filter stack's END PRODUCT: one
+    row per page with the per-signal flags and the final keep decision a
+    training-data pipeline acts on.
+
+    Signals (each already an individually-oracled operator; this composes
+    them): C4 page gate (:func:`c4_line_clean` ``passes_c4``), exact-dup
+    first-wins (the page keeps only if it is the smallest url for its
+    content — the A4 rule), and a minimum content length
+    (`spec.CURATION_MIN_CHARS`).  ``reasons`` is a deterministic
+    comma-joined list of every failed signal (empty string = keep).
+
+    Plan: the C4 signal is a narrow projection; the dup signal is ONE
+    content-key aggregate joined back by content hash; everything else is
+    columnar arithmetic.  Two shuffles total at any corpus size.
+    """
+    from . import spec
+
+    c4 = c4_line_clean(pages, text_col=text_col)
+    base = pages.select(
+        "url",
+        F.col(text_col).alias("_t"),
+        F.sha2(F.trim(F.col(text_col)), 256).alias("_csha"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("content_chars"),
+    )
+    winners = base.groupBy("_csha").agg(F.min("url").alias("_keeper"))
+    flags = (
+        base.join(winners, "_csha")
+        .join(c4.select("url", "passes_c4"), "url")
+        .select(
+            "url",
+            "content_chars",
+            F.col("passes_c4"),
+            (F.col("url") == F.col("_keeper")).alias("is_content_keeper"),
+            (F.col("content_chars") >= spec.CURATION_MIN_CHARS).alias("long_enough"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("passes_c4"), F.lit("fails_c4")),
+        F.when(~F.col("is_content_keeper"), F.lit("exact_dup")),
+        F.when(~F.col("long_enough"), F.lit("too_short")),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("passes_c4") & F.col("is_content_keeper") & F.col("long_enough"),
+    ).withColumn("reasons", reasons)

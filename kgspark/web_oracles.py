@@ -812,6 +812,30 @@ def build() -> dict[str, str]:
         if len(us) >= 2
     ]
 
+    # Curation verdict (kgspark.textops.curation_verdict): independent
+    # composition of the already-restated signals — C4 page gate (from the
+    # c4 fold above), min-url first-wins per trimmed content, min length.
+    c4_pass = {r[0]: bool(r[3]) for r in c4_rows}
+    keeper: dict[str, str] = {}
+    trimmed: dict[str, str] = {}
+    for url, _ts, _html, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        t = text.strip()
+        trimmed[url] = t
+        if t not in keeper or url < keeper[t]:
+            keeper[t] = url
+    cur_rows = []
+    for url, t in trimmed.items():
+        flags = {
+            "fails_c4": not c4_pass[url],
+            "exact_dup": keeper[t] != url,
+            "too_short": len(t) < spec.CURATION_MIN_CHARS,
+        }
+        reasons = ",".join(k for k in ("fails_c4", "exact_dup", "too_short") if flags[k])
+        cur_rows.append(
+            (url, len(t), not flags["fails_c4"], not flags["exact_dup"],
+             not flags["too_short"], not any(flags.values()), reasons)
+        )
+
     # Sitemap frontier (kgspark.pipeline.sitemap_frontier): independent
     # restatement via xml.etree — a REAL XML parser (namespace-aware,
     # entity-decoding) vs the operator's split/regexp mechanism.
@@ -1041,6 +1065,12 @@ def build() -> dict[str, str]:
             pd_rows,
             ["para_sha256", "paragraph", "n_pages", "n_occurrences"],
             ["s", "s", "i", "i"],
+        ),
+        "web_curation_verdict": _values(
+            cur_rows,
+            ["url", "content_chars", "passes_c4", "is_content_keeper",
+             "long_enough", "keep", "reasons"],
+            ["s", "i", "b", "b", "b", "b", "s"],
         ),
         "web_sitemap_frontier": _values(
             sm_rows,
