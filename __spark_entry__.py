@@ -903,6 +903,23 @@ def _q_kg_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar round trip: derive the .warc.wet.gz conversion files
+    from the primary WARC fixture, parse them BACK through the same
+    record kernel, and emit per-url text digests — the oracle pins the
+    golden extraction digests, so the whole write+read conversion path is
+    value-gated (rejected pages are absent, like CC's sidecars)."""
+    wet = warc.build_wet(datagen.warc_files(spark))
+    return (
+        warc.warc_records(wet)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            "url",
+            F.sha2(F.decode(F.col("html"), "UTF-8"), 256).alias("text_sha256"),
+        )
+    )
+
+
 def _q_web_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples lines for the distinct web KG (fixed corpus): IRIs
     minted by form-encoding names under the kg.example base — the
@@ -1268,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_quality": _q_web_url_quality,
         "web_paragraph_dups": _q_web_paragraph_dups,
         "web_curation_verdict": _q_web_curation_verdict,
+        "warc_wet_roundtrip": _q_warc_wet_roundtrip,
     }
 
 

@@ -307,3 +307,54 @@ def transcode_pages(records: DataFrame) -> DataFrame:
             .alias("transcode_status"),
         )
     )
+
+
+_FILES_SCHEMA = StructType(
+    [
+        StructField("file_name", StringType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def build_wet(files: DataFrame) -> DataFrame:
+    """Derive the WET sidecar (extracted-text ``conversion`` records) from
+    primary WARC files — the Common-Crawl ``.warc.wet.gz`` artifact.
+
+    Response records run the standard extraction stage; per source file,
+    the successful extractions are rendered (in source record order) into
+    one member-per-record gzip WET blob whose conversion records link
+    back to their captures via ``WARC-Refers-To``.  Pages the extractor
+    rejects (empty, non-UTF-8) are absent from the WET, exactly like CC's
+    sidecars.
+
+    Scale shape: extraction is the usual narrow Arrow stage; the render
+    is one ``applyInPandas`` grouped on file_name — state per task is one
+    output file's text, the same granularity the primary archive already
+    bounds.  Output rows are (file_name, content) — writable straight
+    back to the object store next to the sources.
+    """
+    import pandas as pd
+
+    from . import html_extract, warccodec as wc
+
+    recs = warc_records(files).filter(
+        (F.col("warc_type") == "response") & F.col("error").isNull()
+    )
+    ex = html_extract.extract_stage(
+        recs.select("file_name", "rec_offset", "url", "warc_date", "record_id", "html")
+    ).filter(F.col("extract_error").isNull())
+    entries = ex.select(
+        "file_name", "rec_offset", "url", "warc_date", "record_id", "extracted_text"
+    )
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rec_offset")
+        ents = [
+            (r.url, r.warc_date, r.extracted_text, r.record_id)
+            for r in pdf.itertuples()
+        ]
+        name = str(pdf["file_name"].iloc[0]).replace(".warc.gz", ".warc.wet.gz")
+        return pd.DataFrame([(name, wc.make_wet(ents))], columns=["file_name", "content"])
+
+    return entries.groupBy("file_name").applyInPandas(_render, schema=_FILES_SCHEMA)

@@ -334,6 +334,10 @@ def _parse_one(rec: bytes, offset: int, length: int) -> dict:
         "body": None,
         "end": sep + 4 + n + 4,
     }
+    # non-http payloads (warcinfo fields, WET conversion text) are the
+    # body as-is; http payloads get status/header/body parsing below
+    if not fields.get("content-type", "").startswith("application/http"):
+        out["body"] = payload
     if n and fields.get("content-type", "").startswith("application/http"):
         hsep = payload.find(_TRAILER)
         if hsep < 0:
@@ -410,3 +414,41 @@ def parse_record_at(blob: bytes, offset: int, length: int) -> dict:
     rec = recs[0]
     rec["offset"], rec["length"] = offset, length
     return rec
+
+
+def make_conversion_record(
+    url: str, date: str, text: bytes, refers_to: str | None = None
+) -> bytes:
+    """A WET-style ``conversion`` record: the extracted plain text of a
+    response, linked to the capture it was derived from (WARC-Refers-To).
+    Common Crawl ships exactly this as its ``.warc.wet.gz`` sidecar."""
+    rec = make_record(
+        "conversion",
+        text,
+        url=url,
+        date=date,
+        content_type="text/plain",
+        body_for_digest=text,
+    )
+    if refers_to:
+        marker = b"Content-Type: "
+        i = rec.find(marker)
+        extra = f"WARC-Refers-To: {refers_to}\r\n".encode("ascii")
+        rec = rec[:i] + extra + rec[i:]
+    return rec
+
+
+def make_wet(
+    entries: list[tuple[str, str, str, str | None]], gzip_members: bool = True
+) -> bytes:
+    """Assemble a WET file from (url, date, extracted-text, refers-to-id)
+    entries: warcinfo head + one conversion record per page, member-per-
+    record gzip like the primary archive."""
+    records = [make_warcinfo_record(entries[0][1] if entries else "2026-01-01T00:00:00Z")]
+    for url, date, text, refers in entries:
+        records.append(
+            make_conversion_record(url, date, text.encode("utf-8"), refers)
+        )
+    if gzip_members:
+        return b"".join(gzip_member(r) for r in records)
+    return b"".join(records)

@@ -949,6 +949,10 @@ def build() -> dict[str, str]:
             status = ctype = body_sha = None
             body_len = -1
             digest = None
+            if not h.get("content-type", "").startswith("application/http"):
+                # non-http payload (warcinfo fields) IS the body
+                body_sha = hashlib.sha256(payload).hexdigest()
+                body_len = len(payload)
             if h.get("content-type", "").startswith("application/http"):
                 hh, _s2, body = payload.partition(b"\r\n\r\n")
                 hlines = hh.decode("latin-1").split("\r\n")
@@ -1036,6 +1040,14 @@ def build() -> dict[str, str]:
              ref[1] if ref else None, ref[0] if ref else None)
         )
 
+    # WET round trip (kgspark.warc.build_wet): successful extractions only
+    # (CC sidecar semantics); expected digest is of the GOLDEN text.
+    wet_rows = [
+        (url, hashlib.sha256(text.encode("utf-8")).hexdigest())
+        for url, _ts, _html, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED)
+        if text
+    ]
+
     # Byte-identity THROUGH the container: expected per-url digest is the
     # sha256 of the GOLDEN text (generator contract), never the extractor's
     # own output; error restates the extraction error contract (fixture
@@ -1108,6 +1120,9 @@ def build() -> dict[str, str]:
             ["url", "warc_date", "payload_digest", "is_revisit",
              "refers_to_url", "refers_to_date"],
             ["s", "s", "s", "b", "s", "s"],
+        ),
+        "warc_wet_roundtrip": _values(
+            wet_rows, ["url", "text_sha256"], ["s", "s"]
         ),
         "warc_extract_digests": _values(
             warc_dig_rows, ["url", "text_sha256", "error"], ["s", "s", "s"]

@@ -316,3 +316,31 @@ def test_meta_charset_tier_and_resolution_order(spark):
     assert bytes(hb["html"]).decode("utf-8") .endswith("Über-häufig.</p></body></html>")
     none = out["https://charset.test/none-declared"]
     assert none["charset_source"] == "none"
+
+
+def test_wet_sidecar_structure(spark):
+    """WET blobs mirror CC's sidecars: per-file warcinfo head + one
+    conversion record per SUCCESSFUL extraction in source record order,
+    each linking its capture via WARC-Refers-To; rejected pages absent."""
+    wet = {r["file_name"]: bytes(r["content"])
+           for r in warc.build_wet(datagen.warc_files(spark)).collect()}
+    assert sorted(wet) == [f"crawl-42-{k:05d}.warc.wet.gz" for k in range(4)]
+    src = {r["file_name"]: bytes(r["content"])
+           for r in datagen.warc_files(spark).collect()}
+    total_conv = 0
+    for name, blob in wet.items():
+        recs = warccodec.parse_warc(blob)
+        assert recs[0]["warc_type"] == "warcinfo"
+        conv = [r for r in recs if r["warc_type"] == "conversion"]
+        total_conv += len(conv)
+        src_recs = warccodec.parse_warc(src[name.replace(".wet", "")])
+        by_url = {r["url"]: r for r in src_recs if r["warc_type"] == "response"}
+        src_order = [r["url"] for r in src_recs
+                     if r["warc_type"] == "response" and r["url"] in
+                     {c["url"] for c in conv}]
+        assert [c["url"] for c in conv] == src_order  # source record order
+        for c in conv:
+            assert c["headers"]["warc-refers-to"] == by_url[c["url"]]["record_id"]
+            assert c["content_type"] is None  # text/plain, not http
+            assert c["payload_digest"] == warccodec.payload_digest(c["body"])
+    assert total_conv == 144  # 160 minus the 16 empty/whitespace rejections
