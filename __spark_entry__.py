@@ -920,6 +920,31 @@ def _q_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sidecar round trip over the anchor-bearing link corpus: derive
+    .warc.wat.gz metadata records (Catalyst-built JSON envelopes with
+    href+anchor link metadata), re-parse through the record kernel, and
+    explode the JSON links — the oracle restates anchor extraction with a
+    REAL html.parser walk, so both the envelope write and the link
+    extraction are value-gated."""
+    wat = warc.build_wat(datagen.warc_files_links(spark))
+    body = F.decode(F.col("html"), "UTF-8")
+    links = F.from_json(
+        F.get_json_object(
+            body, "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links"
+        ),
+        "array<struct<url:string,text:string>>",
+    )
+    return (
+        warc.warc_records(wat)
+        .filter(F.col("warc_type") == "metadata")
+        .select("url", F.explode(links).alias("l"))
+        .select(
+            "url", F.col("l.url").alias("href"), F.col("l.text").alias("anchor_text")
+        )
+    )
+
+
 def _q_web_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples lines for the distinct web KG (fixed corpus): IRIs
     minted by form-encoding names under the kg.example base — the
@@ -1286,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_paragraph_dups": _q_web_paragraph_dups,
         "web_curation_verdict": _q_web_curation_verdict,
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,
+        "warc_wat_links": _q_warc_wat_links,
     }
 
 

@@ -798,3 +798,20 @@ def frontier_urls_rows(seed: int = 31) -> list[tuple[str]]:
 
 def frontier_urls(spark: SparkSession, seed: int = 31) -> DataFrame:
     return spark.createDataFrame(frontier_urls_rows(seed), "url string")
+
+
+def warc_files_links(spark: SparkSession, n_pages: int = 150, seed: int = 11) -> DataFrame:
+    """The link-corpus (anchor-bearing pages) containerized as two WARC
+    files — the WAT-derivation fixture."""
+    from . import warccodec
+
+    pages = [
+        (url, (_BASE_TS + dt.timedelta(minutes=i)).strftime("%Y-%m-%dT%H:%M:%SZ"), html)
+        for i, (url, html) in enumerate(crawl_link_pages_rows(n_pages, seed))
+    ]
+    half = (len(pages) + 1) // 2
+    rows = [
+        (f"crawl-links-{k:05d}.warc.gz", warccodec.make_warc(shard, gzip_members=True))
+        for k, shard in enumerate((pages[:half], pages[half:]))
+    ]
+    return spark.createDataFrame(rows, WARC_FILES_SCHEMA)

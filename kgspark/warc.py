@@ -358,3 +358,67 @@ def build_wet(files: DataFrame) -> DataFrame:
         return pd.DataFrame([(name, wc.make_wet(ents))], columns=["file_name", "content"])
 
     return entries.groupBy("file_name").applyInPandas(_render, schema=_FILES_SCHEMA)
+
+
+def build_wat(files: DataFrame) -> DataFrame:
+    """Derive the WAT sidecar (capture-metadata ``metadata`` records) from
+    primary WARC files — the Common-Crawl ``.warc.wat.gz`` artifact
+    (documented subset of its envelope schema).
+
+    Per response record the JSON payload carries the WARC header echo,
+    the HTTP summary, and HTML link metadata (href + anchor text pairs,
+    extracted in PURE Catalyst — regexp_extract_all + arrays_zip +
+    to_json; no Python touches page bytes).  The only Python is the same
+    per-file group render the WET path uses, which sees only the finished
+    JSON strings.
+    """
+    import pandas as pd
+
+    from . import warccodec as wc
+
+    recs = warc_records(files).filter(
+        (F.col("warc_type") == "response") & F.col("error").isNull()
+    )
+    html_s = F.decode(F.col("html"), "UTF-8")
+    pat = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+    links = F.arrays_zip(
+        F.regexp_extract_all(html_s, F.lit(pat), 1).alias("url"),
+        F.regexp_extract_all(html_s, F.lit(pat), 2).alias("text"),
+    )
+    meta = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col("url").alias("WARC-Target-URI"),
+                    F.col("warc_date").alias("WARC-Date"),
+                    F.col("record_id").alias("WARC-Record-ID"),
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.col("http_status").alias("Response-Message-Code"),
+                        F.length("html").cast("long").alias("Entity-Length"),
+                        F.struct(links.alias("Links")).alias("HTML-Metadata"),
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    entries = recs.select(
+        "file_name", "rec_offset", "url", "warc_date", "record_id",
+        meta.alias("meta_json"),
+    )
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rec_offset")
+        records = [wc.make_warcinfo_record(str(pdf["warc_date"].iloc[0]))]
+        for r in pdf.itertuples():
+            records.append(
+                wc.make_metadata_record(
+                    r.url, r.warc_date, r.meta_json.encode("utf-8"), r.record_id
+                )
+            )
+        name = str(pdf["file_name"].iloc[0]).replace(".warc.gz", ".warc.wat.gz")
+        blob = b"".join(wc.gzip_member(x) for x in records)
+        return pd.DataFrame([(name, blob)], columns=["file_name", "content"])
+
+    return entries.groupBy("file_name").applyInPandas(_render, schema=_FILES_SCHEMA)

@@ -452,3 +452,24 @@ def make_wet(
     if gzip_members:
         return b"".join(gzip_member(r) for r in records)
     return b"".join(records)
+
+
+def make_metadata_record(
+    url: str, date: str, meta_json: bytes, refers_to: str | None = None
+) -> bytes:
+    """A WAT-style ``metadata`` record: the JSON envelope describing a
+    capture (headers, HTTP summary, extracted link metadata) — Common
+    Crawl's ``.warc.wat.gz`` sidecar unit."""
+    rec = make_record(
+        "metadata",
+        meta_json,
+        url=url,
+        date=date,
+        content_type="application/json",
+        body_for_digest=meta_json,
+    )
+    if refers_to:
+        marker = b"Content-Type: "
+        i = rec.find(marker)
+        rec = rec[:i] + f"WARC-Refers-To: {refers_to}\r\n".encode("ascii") + rec[i:]
+    return rec

@@ -1040,6 +1040,37 @@ def build() -> dict[str, str]:
              ref[1] if ref else None, ref[0] if ref else None)
         )
 
+    # WAT links round trip (kgspark.warc.build_wat): independent anchor
+    # extraction with a REAL html.parser walk (vs Catalyst regexp) over
+    # the link-corpus pages; WAT keeps raw hrefs (fragments/mailto too).
+    from html.parser import HTMLParser as _HP
+
+    class _Anchors(_HP):
+        def __init__(self):
+            super().__init__()
+            self.out, self._href, self._buf = [], None, []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                self._href = dict(attrs).get("href")
+                self._buf = []
+
+        def handle_data(self, data):
+            if self._href is not None:
+                self._buf.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self._href is not None:
+                self.out.append((self._href, "".join(self._buf)))
+                self._href = None
+
+    wat_rows = []
+    for url, html_b in datagen.crawl_link_pages_rows():
+        p = _Anchors()
+        p.feed(html_b.decode("utf-8"))
+        for href, text in p.out:
+            wat_rows.append((url, href, text))
+
     # WET round trip (kgspark.warc.build_wet): successful extractions only
     # (CC sidecar semantics); expected digest is of the GOLDEN text.
     wet_rows = [
@@ -1120,6 +1151,9 @@ def build() -> dict[str, str]:
             ["url", "warc_date", "payload_digest", "is_revisit",
              "refers_to_url", "refers_to_date"],
             ["s", "s", "s", "b", "s", "s"],
+        ),
+        "warc_wat_links": _values(
+            wat_rows, ["url", "href", "anchor_text"], ["s", "s", "s"]
         ),
         "warc_wet_roundtrip": _values(
             wet_rows, ["url", "text_sha256"], ["s", "s"]

@@ -344,3 +344,26 @@ def test_wet_sidecar_structure(spark):
             assert c["content_type"] is None  # text/plain, not http
             assert c["payload_digest"] == warccodec.payload_digest(c["body"])
     assert total_conv == 144  # 160 minus the 16 empty/whitespace rejections
+
+
+def test_wat_sidecar_envelope(spark):
+    """WAT metadata records: valid JSON envelopes echoing the capture's
+    WARC headers, linking via WARC-Refers-To, HTTP summary present."""
+    import json
+
+    wat = warc.build_wat(datagen.warc_files_links(spark)).collect()
+    assert sorted(r["file_name"] for r in wat) == [
+        "crawl-links-00000.warc.wat.gz", "crawl-links-00001.warc.wat.gz"
+    ]
+    recs = warccodec.parse_warc(bytes(wat[0]["content"]))
+    metas = [r for r in recs if r["warc_type"] == "metadata"]
+    assert metas
+    for m in metas[:10]:
+        env = json.loads(m["body"].decode("utf-8"))["Envelope"]
+        hdr = env["WARC-Header-Metadata"]
+        assert hdr["WARC-Target-URI"] == m["url"]
+        http = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+        assert http["Response-Message-Code"] == 200
+        assert http["Entity-Length"] > 0
+        assert m["headers"]["warc-refers-to"] == hdr["WARC-Record-ID"]
+        assert m["payload_digest"] == warccodec.payload_digest(m["body"])
