@@ -810,6 +810,15 @@ def _q_web_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.redirect_resolve(datagen.crawl_redirects(spark))
 
 
+def _q_web_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt PARSING from raw wire text (fixed fixture):
+    comments/blank lines/case noise stripped, consecutive user-agent
+    lines share a group, pre-group rules ignored, empty Disallow emits
+    nothing — output is exactly the rules table robots_filter consumes,
+    and the oracle is the ground-truth table the fixture text renders."""
+    return pipeline.parse_robots(datagen.robots_txts(spark))
+
+
 def _q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots-exclusion verdicts over the messy crawl-frontier
     fixture (fixed fixtures — sf_dir unused): group selection, longest
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation_verdict": _q_web_curation_verdict,
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,
         "warc_wat_links": _q_warc_wat_links,
+        "web_robots_parse": _q_web_robots_parse,
     }
 
 

@@ -815,3 +815,41 @@ def warc_files_links(spark: SparkSession, n_pages: int = 150, seed: int = 11) ->
         for k, shard in enumerate((pages[:half], pages[half:]))
     ]
     return spark.createDataFrame(rows, WARC_FILES_SCHEMA)
+
+
+def robots_txt_rows(seed: int = 17) -> list[tuple[str, str]]:
+    """Raw robots.txt documents rendering :func:`crawl_robots_rows` as the
+    wire text, plus grammar noise the parser must survive: comments,
+    blank lines, mixed-case directives, spacing variants, a Sitemap line,
+    Crawl-delay, an ignored rule BEFORE any user-agent group, and an
+    empty ``Disallow:`` (allow-all, no rule row).  parse_robots over this
+    must reproduce the crawl_robots_rows table exactly."""
+    by_host: dict[str, dict[str, list[tuple[str, str]]]] = {}
+    for host, agent, rule, pfx in crawl_robots_rows(seed):
+        by_host.setdefault(host, {}).setdefault(agent, []).append((rule, pfx))
+    rows = []
+    for host in sorted(by_host):
+        r = random.Random(f"{seed}:{host}")
+        out = ["# robots.txt for " + host, ""]
+        if r.random() < 0.5:
+            out.append("Disallow: /ignored-no-group")  # before any UA: ignored
+        for agent in sorted(by_host[host]):
+            ua = "User-Agent" if r.random() < 0.5 else "user-agent"
+            out.append(f"{ua}: {agent}")
+            for rule, pfx in by_host[host][agent]:
+                name = rule.capitalize() if r.random() < 0.7 else rule.upper()
+                sep = ": " if r.random() < 0.7 else ":   "
+                cmt = "   # note" if r.random() < 0.3 else ""
+                out.append(f"{name}{sep}{pfx}{cmt}")
+            if r.random() < 0.4:
+                out.append("Crawl-delay: 5")
+            out.append("")
+        out.append("Sitemap: https://" + host + "/sitemap.xml")
+        if r.random() < 0.4:
+            out.append("Disallow:")  # empty = allow-all, emits no rule row
+        rows.append((host, "\n".join(out)))
+    return rows
+
+
+def robots_txts(spark: SparkSession, seed: int = 17) -> DataFrame:
+    return spark.createDataFrame(robots_txt_rows(seed), "host string, robots_txt string")

@@ -839,3 +839,59 @@ def url_quality(frontier: DataFrame) -> DataFrame:
             & (F.col("digit_ratio_micro") <= spec.URL_MAX_DIGIT_RATIO_MICRO),
         )
     )
+
+
+def parse_robots(robots_txts: DataFrame) -> DataFrame:
+    """Raw robots.txt text → the (host, agent, rule, path_prefix) rules
+    table :func:`robots_filter` consumes — RFC 9309 line grammar:
+    ``#`` comments stripped, directives case-insensitive, CONSECUTIVE
+    ``User-agent`` lines share one group (their rules apply to every
+    listed agent), rules before any user-agent line are ignored, non-rule
+    directives (``Sitemap``, ``Crawl-delay``) pass through parsing but
+    emit no rows.
+
+    Pure Catalyst: posexplode lines → directive/value projections → two
+    windows over (host, line-pos) — a lag to detect group starts and a
+    running sum for group ids — then the group's agent list joins its
+    rule list (both tiny per host).  Robots files are KBs; the windows
+    partition per host, so no single task ever sees more than one file.
+    """
+    from pyspark.sql import Window
+
+    lines = robots_txts.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", r":\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("directive") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    grouped = parsed.withColumn(
+        "group_start",
+        (is_ua & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent"))
+        .cast("int"),
+    ).withColumn("group_id", F.sum("group_start").over(w))
+    agents = (
+        grouped.filter(is_ua)
+        .select("host", "group_id", F.col("value").alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("directive").isin("allow", "disallow")
+        & (F.col("group_id") > 0)        # rules before any user-agent: ignored
+        & (F.col("value") != "")         # empty Disallow: means allow-all, no row
+    ).select(
+        "host", "group_id", F.col("directive").alias("rule"),
+        F.col("value").alias("path_prefix"),
+    )
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "agent", "rule", "path_prefix"
+    )

@@ -1040,6 +1040,12 @@ def build() -> dict[str, str]:
              ref[1] if ref else None, ref[0] if ref else None)
         )
 
+    # Robots.txt parse round trip (kgspark.pipeline.parse_robots): the
+    # oracle is the GROUND-TRUTH rules table the fixture text renders —
+    # any parse drift (group merging, comment leak, pre-group rule kept,
+    # empty-Disallow row) breaks the multiset.
+    robots_parse_rows = list(datagen.crawl_robots_rows())
+
     # WAT links round trip (kgspark.warc.build_wat): independent anchor
     # extraction with a REAL html.parser walk (vs Catalyst regexp) over
     # the link-corpus pages; WAT keeps raw hrefs (fragments/mailto too).
@@ -1151,6 +1157,11 @@ def build() -> dict[str, str]:
             ["url", "warc_date", "payload_digest", "is_revisit",
              "refers_to_url", "refers_to_date"],
             ["s", "s", "s", "b", "s", "s"],
+        ),
+        "web_robots_parse": _values(
+            robots_parse_rows,
+            ["host", "agent", "rule", "path_prefix"],
+            ["s", "s", "s", "s"],
         ),
         "warc_wat_links": _values(
             wat_rows, ["url", "href", "anchor_text"], ["s", "s", "s"]

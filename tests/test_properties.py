@@ -675,3 +675,70 @@ def test_sitemap_frontier_matches_etree_on_random_sitemaps(spark):
                      int(round(float(pr.text) * 1e6)) if pr is not None else None)
                 )
         assert got == sorted(want)
+
+
+def test_parse_robots_matches_bruteforce_on_random_texts(spark):
+    """Brute-force property: the windowed Catalyst parse equals a plain
+    line-state python parser on random robots.txt grammars — consecutive
+    UA lines sharing groups, comments, pre-group rules, empty Disallow,
+    unknown directives, random casing/spacing."""
+    import random
+
+    for seed in (6, 21):
+        r = random.Random(seed)
+        rows = []
+        for h in range(5):
+            host = f"rb{h}.test"
+            out = []
+            for _ in range(r.randrange(14)):
+                roll = r.random()
+                if roll < 0.3:
+                    out.append(
+                        f"{r.choice(['User-agent', 'USER-AGENT', 'user-agent'])}"
+                        f": agent{r.randrange(3)}"
+                    )
+                elif roll < 0.6:
+                    kind = r.choice(["Allow", "Disallow", "ALLOW", "disallow"])
+                    val = "" if r.random() < 0.15 else f"/p{r.randrange(6)}"
+                    out.append(f"{kind}: {val}")
+                elif roll < 0.7:
+                    out.append("# pure comment line")
+                elif roll < 0.8:
+                    out.append("")
+                elif roll < 0.9:
+                    out.append(f"Crawl-delay: {r.randrange(9)}")
+                else:
+                    out.append("Sitemap: https://x.test/s.xml")
+            rows.append((host, "\n".join(out)))
+        # planted: blank/comment lines between consecutive UA lines must
+        # NOT split the group (RFC 9309 — blank lines are insignificant)
+        rows.append(
+            ("rbx.test",
+             "User-agent: a\n\n# gap\nUser-agent: b\nDisallow: /x\n"
+             "\nUser-agent: c\nAllow: /y\n")
+        )
+        df = spark.createDataFrame(rows, "host string, robots_txt string")
+        got = sorted(tuple(x) for x in pipeline.parse_robots(df).collect())
+        want = []
+        for host, txt in rows:
+            agents: list[str] = []
+            prev_was_ua = False
+            for line in txt.split("\n"):
+                line = line.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue  # blanks/comments are grouping-insignificant
+                d, _, v = line.partition(":")
+                d, v = d.strip().lower(), v.strip()
+                if d == "user-agent":
+                    if not prev_was_ua:
+                        agents = []
+                    agents.append(v)
+                    prev_was_ua = True
+                else:
+                    if d in ("allow", "disallow") and v and agents:
+                        for a in sorted(set(agents)):
+                            want.append((host, a, d, v))
+                    prev_was_ua = False
+        assert got == sorted(want), (got[:5], sorted(want)[:5])
+        assert ("rbx.test", "a", "disallow", "/x") in want  # group not split
+        assert ("rbx.test", "c", "disallow", "/x") not in want  # rules end it
