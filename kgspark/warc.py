@@ -210,18 +210,34 @@ def plan_revisits(prior_index: DataFrame, new_records: DataFrame) -> DataFrame:
     )
 
 
-def warc_pages(files: DataFrame) -> DataFrame:
+def warc_pages(
+    files: DataFrame, only_ok: bool = True, html_only: bool = True
+) -> DataFrame:
     """Response records → the engine's pages input shape
     ``(url, warc_ts timestamp, html binary)`` — the WARC-side entry to the
-    extraction pipeline; downstream stages are unchanged."""
-    return (
-        warc_records(files)
-        .filter((F.col("warc_type") == "response") & F.col("error").isNull())
-        .select(
-            "url",
-            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
-            "html",
+    extraction pipeline; downstream stages are unchanged.
+
+    Real crawls capture EVERY fetch — 404 error pages, 301 redirect
+    stubs, PDFs, images — but only successful HTML belongs in the HTML
+    extractor: ``only_ok`` keeps status-200 responses, ``html_only``
+    keeps declared ``text/html`` (or undeclared) content types.  The CDX
+    index intentionally does NOT apply these filters — archives index
+    every capture; it is the *extraction* entry that narrows.
+    """
+    recs = warc_records(files).filter(
+        (F.col("warc_type") == "response") & F.col("error").isNull()
+    )
+    if only_ok:
+        recs = recs.filter(F.col("http_status") == 200)
+    if html_only:
+        recs = recs.filter(
+            F.col("content_type").isNull()
+            | F.col("content_type").startswith("text/html")
         )
+    return recs.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "html",
     )
 
 

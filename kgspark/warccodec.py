@@ -245,9 +245,11 @@ def make_warc(
     for page in pages:
         url, date, html = page[0], page[1], page[2]
         ct = page[3] if len(page) > 3 else "text/html; charset=utf-8"
+        status = page[4] if len(page) > 4 else 200
         records.append(
             make_response_record(
-                url, date, html, content_type=ct, chunked=url in chunk_urls
+                url, date, html, status=status, content_type=ct,
+                chunked=url in chunk_urls,
             )
         )
     records.extend(extra_records or [])

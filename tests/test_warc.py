@@ -367,3 +367,29 @@ def test_wat_sidecar_envelope(spark):
         assert http["Entity-Length"] > 0
         assert m["headers"]["warc-refers-to"] == hdr["WARC-Record-ID"]
         assert m["payload_digest"] == warccodec.payload_digest(m["body"])
+
+
+def test_warc_pages_filters_status_and_mime(spark):
+    """Mixed-capture crawl file: 404 error pages, a 301 redirect stub, and
+    a PDF capture are indexed by the CDX (archives keep every capture) but
+    excluded from the extraction entry; opting the filters off restores
+    the raw response view."""
+    pages = [
+        ("https://m.test/ok", "2026-01-01T00:00:00Z", b"<p>fine.</p>"),
+        ("https://m.test/gone", "2026-01-01T00:00:01Z",
+         b"<p>not found</p>", "text/html; charset=utf-8", 404),
+        ("https://m.test/moved", "2026-01-01T00:00:02Z",
+         b"", "text/html", 301),
+        ("https://m.test/doc.pdf", "2026-01-01T00:00:03Z",
+         b"%PDF-1.4 fake", "application/pdf", 200),
+    ]
+    blob = warccodec.make_warc(pages, gzip_members=True)
+    files = spark.createDataFrame([("mixed.warc.gz", blob)], datagen.WARC_FILES_SCHEMA)
+    assert warc.warc_index(files).count() == 4  # CDX keeps every capture
+    kept = [x["url"] for x in warc.warc_pages(files).collect()]
+    assert kept == ["https://m.test/ok"]
+    raw = warc.warc_pages(files, only_ok=False, html_only=False)
+    assert raw.count() == 4
+    st = {x["url"]: x["http_status"] for x in warc.warc_records(files)
+          .filter(F.col("warc_type") == "response").collect()}
+    assert st["https://m.test/gone"] == 404 and st["https://m.test/moved"] == 301
