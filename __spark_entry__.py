@@ -954,6 +954,28 @@ def _q_warc_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language enrichment for container-ingested docs: the WARC path has
+    no lang column (container carries no table metadata), so the doc
+    table's 'und' tags are filled by the stopword-ratio language-ID
+    operator — lang = detector verdict keyed on the doc's content."""
+    from kgspark import materialize  # noqa: F401  (shape doc only)
+
+    pages = warc.warc_pages(datagen.warc_files(spark)).withColumn(
+        "lang", F.lit("und")
+    )
+    docs = pipeline.build(pages, reuse=False)["docs"]
+    # language_id keys on ids.doc_id(trim(text)); docs.content is already
+    # sanitized+trimmed, so its doc_id is the same key — plain equi-join.
+    lid = textops.language_id(docs, text_col="content").select(
+        F.col("kg_doc_id").alias("doc_id"), "predicted_lang"
+    )
+    return docs.join(lid, "doc_id", "left").select(
+        "url",
+        F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("lang"),
+    )
+
+
 def _q_web_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples lines for the distinct web KG (fixed corpus): IRIs
     minted by form-encoding names under the kg.example base — the
@@ -1322,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,
         "warc_wat_links": _q_warc_wat_links,
         "web_robots_parse": _q_web_robots_parse,
+        "warc_docs_lang": _q_warc_docs_lang,
     }
 
 

@@ -1040,6 +1040,25 @@ def build() -> dict[str, str]:
              ref[1] if ref else None, ref[0] if ref else None)
         )
 
+    # Container-path language enrichment (warc_docs_lang): independent
+    # python restatement of the stopword-ratio detector over the KEEPER
+    # docs (first-wins fold already restated by refimpl); HALF_UP rounding
+    # matches Spark's round().
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .textops import EN_STOPWORDS as _STOPS
+
+    golden_text_by_url = {
+        u: t for u, _ts, _h, t, _l in datagen.web_pages_rows(WEB_N, WEB_SEED)
+    }
+    lang_rows = []
+    for d in g.docs.values():
+        content = golden_text_by_url[d["url"]].replace("\r", "").strip()
+        toks = content.split()
+        ratio = Decimal(sum(t in _STOPS for t in toks)) / Decimal(len(toks))
+        score = ratio.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        lang_rows.append((d["url"], "en" if score >= Decimal("0.05") else "unknown"))
+
     # Robots.txt parse round trip (kgspark.pipeline.parse_robots): the
     # oracle is the GROUND-TRUTH rules table the fixture text renders —
     # any parse drift (group merging, comment leak, pre-group rule kept,
@@ -1158,6 +1177,7 @@ def build() -> dict[str, str]:
              "refers_to_url", "refers_to_date"],
             ["s", "s", "s", "b", "s", "s"],
         ),
+        "warc_docs_lang": _values(lang_rows, ["url", "lang"], ["s", "s"]),
         "web_robots_parse": _values(
             robots_parse_rows,
             ["host", "agent", "rule", "path_prefix"],
