@@ -1087,6 +1087,13 @@ def _q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pii_scan(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + FK grade per document (letter-run words,
+    terminator-run sentences, vowel-group syllables): two regexp
+    projections + one array fold, zero shuffle, zero Python."""
+    return textops.readability(_t(spark, sf_dir, "documents"))
+
+
 def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p90/p99 + extrema per event type."""
     return events.value_quantiles(_t(spark, sf_dir, "events"))
@@ -1287,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": _q_dedup_contamination,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "text_pii_scan": _q_text_pii_scan,
+        "text_readability": _q_text_readability,
         "web_url_dedup": _q_web_url_dedup,
         "web_c4_clean": _q_web_c4_clean,
         "graph_pagerank": _q_graph_pagerank,

@@ -1256,6 +1256,35 @@ SELECT kg_doc_id,
 FROM tok
 """.strip()
 
+    # Readability (kgspark.textops.readability): independent restatement of
+    # the letter-run / terminator-run / vowel-group proxies; both scores are
+    # computed with the same association Spark uses so the doubles are
+    # bit-identical, then rounded to 6.
+    q["text_readability"] = """
+WITH w AS (
+  SELECT 'doc-' || sha256(trim(text)) AS kg_doc_id,
+         regexp_extract_all(text, '[A-Za-z]+') AS words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent
+  FROM documents
+  WHERE length(trim(text)) > 0
+), s AS (
+  SELECT kg_doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(n_sent AS BIGINT) AS n_sentences,
+         CAST(list_aggregate(
+             list_transform(words,
+                 x -> greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))),
+             'sum') AS BIGINT) AS n_syllables
+  FROM w WHERE len(words) > 0
+)
+SELECT kg_doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch_ease,
+       round(0.39 * (n_words * 1.0 / n_sentences)
+             + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) AS fk_grade
+FROM s
+""".strip()
+
     q["dedup_minhash_signatures"] = f"""
 WITH {TOK},
 {_SHINGLES},

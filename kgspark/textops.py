@@ -298,6 +298,63 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability pair used as a corpus-curation signal (too-low
+    ease flags boilerplate/code, too-high flags trivial fragments).
+
+    Deterministic proxies so the oracle can restate them exactly: words
+    are ASCII letter runs, sentences are terminator runs (``[.!?]+``,
+    min 1), syllables are vowel-group counts per word (``[aeiouy]+``,
+    min 1 per word — the standard heuristic).  Both scores are computed
+    from the same integer triple with identical association on both
+    sides, rounded to 6 decimals.
+
+    Pure Catalyst: two ``regexp_extract_all`` projections and one array
+    fold — narrow, zero shuffle, zero Python; per-doc cost is O(bytes)
+    and the plan is scan→project at any corpus size.
+    """
+    words = F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0)
+    n_words = F.size(words).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast(
+            "long"
+        ),
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)).cast(
+                "long"
+            ),
+        ),
+    )
+    syl_per_w = F.col("n_syllables") / F.col("n_words")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        ids.doc_id(F.trim(F.col(text_col))).alias("kg_doc_id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    return base.filter(F.col("n_words") > 0).select(
+        "kg_doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * syl_per_w, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * syl_per_w - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
 def c4_line_clean(
     pages: DataFrame, text_col: str = "text", key_col: str = "url"
 ) -> DataFrame:

@@ -648,6 +648,38 @@ def test_pii_scan_counts_and_redaction(spark):
     assert hit["n_email"] == 1 and hit["n_phone"] == 0
 
 
+def test_readability_hand_counts(spark):
+    """Word/sentence/syllable proxies and both scores vs an independent
+    Python fold over the same deterministic rules."""
+    import hashlib
+    import re as _re
+
+    rows = [
+        (0, "The cat sat. The dog ran!"),
+        (1, "Incomprehensibility notwithstanding, equilibrium persists."),
+        (2, "no terminators at all just words"),  # sentence floor = 1
+        (3, "Rhythm myth gym."),  # y-as-vowel + 1-syllable floor on 'gym'? (has y)
+        (4, "A.B.C? One!? Two..."),  # terminator RUNS, not chars
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["kg_doc_id"]: r for r in textops.readability(docs).collect()}
+    assert len(got) == len(rows)
+    for _, text in rows:
+        words = _re.findall(r"[A-Za-z]+", text)
+        n_s = max(1, len(_re.findall(r"[.!?]+", text)))
+        syl = sum(
+            max(1, len(_re.findall(r"[aeiouy]+", w.lower()))) for w in words
+        )
+        r = got["doc-" + hashlib.sha256(text.strip().encode()).hexdigest()]
+        assert r["n_words"] == len(words)
+        assert r["n_sentences"] == n_s
+        assert r["n_syllables"] == syl
+        wps = len(words) / n_s
+        spw = syl / len(words)
+        assert r["flesch_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+        assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
 def test_contamination_eval_wins_for_duplicate_content(spark):
     text = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
     docs = spark.createDataFrame(

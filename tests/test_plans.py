@@ -86,12 +86,15 @@ def test_exact_dedup_aggregates_without_python(spark):
     assert "HashAggregate" in plan
 
 
-@pytest.mark.parametrize("name", ["text_pii_scan", "web_c4_clean"])
+@pytest.mark.parametrize(
+    "name", ["text_pii_scan", "web_c4_clean", "text_readability"]
+)
 def test_curation_scrubs_are_pure_catalyst_zero_shuffle(spark, name):
-    """text_pii_scan (regex count+redact chain) and web_c4_clean (line-rule
-    HOF filter) are narrow per-row projections: the whole transformation
-    must ride whole-stage codegen — no Python node of any kind and no
-    Exchange (zero shuffle) belong in their plans."""
+    """text_pii_scan (regex count+redact chain), web_c4_clean (line-rule
+    HOF filter), and text_readability (regexp projections + array fold)
+    are narrow per-row projections: the whole transformation must ride
+    whole-stage codegen — no Python node of any kind and no Exchange
+    (zero shuffle) belong in their plans."""
     plan = _plan(spark, name)
     for node in (
         "ArrowEvalPython",
