@@ -850,6 +850,14 @@ def _q_web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.url_quality(datagen.frontier_urls(spark))
 
 
+def _q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §6 URL canonicalization over the messy-URL fixture (fixed —
+    sf_dir unused): scheme/host case, default ports, dot-segments via a
+    bounded regexp fixpoint, fragment drop, query-param sort.  One distinct
+    + one projection, zero Python."""
+    return pipeline.url_normalize(datagen.messy_urls(spark))
+
+
 def _q_web_paragraph_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-page exact paragraph duplication over the raw web corpus
     (pre-dedup — duplicate-content pages share every paragraph): one
@@ -1347,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset_docs": _q_warc_charset_docs,
         "web_sitemap_frontier": _q_web_sitemap_frontier,
         "web_url_quality": _q_web_url_quality,
+        "web_url_normalize": _q_web_url_normalize,
         "web_paragraph_dups": _q_web_paragraph_dups,
         "web_curation_verdict": _q_web_curation_verdict,
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,

@@ -800,6 +800,49 @@ def frontier_urls(spark: SparkSession, seed: int = 31) -> DataFrame:
     return spark.createDataFrame(frontier_urls_rows(seed), "url string")
 
 
+def messy_urls_rows() -> list[tuple[str]]:
+    """URL-canonicalization fixture: one URL per RFC 3986 §6 normalization
+    class the crawl frontier must collapse before dedup — scheme/host case,
+    default ports, dot-segments (chained, nested, leading, trailing),
+    fragments, query-parameter order, bare ``?``, empty paths — plus
+    already-canonical and percent-encoded controls.  No empty path
+    segments (``//``): outside the normalizer's documented profile."""
+    return [
+        (u,)
+        for u in [
+            "HTTPS://Example.TEST/a/b",
+            "https://example.test:443/a",
+            "http://example.test:80/a",
+            "http://example.test:8080/a",
+            "https://example.test",
+            "https://example.test?b=2&a=1",
+            "https://example.test/x/./y",
+            "https://example.test/x/././y/.",
+            "https://example.test/a/b/../c",
+            "https://example.test/a/b/c/../../d",
+            "https://example.test/../a",
+            "https://example.test/a/..",
+            "https://example.test/a/../b/../c",
+            "https://example.test/a/b/#frag",
+            "https://example.test/a?z=9&m=3&a=1#sec",
+            "https://example.test/a?",
+            "https://example.test/a?single=1",
+            "https://example.test/a?b=2&b=1",
+            "HTTP://WWW.Example.TEST:80/./a/../b?q=1#x",
+            "https://example.test/a%2Fb/c",
+            "https://example.test/a/b",
+            "http://mixed.case.test/UPPER/Path",
+            "https://sub.example.test:8443/deep/x/y/z/../../w?k=v&j=u",
+            "https://example.test/.",
+            "https://example.test/..",
+        ]
+    ]
+
+
+def messy_urls(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(messy_urls_rows(), "url string")
+
+
 def warc_files_links(spark: SparkSession, n_pages: int = 150, seed: int = 11) -> DataFrame:
     """The link-corpus (anchor-bearing pages) containerized as two WARC
     files — the WAT-derivation fixture."""

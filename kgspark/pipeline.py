@@ -841,6 +841,76 @@ def url_quality(frontier: DataFrame) -> DataFrame:
     )
 
 
+# Bound on dot-segment nesting depth the normalizer resolves per URL: each
+# fixpoint pass removes at least one level, so 16 passes cover 16-deep
+# ``..`` chains (crawl URLs are depth-capped far below this by url_quality).
+URL_DOT_ITERS = 16
+
+
+def url_normalize(frontier: DataFrame) -> DataFrame:
+    """RFC 3986 §6 syntax-based URL normalization — the canonicalization a
+    crawl frontier applies before dedup, so ``HTTP://Host:80/a/../b#x`` and
+    ``http://host/b`` collapse to one fetch.
+
+    Rules (each a pure-Catalyst rewrite over one projection, zero shuffle):
+    scheme and host lowercased; default ports dropped (http:80, https:443);
+    dot-segments resolved per §5.2.4 via a bounded regexp fixpoint
+    (:data:`URL_DOT_ITERS` passes — each pass strips ``/.`` segments, then
+    collapses one ``/seg/..`` level, then clamps a leading ``/..`` at the
+    root); empty path → ``/``; fragment dropped; query parameters sorted
+    bytewise with empties removed, bare ``?`` dropped.
+
+    Documented profile bounds: percent-encoding is left untouched (no
+    decode/re-encode pass) and empty path segments (``//``) pass through
+    the dot rules unchanged — both are flagged, not silently mangled, by
+    ``changed`` being false for already-canonical URLs.
+    """
+    u = F.col("url")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rawpath = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    p = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    for _ in range(URL_DOT_ITERS):
+        # '.' segments vanish mid-path, leave a trailing '/' at the end
+        # (RFC: "/." → "/"); '..' pops one segment, again keeping the
+        # trailing '/' when it ends the path; a leading '..' clamps at
+        # the root.  Guards keep a '..' segment from popping itself.
+        p = F.regexp_replace(p, r"/\.(?=/)", "")
+        p = F.regexp_replace(p, r"/\.$", "/")
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\.(?=/)", "")
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\.$", "/")
+        p = F.regexp_replace(p, r"^/\.\.(?=/)", "")
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qn = F.array_join(
+        F.array_sort(F.filter(F.split(qraw, "&"), lambda x: x != "")), "&"
+    )
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        p,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    return frontier.select("url").distinct().select(
+        "url",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        norm.alias("norm_url"),
+        (norm != u).alias("changed"),
+    )
+
+
 def parse_robots(robots_txts: DataFrame) -> DataFrame:
     """Raw robots.txt text → the (host, agent, rule, path_prefix) rules
     table :func:`robots_filter` consumes — RFC 9309 line grammar:

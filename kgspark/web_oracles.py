@@ -795,6 +795,60 @@ def build() -> dict[str, str]:
         )
         uq_rows.append((u, host, depth, n_params, ratio, spam_hit, keep))
 
+    # URL normalization (kgspark.pipeline.url_normalize): independent
+    # urllib restatement with the RFC 3986 §5.2.4 remove_dot_segments
+    # algorithm written out imperatively (output-buffer form) — shares no
+    # mechanics with the Spark side's bounded regexp fixpoint.
+    from urllib.parse import urlsplit
+
+    def _rds(path: str) -> str:
+        inp, out = path, []
+        while inp:
+            if inp.startswith("../"):
+                inp = inp[3:]
+            elif inp.startswith("./"):
+                inp = inp[2:]
+            elif inp.startswith("/./"):
+                inp = "/" + inp[3:]
+            elif inp == "/.":
+                inp = "/"
+            elif inp.startswith("/../"):
+                inp = "/" + inp[4:]
+                if out:
+                    out.pop()
+            elif inp == "/..":
+                inp = "/"
+                if out:
+                    out.pop()
+            elif inp in (".", ".."):
+                inp = ""
+            else:
+                i = inp.find("/", 1)
+                if i == -1:
+                    out.append(inp)
+                    inp = ""
+                else:
+                    out.append(inp[:i])
+                    inp = inp[i:]
+        return "".join(out)
+
+    un_rows = []
+    for (u,) in sorted(set(datagen.messy_urls_rows())):
+        s = urlsplit(u)
+        scheme = s.scheme.lower()
+        host = (s.hostname or "").lower()
+        port = s.port
+        default = (scheme == "http" and port == 80) or (
+            scheme == "https" and port == 443
+        )
+        netloc = host + (f":{port}" if port is not None and not default else "")
+        path = _rds(s.path or "/") or "/"
+        params = sorted(x for x in s.query.split("&") if x) if s.query else []
+        norm = f"{scheme}://{netloc}{path}" + (
+            "?" + "&".join(params) if params else ""
+        )
+        un_rows.append((u, scheme, host, norm, norm != u))
+
     # Paragraph duplication (kgspark.textops.paragraph_dups): independent
     # dict fold over the raw generated pages.
     para_pages: dict[str, set] = {}
@@ -1128,6 +1182,11 @@ def build() -> dict[str, str]:
             ["url", "host", "path_depth", "n_query_params",
              "digit_ratio_micro", "spam_token_hit", "keep"],
             ["s", "s", "i", "i", "i", "b", "b"],
+        ),
+        "web_url_normalize": _values(
+            un_rows,
+            ["url", "scheme", "host", "norm_url", "changed"],
+            ["s", "s", "s", "s", "b"],
         ),
         "web_paragraph_dups": _values(
             pd_rows,

@@ -140,3 +140,88 @@ def test_url_quality_boundaries_and_spam(spark):
             assert x["keep"], u
     edge = [x for u, x in out.items() if "edge.test" in u]
     assert len(edge) == 2 and all(x["keep"] for x in edge)
+
+
+def test_url_normalize_dot_segments_match_rfc_algorithm(spark):
+    """The bounded regexp fixpoint must agree with an imperative RFC 3986
+    §5.2.4 remove_dot_segments on 200 seeded random paths (segments drawn
+    from {'a','bb','c0','.', '..'}, depth ≤ 10) — one Spark job, not one
+    per example."""
+    import random
+
+    from kgspark import pipeline
+
+    def rds(path):
+        inp, out = path, []
+        while inp:
+            if inp.startswith("../"):
+                inp = inp[3:]
+            elif inp.startswith("./"):
+                inp = inp[2:]
+            elif inp.startswith("/./"):
+                inp = "/" + inp[3:]
+            elif inp == "/.":
+                inp = "/"
+            elif inp.startswith("/../"):
+                inp = "/" + inp[4:]
+                if out:
+                    out.pop()
+            elif inp == "/..":
+                inp = "/"
+                if out:
+                    out.pop()
+            elif inp in (".", ".."):
+                inp = ""
+            else:
+                i = inp.find("/", 1)
+                if i == -1:
+                    out.append(inp)
+                    inp = ""
+                else:
+                    out.append(inp[:i])
+                    inp = inp[i:]
+        return "".join(out)
+
+    r = random.Random(77)
+    paths = [
+        "/" + "/".join(
+            r.choice(["a", "bb", "c0", ".", ".."])
+            for _ in range(1 + r.randrange(10))
+        )
+        for _ in range(200)
+    ]
+    urls = [f"https://h.test{p}" for p in paths]
+    got = {
+        x["url"]: x["norm_url"]
+        for x in pipeline.url_normalize(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        ).collect()
+    }
+    for p, u in zip(paths, urls):
+        want = "https://h.test" + (rds(p) or "/")
+        assert got[u] == want, (p, got[u], want)
+
+
+def test_url_normalize_classes(spark):
+    """One assertion per normalization class over the fixture."""
+    from kgspark import datagen, pipeline
+
+    out = {
+        x["url"]: x
+        for x in pipeline.url_normalize(datagen.messy_urls(spark)).collect()
+    }
+    n = {u: x["norm_url"] for u, x in out.items()}
+    assert n["HTTPS://Example.TEST/a/b"] == "https://example.test/a/b"
+    assert n["https://example.test:443/a"] == "https://example.test/a"
+    assert n["http://example.test:8080/a"] == "http://example.test:8080/a"
+    assert n["https://example.test"] == "https://example.test/"
+    assert n["https://example.test/a/b/#frag"] == "https://example.test/a/b/"
+    assert (
+        n["https://example.test/a?z=9&m=3&a=1#sec"]
+        == "https://example.test/a?a=1&m=3&z=9"
+    )
+    assert n["https://example.test/a?"] == "https://example.test/a"
+    assert n["https://example.test/../a"] == "https://example.test/a"
+    assert n["https://example.test/a%2Fb/c"] == "https://example.test/a%2Fb/c"
+    assert not out["https://example.test/a/b"]["changed"]
+    assert out["https://example.test:443/a"]["changed"]
