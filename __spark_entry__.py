@@ -858,6 +858,13 @@ def _q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.url_normalize(datagen.messy_urls(spark))
 
 
+def _q_web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped line-frequency boilerplate removal over the host-pages
+    fixture (fixed — sf_dir unused): document-frequency per (host, line),
+    integer 30%-of-host-pages rule, byte-exact rebuild pinned by sha."""
+    return textops.boilerplate_strip(datagen.host_pages(spark))
+
+
 def _q_web_paragraph_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-page exact paragraph duplication over the raw web corpus
     (pre-dedup — duplicate-content pages share every paragraph): one
@@ -1357,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_quality": _q_web_url_quality,
         "web_url_normalize": _q_web_url_normalize,
         "web_paragraph_dups": _q_web_paragraph_dups,
+        "web_boilerplate_strip": _q_web_boilerplate_strip,
         "web_curation_verdict": _q_web_curation_verdict,
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,
         "warc_wat_links": _q_warc_wat_links,

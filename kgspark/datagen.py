@@ -843,6 +843,53 @@ def messy_urls(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(messy_urls_rows(), "url string")
 
 
+def host_pages_rows() -> list[tuple[str, str]]:
+    """Boilerplate-strip fixture: pages grouped by host with planted
+    repeated lines at every decision boundary — site-wide nav/footer
+    (boilerplate), a line on 2 of 7 host pages (fails the 30% ratio
+    gate), a 3-of-5 nav (passes), a single-page promo (fails the n>=2
+    floor), a 2-of-3 and 3-of-3 footer (floor boundary), a line repeated
+    twice WITHIN one page (n_pages=1, never boilerplate), a line shared
+    across hosts one page each (host-scoped, never boilerplate), and a
+    page left EMPTY after stripping."""
+    rows: list[tuple[str, str]] = []
+    nav = "Home | About | Contact"
+    foot = "(c) example press"
+    for i in range(6):
+        body = [nav, f"A story {i} begins.", f"Alpha body {i}.", foot]
+        if i < 2:
+            body.insert(2, "A twice line")  # 2 of 7 a.test pages: 28.6% < 30%
+        rows.append((f"https://a.test/p{i}", "\n".join(body)))
+    rows.append(
+        ("https://a.test/x", "Cross-host shared line\nA extra page body.")
+    )
+    nav2 = "B-Nav: news sports weather"
+    for i in range(4):
+        ls = [f"B headline {i}."]
+        if i < 3:
+            ls.insert(0, nav2)  # 3 of 5 b.test pages: 60%
+        if i == 2:
+            ls.append("One-off promo banner")  # 1 page: below the floor
+        rows.append((f"https://b.test/p{i}", "\n".join(ls)))
+    rows.append(
+        ("https://b.test/x", "Cross-host shared line\nB extra page body.")
+    )
+    for i in range(2):
+        rows.append((f"https://c.test/p{i}", f"C article {i}.\nC shared footer"))
+    rows.append(("https://c.test/p2", "C shared footer"))  # empty after strip
+    rows.append(
+        (
+            "https://d.test/p0",
+            "D repeated line\nD unique middle.\nD repeated line",
+        )
+    )
+    return rows
+
+
+def host_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(host_pages_rows(), "url string, text string")
+
+
 def warc_files_links(spark: SparkSession, n_pages: int = 150, seed: int = 11) -> DataFrame:
     """The link-corpus (anchor-bearing pages) containerized as two WARC
     files — the WAT-derivation fixture."""

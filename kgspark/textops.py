@@ -2052,6 +2052,76 @@ def paragraph_dups(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Boilerplate rule thresholds: a line is host-boilerplate when it appears
+# on >= BOILER_MIN_PAGES distinct pages of the host AND on >= 30% of the
+# host's pages (integer form: 10*n_pages_with_line >= 3*host_pages — the
+# CCNet-style document-frequency rule, host-scoped).
+BOILER_MIN_PAGES = 2
+BOILER_RATIO_NUM = 3
+BOILER_RATIO_DEN = 10
+
+
+def boilerplate_strip(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Host-scoped line-frequency boilerplate removal (the CCNet/trafilatura
+    signal): nav bars and footers repeat on most pages of a SITE, so a
+    trimmed nonempty line is boilerplate for its host when it appears on
+    >= 2 distinct pages and >= 30% of the host's pages (integer-exact
+    ratio, never a float).  Host scope matters: a syndicated line on one
+    page each of two hosts is content, not chrome.
+
+    Emits one row per page — line counts, instances removed, and the
+    rebuilt page (kept lines, original order) pinned by ``cleaned_sha256``
+    so the oracle verifies the byte-exact rewrite without the query
+    shipping a corpus-sized text column.
+
+    Plan: posexplode → one (host, line) hash aggregate (distinct-page
+    counts), one host aggregate (page counts, broadcast-sized — O(hosts)
+    rows at any corpus), join back, one per-url fold rebuilding the page.
+    The only corpus-sized shuffles are the line-key aggregate and the
+    per-url rebuild; both carry one row per line instance, map-side
+    combined.  At 100 TB the line key would be sha-collapsed; same shape.
+    """
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    exploded = (
+        pages.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            "url",
+            host.alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .select("url", "host", "pos", F.trim(F.col("line")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    line_stats = exploded.groupBy("host", "line").agg(
+        F.countDistinct("url").alias("_line_pages")
+    )
+    host_stats = exploded.groupBy("host").agg(
+        F.countDistinct("url").alias("_host_pages")
+    )
+    boiler = (F.col("_line_pages") >= BOILER_MIN_PAGES) & (
+        F.col("_line_pages") * BOILER_RATIO_DEN
+        >= F.col("_host_pages") * BOILER_RATIO_NUM
+    )
+    marked = (
+        exploded.join(line_stats, ["host", "line"])
+        .join(F.broadcast(host_stats), "host")
+        .select("url", "host", "pos", "line", boiler.alias("is_boiler"))
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "is_boiler", "line"))),
+        lambda s: ~s.is_boiler,
+    )
+    return marked.groupBy("url", "host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).cast("long").alias(
+            "n_boiler_lines"
+        ),
+        F.sha2(
+            F.array_join(F.transform(kept, lambda s: s.line), "\n"), 256
+        ).alias("cleaned_sha256"),
+    )
+
+
 def curation_verdict(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Page-level curation verdict — the filter stack's END PRODUCT: one
     row per page with the per-signal flags and the final keep decision a

@@ -849,6 +849,39 @@ def build() -> dict[str, str]:
         )
         un_rows.append((u, scheme, host, norm, norm != u))
 
+    # Boilerplate strip (kgspark.textops.boilerplate_strip): independent
+    # two-pass dict fold over the host-pages fixture — document-frequency
+    # per (host, line), then per-page rebuild under the same integer
+    # ratio rule.
+    bp_pages = datagen.host_pages_rows()
+    bp_host_pages: dict[str, set] = {}
+    bp_line_pages: dict[tuple, set] = {}
+    for url, text in bp_pages:
+        host = (urlsplit(url).hostname or "").lower()
+        bp_host_pages.setdefault(host, set()).add(url)
+        for ln in {l.strip() for l in text.split("\n") if l.strip()}:
+            bp_line_pages.setdefault((host, ln), set()).add(url)
+    bp_rows = []
+    for url, text in bp_pages:
+        host = (urlsplit(url).hostname or "").lower()
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        hp = len(bp_host_pages[host])
+
+        def _is_boiler(ln: str, _host=host, _hp=hp) -> bool:
+            n = len(bp_line_pages[(_host, ln)])
+            return n >= 2 and 10 * n >= 3 * _hp
+
+        kept = [ln for ln in lines if not _is_boiler(ln)]
+        bp_rows.append(
+            (
+                url,
+                host,
+                len(lines),
+                sum(1 for ln in lines if _is_boiler(ln)),
+                hashlib.sha256("\n".join(kept).encode("utf-8")).hexdigest(),
+            )
+        )
+
     # Paragraph duplication (kgspark.textops.paragraph_dups): independent
     # dict fold over the raw generated pages.
     para_pages: dict[str, set] = {}
@@ -1187,6 +1220,11 @@ def build() -> dict[str, str]:
             un_rows,
             ["url", "scheme", "host", "norm_url", "changed"],
             ["s", "s", "s", "s", "b"],
+        ),
+        "web_boilerplate_strip": _values(
+            bp_rows,
+            ["url", "host", "n_lines", "n_boiler_lines", "cleaned_sha256"],
+            ["s", "s", "i", "i", "s"],
         ),
         "web_paragraph_dups": _values(
             pd_rows,

@@ -1120,3 +1120,41 @@ def test_anchor_entities_links_and_drops(spark):
         ("IBM", "t.test"): (2, 1),
         ("Acme Corp", "me.test"): (1, 1),
     }
+
+
+def test_boilerplate_strip_boundaries(spark):
+    """Every planted decision boundary in the host-pages fixture: site-wide
+    nav/footer strips, the 30% ratio gate rejects a 2-of-7 line, the n>=2
+    floor rejects a single-page promo, within-page repetition is never
+    boilerplate, host scoping protects cross-host shared lines, and a page
+    can strip to empty (sha of '')."""
+    import hashlib
+
+    from kgspark import datagen, textops
+
+    out = {
+        r["url"]: r
+        for r in textops.boilerplate_strip(datagen.host_pages(spark)).collect()
+    }
+    # a.test/p0: nav + "A story 0 begins." + "A twice line" + body + footer
+    r = out["https://a.test/p0"]
+    assert r["n_lines"] == 5 and r["n_boiler_lines"] == 2  # nav + footer only
+    assert r["cleaned_sha256"] == hashlib.sha256(
+        "A story 0 begins.\nA twice line\nAlpha body 0.".encode()
+    ).hexdigest()
+    # b.test/p2 keeps its one-off promo, loses the 3-of-5 nav
+    r = out["https://b.test/p2"]
+    assert r["n_boiler_lines"] == 1
+    assert r["cleaned_sha256"] == hashlib.sha256(
+        "B headline 2.\nOne-off promo banner".encode()
+    ).hexdigest()
+    # c.test/p2 strips to EMPTY (3-of-3 shared footer)
+    r = out["https://c.test/p2"]
+    assert r["n_lines"] == 1 and r["n_boiler_lines"] == 1
+    assert r["cleaned_sha256"] == hashlib.sha256(b"").hexdigest()
+    # d.test: within-page repetition, single page — nothing strips
+    r = out["https://d.test/p0"]
+    assert r["n_boiler_lines"] == 0 and r["n_lines"] == 3
+    # cross-host shared line survives on both hosts
+    for u in ("https://a.test/x", "https://b.test/x"):
+        assert out[u]["n_boiler_lines"] == 0, u
