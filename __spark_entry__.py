@@ -767,6 +767,13 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keyphrases: integer PageRank over the
+    consecutive-word cooccurrence graph (length/stoplist-filtered letter
+    runs), top-20 by (rank desc, word) via TakeOrderedAndProject."""
+    return textops.keyphrases(_t(spark, sf_dir, "documents"))
+
+
 def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (15 integer fixed-point rounds; restart +
     dangling mass to the 3 lexicographically-smallest seed names) over the
@@ -1313,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": _q_web_url_dedup,
         "web_c4_clean": _q_web_c4_clean,
         "graph_pagerank": _q_graph_pagerank,
+        "text_keyphrases": _q_text_keyphrases,
         # 51+ additions stay AFTER the driver's 50-row evaluation budget so
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,

@@ -270,8 +270,7 @@ GROUP BY name
     # would otherwise expand to a 3^15-node plan ("too many open files" on
     # the re-opened parquet scans).  Materializing makes evaluation linear
     # in the round count — the same property the Spark loop has natively.
-    pr_ctes = [
-        "dm AS MATERIALIZED (SELECT subj, obj FROM d)",
+    pr_body = [
         "pn AS MATERIALIZED (\n"
         "  SELECT name, CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg\n"
         "  FROM (SELECT subj AS name FROM dm UNION SELECT obj FROM dm) nn\n"
@@ -283,18 +282,18 @@ GROUP BY name
     ]
     for i in range(1, PAGERANK_ITERS + 1):
         p = f"r{i - 1}"
-        pr_ctes.append(
+        pr_body.append(
             f"dg{i} AS MATERIALIZED (\n"
             f"  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang\n"
             f"  FROM {p} WHERE out_deg = 0)"
         )
-        pr_ctes.append(
+        pr_body.append(
             f"fl{i} AS MATERIALIZED (SELECT dm.obj AS name,\n"
             f"    CAST(sum(r.rank // r.out_deg) AS BIGINT) AS inflow\n"
             f"  FROM dm JOIN {p} r ON dm.subj = r.name\n"
             f"  WHERE r.out_deg > 0 GROUP BY dm.obj)"
         )
-        pr_ctes.append(
+        pr_body.append(
             f"r{i} AS MATERIALIZED (SELECT pn.name, pn.out_deg,\n"
             f"    (SELECT (15 * {PAGERANK_SCALE}) // (100 * n) FROM pc)\n"
             f"    + (85 * (coalesce(fl{i}.inflow, 0)\n"
@@ -302,11 +301,47 @@ GROUP BY name
             f"      // 100 AS rank\n"
             f"  FROM pn LEFT JOIN fl{i} USING (name))"
         )
+
+    def _pr_chain(dm_sql: str) -> str:
+        """The shared unroll (dm -> pn/pc/r0 -> dg/fl/r per round),
+        parameterized only by the edge-pair source: the word-graph oracle
+        (text_keyphrases) reuses byte-identical round arithmetic."""
+        return ",\n".join([f"dm AS MATERIALIZED ({dm_sql})"] + pr_body)
+
     q["graph_pagerank"] = (
         f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
-        + ",\n".join(pr_ctes)
+        + _pr_chain("SELECT subj, obj FROM d")
         + f"\nSELECT name, CAST(rank AS BIGINT) AS pagerank"
         f" FROM r{PAGERANK_ITERS}"
+    )
+
+    # TextRank keyphrases (kgspark.textops.keyphrases): word-adjacency pair
+    # derivation in SQL (letter runs, length/stoplist filter, consecutive
+    # pairs via unnest(range), undirected via UNION), then the SAME unroll.
+    from .textops import KEYPHRASE_MIN_LEN, KEYPHRASE_STOPWORDS, KEYPHRASE_TOP_K
+
+    stop_sql = ", ".join(f"'{w}'" for w in KEYPHRASE_STOPWORDS)
+    kw_prefix = (
+        "kw AS MATERIALIZED (\n"
+        "  SELECT list_filter(regexp_extract_all(lower(text), '[a-z]+'),\n"
+        f"             x -> length(x) >= {KEYPHRASE_MIN_LEN}"
+        f" AND x NOT IN ({stop_sql})) AS ws\n"
+        "  FROM documents WHERE length(trim(text)) > 0\n)",
+        "kpr AS MATERIALIZED (SELECT ws, unnest(range(1, len(ws))) AS i\n"
+        "  FROM kw WHERE len(ws) >= 2)",
+        "kpd AS MATERIALIZED (SELECT DISTINCT ws[i] AS subj, ws[i + 1] AS obj\n"
+        "  FROM kpr WHERE ws[i] <> ws[i + 1])",
+        "kpu AS MATERIALIZED (SELECT subj, obj FROM kpd\n"
+        "  UNION SELECT obj, subj FROM kpd)",
+    )
+    q["text_keyphrases"] = (
+        "WITH "
+        + ",\n".join(kw_prefix)
+        + ",\n"
+        + _pr_chain("SELECT subj, obj FROM kpu")
+        + f"\nSELECT name AS word, CAST(rank AS BIGINT) AS pagerank"
+        f" FROM r{PAGERANK_ITERS}"
+        f" ORDER BY pagerank DESC, word LIMIT {KEYPHRASE_TOP_K}"
     )
 
     # Personalized PageRank (kgspark.graph.personalized_pagerank): same

@@ -2052,6 +2052,63 @@ def paragraph_dups(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# TextRank keyphrase extraction: candidate words are lowercased letter runs
+# of length >= KEYPHRASE_MIN_LEN minus the function-word stoplist; the graph
+# is adjacency between consecutive kept words (undirected — both directions
+# emitted), ranked by the same integer fixed-point PageRank the graph layer
+# uses (bit-exact, so the value hash is well-defined).
+KEYPHRASE_MIN_LEN = 4
+KEYPHRASE_TOP_K = 20
+KEYPHRASE_STOPWORDS = [
+    "that", "with", "this", "from", "have", "were", "their", "they",
+    "been", "which",
+]
+
+
+def keyphrases(
+    docs: DataFrame, text_col: str = "text", k: int = KEYPHRASE_TOP_K
+) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau 2004, the word-graph half):
+    rank vocabulary words by integer PageRank over the consecutive-word
+    cooccurrence graph, return the top ``k`` by (rank desc, word asc).
+
+    Plan: one narrow token projection, one explode + distinct building the
+    undirected pair set (the only corpus-sized shuffle), then the shared
+    :func:`kgspark.graph.pagerank` loop — per-round cost is O(vocab +
+    distinct pairs), NOT corpus size, because the pair set is distinct
+    before iterating.  The final top-k compiles to TakeOrderedAndProject.
+    """
+    from . import graph as _graph
+
+    toks = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0),
+        lambda x: (F.length(x) >= KEYPHRASE_MIN_LEN)
+        & ~x.isin(*KEYPHRASE_STOPWORDS),
+    )
+    ws = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(toks.alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    zipped = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("a"),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("b"),
+    )
+    kp = (
+        ws.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.a").alias("subj"), F.col("p.b").alias("obj"))
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    und = kp.union(kp.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+    pr = _graph.pagerank(und)
+    return (
+        pr.select(F.col("name").alias("word"), "pagerank")
+        .orderBy(F.col("pagerank").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
 # Boilerplate rule thresholds: a line is host-boilerplate when it appears
 # on >= BOILER_MIN_PAGES distinct pages of the host AND on >= 30% of the
 # host's pages (integer form: 10*n_pages_with_line >= 3*host_pages — the

@@ -1158,3 +1158,23 @@ def test_boilerplate_strip_boundaries(spark):
     # cross-host shared line survives on both hosts
     for u in ("https://a.test/x", "https://b.test/x"):
         assert out[u]["n_boiler_lines"] == 0, u
+
+
+def test_keyphrases_hub_word_ranks_first(spark):
+    """A hub word adjacent to many distinct words must outrank leaf words;
+    short words and stoplist words never appear as candidates."""
+    docs = spark.createDataFrame(
+        [
+            (0, "engine alpha engine beta engine gamma engine delta"),
+            (1, "alpha this beta is it engine omega"),  # stop/short words drop
+            (2, "solo"),  # single kept token -> contributes no edges
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.keyphrases(docs, k=10).collect()
+    words = [r["word"] for r in out]
+    assert words[0] == "engine"
+    assert "this" not in words and "is" not in words and "it" not in words
+    assert "solo" not in words  # never entered the graph
+    ranks = [r["pagerank"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
