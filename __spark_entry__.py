@@ -865,6 +865,15 @@ def _q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.url_normalize(datagen.messy_urls(spark))
 
 
+def _q_web_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page text-to-HTML density + tag counts over the raw web corpus:
+    one binary decode, three regexp_count projections, integer micro
+    ratio — narrow, zero shuffle, zero Python."""
+    return pipeline.text_density(
+        datagen.web_pages(spark, web_oracles.WEB_N, web_oracles.WEB_SEED)
+    )
+
+
 def _q_web_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-scoped line-frequency boilerplate removal over the host-pages
     fixture (fixed — sf_dir unused): document-frequency per (host, line),
@@ -1373,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": _q_web_url_normalize,
         "web_paragraph_dups": _q_web_paragraph_dups,
         "web_boilerplate_strip": _q_web_boilerplate_strip,
+        "web_text_density": _q_web_text_density,
         "web_curation_verdict": _q_web_curation_verdict,
         "warc_wet_roundtrip": _q_warc_wet_roundtrip,
         "warc_wat_links": _q_warc_wat_links,

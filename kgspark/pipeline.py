@@ -583,6 +583,38 @@ def domain_stats(web_pages: DataFrame) -> DataFrame:
     )
 
 
+def text_density(web_pages: DataFrame) -> DataFrame:
+    """Extraction-quality signal per page: how much of the raw HTML
+    survives as text (boilerplate-heavy chrome pages score low, article
+    pages high — the classic text-density screen), plus tag-population
+    counts (anchors, paragraphs, scripts) from the same single decode.
+
+    Integer density (``text_chars * 1e6 DIV html_bytes``, never a float)
+    so the verdict-grade signal is engine-exact.  Pure Catalyst: one
+    binary→string decode feeding three ``regexp_count`` projections —
+    narrow, zero shuffle, zero Python; rides the scan at any corpus size.
+    """
+    h = F.col("html").cast("string")
+    html_bytes = F.length(F.col("html")).cast("long")
+    text_chars = F.length("text").cast("long")
+    return web_pages.filter(html_bytes > 0).select(
+        "url",
+        html_bytes.alias("html_bytes"),
+        text_chars.alias("text_chars"),
+        F.expr(
+            "CAST(length(text) AS BIGINT) * 1000000"
+            " DIV CAST(length(html) AS BIGINT)"
+        ).alias("density_micro"),
+        F.regexp_count(h, F.lit("<a[ >]")).cast("long").alias("n_anchor_tags"),
+        F.regexp_count(h, F.lit("<p[ >]")).cast("long").alias(
+            "n_paragraph_tags"
+        ),
+        F.regexp_count(h, F.lit("<script[ >]")).cast("long").alias(
+            "n_script_tags"
+        ),
+    )
+
+
 ROBOTS_AGENT = "kgbot"
 
 

@@ -849,6 +849,28 @@ def build() -> dict[str, str]:
         )
         un_rows.append((u, scheme, host, norm, norm != u))
 
+    # Text density (kgspark.pipeline.text_density): independent Python
+    # fold over the generated pages — byte lengths from the raw encoded
+    # html, tag counts via re over the decoded text, integer micro ratio.
+    import re as _re
+
+    td_rows = []
+    for url, _ts, html_b, text, _lang in datagen.web_pages_rows(WEB_N, WEB_SEED):
+        if not html_b:
+            continue
+        h = html_b.decode("utf-8")
+        td_rows.append(
+            (
+                url,
+                len(html_b),
+                len(text),
+                len(text) * 1_000_000 // len(html_b),
+                len(_re.findall(r"<a[ >]", h)),
+                len(_re.findall(r"<p[ >]", h)),
+                len(_re.findall(r"<script[ >]", h)),
+            )
+        )
+
     # Boilerplate strip (kgspark.textops.boilerplate_strip): independent
     # two-pass dict fold over the host-pages fixture — document-frequency
     # per (host, line), then per-page rebuild under the same integer
@@ -1220,6 +1242,12 @@ def build() -> dict[str, str]:
             un_rows,
             ["url", "scheme", "host", "norm_url", "changed"],
             ["s", "s", "s", "s", "b"],
+        ),
+        "web_text_density": _values(
+            td_rows,
+            ["url", "html_bytes", "text_chars", "density_micro",
+             "n_anchor_tags", "n_paragraph_tags", "n_script_tags"],
+            ["s", "i", "i", "i", "i", "i", "i"],
         ),
         "web_boilerplate_strip": _values(
             bp_rows,

@@ -87,7 +87,8 @@ def test_exact_dedup_aggregates_without_python(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["text_pii_scan", "web_c4_clean", "text_readability"]
+    "name",
+    ["text_pii_scan", "web_c4_clean", "text_readability", "web_text_density"],
 )
 def test_curation_scrubs_are_pure_catalyst_zero_shuffle(spark, name):
     """text_pii_scan (regex count+redact chain), web_c4_clean (line-rule
