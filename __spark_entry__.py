@@ -767,6 +767,15 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source stress centrality (integer Brandes two-sweep:
+    forward σ BFS + backward ψ DAG accumulation, 8 lexicographic sources,
+    depth cap 8) over the documents-corpus undirected name graph."""
+    return graph.stress_centrality(
+        extraction.triples(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level TextRank keyphrases: integer PageRank over the
     consecutive-word cooccurrence graph (length/stoplist-filtered letter
@@ -1330,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_c4_clean": _q_web_c4_clean,
         "graph_pagerank": _q_graph_pagerank,
         "text_keyphrases": _q_text_keyphrases,
+        "graph_stress_centrality": _q_graph_stress_centrality,
         # 51+ additions stay AFTER the driver's 50-row evaluation budget so
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,

@@ -652,6 +652,126 @@ def harmonic_closeness(
     )
 
 
+STRESS_SOURCES = 8
+STRESS_MAX_DEPTH = 8
+
+
+def stress_centrality(
+    triples: DataFrame,
+    n_sources: int = STRESS_SOURCES,
+    max_depth: int = STRESS_MAX_DEPTH,
+) -> DataFrame:
+    """Sampled-source stress centrality (Shimbel 1953) — the integer-exact
+    member of the betweenness family: ``stress(v)`` = number of shortest
+    source→target paths with ``v`` strictly interior, summed over ordered
+    pairs whose source is one of the ``n_sources`` lexicographically
+    smallest names (the harmonic_closeness sampling rule).  Classic
+    betweenness divides each pair's count by σ_st — a float whose
+    distributed sum order is nondeterministic; stress keeps the identical
+    Brandes two-sweep structure in pure 64-bit counts, so the value hash
+    is well-defined and the oracle can unroll the recurrence exactly.
+
+    Brandes (2001) shape: a forward level-synchronous multi-source BFS
+    accumulating path counts σ(s,v) (one adjacency join + one visited
+    anti-join + one (src, node) hash aggregate per level), then a backward
+    sweep down the BFS DAG accumulating ψ(s,v) = Σ_{w∈succ(v)}(1 + ψ(s,w))
+    — succ(v) = neighbors one level deeper in the same source's BFS — with
+    the source-s contribution through v being σ(s,v)·ψ(s,v).  State is
+    O(K·n) for K sources, 2·diameter rounds (capped ``max_depth``),
+    lineage truncated per round — the bfs_paths loop discipline.  At web
+    scale K is the knob: exact-all-sources is O(n·m) (Brandes' bound) and
+    never the plan; sampling bounds state and rounds independently of
+    corpus size.
+    """
+    e = name_edges(triples)
+    adj = (
+        e.select(F.col("a").alias("name"), F.col("b").alias("nb"))
+        .union(e.select(F.col("b").alias("name"), F.col("a").alias("nb")))
+        .persist()
+    )
+    nodes = adj.select("name").distinct().persist()
+    sources = nodes.orderBy("name").limit(n_sources).select(
+        F.col("name").alias("src")
+    )
+    cur = truncate_lineage(
+        sources.select(
+            "src",
+            F.col("src").alias("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    ).persist()
+    levels = [cur]
+    settled = cur.select("src", "node").persist()
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1]
+            .join(adj, levels[-1]["node"] == adj["name"])
+            .select("src", F.col("nb").alias("node"), "sigma")
+            .join(settled, ["src", "node"], "left_anti")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        nxt = truncate_lineage(nxt).persist()
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        settled = truncate_lineage(
+            settled.union(nxt.select("src", "node"))
+        ).persist()
+    psis = [
+        levels[-1].select("src", "node", F.lit(0).cast("long").alias("psi"))
+    ]
+    for lv in range(len(levels) - 2, -1, -1):
+        succ = (
+            levels[lv]
+            .select("src", "node")
+            .join(adj, F.col("node") == adj["name"])
+            .select("src", "node", F.col("nb").alias("w"))
+        )
+        contrib = (
+            succ.join(
+                psis[-1].select(
+                    "src", F.col("node").alias("w"), F.col("psi").alias("wpsi")
+                ),
+                ["src", "w"],
+            )
+            .groupBy("src", "node")
+            .agg(F.sum(F.lit(1) + F.col("wpsi")).cast("long").alias("psi"))
+        )
+        psi_l = (
+            levels[lv]
+            .select("src", "node")
+            .join(contrib, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                F.coalesce("psi", F.lit(0)).cast("long").alias("psi"),
+            )
+        )
+        psis.append(truncate_lineage(psi_l).persist())
+    frames = [
+        lvl.join(psi, ["src", "node"]).select("src", "node", "sigma", "psi")
+        for lvl, psi in zip(reversed(levels), psis)
+    ]
+    allf = frames[0]
+    for fr in frames[1:]:
+        allf = allf.union(fr)
+    stress = (
+        allf.filter(F.col("node") != F.col("src"))
+        .select("node", (F.col("sigma") * F.col("psi")).alias("c"))
+        .groupBy(F.col("node").alias("name"))
+        .agg(F.sum("c").cast("long").alias("stress"))
+    )
+    out = nodes.join(stress, "name", "left").select(
+        "name", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+    )
+    out = truncate_lineage(out)
+    adj.unpersist()
+    nodes.unpersist()
+    return out
+
+
 KCORE_ITERS = 8
 
 

@@ -315,6 +315,68 @@ GROUP BY name
         f" FROM r{PAGERANK_ITERS}"
     )
 
+    # Stress centrality (kgspark.graph.stress_centrality): the Brandes
+    # two-sweep in pure integers, unrolled per BFS level — forward f{l}
+    # (σ path counts, visited-set anti-join), backward p{l} (ψ successor
+    # accumulation; succ = neighbors one level deeper), contribution
+    # σ·ψ summed over sampled sources.  Same unroll-by-round technique as
+    # the pagerank oracle; every sum CAST AS BIGINT.
+    from .graph import STRESS_MAX_DEPTH, STRESS_SOURCES
+
+    st_ctes = [
+        "und AS MATERIALIZED (SELECT a AS name, b AS nb FROM e\n"
+        "  UNION ALL SELECT b, a FROM e)",
+        "vn AS MATERIALIZED (SELECT DISTINCT name FROM und)",
+        f"src AS MATERIALIZED (SELECT name AS src FROM vn"
+        f" ORDER BY name LIMIT {STRESS_SOURCES})",
+        "f0 AS MATERIALIZED (SELECT src, src AS node,"
+        " CAST(1 AS BIGINT) AS sigma FROM src)",
+        "s0 AS MATERIALIZED (SELECT src, node FROM f0)",
+    ]
+    for i in range(1, STRESS_MAX_DEPTH + 1):
+        st_ctes.append(
+            f"f{i} AS MATERIALIZED (\n"
+            f"  SELECT x.src, x.node, CAST(sum(x.sigma) AS BIGINT) AS sigma\n"
+            f"  FROM (SELECT f.src, u.nb AS node, f.sigma\n"
+            f"        FROM f{i - 1} f JOIN und u ON f.node = u.name) x\n"
+            f"  LEFT JOIN s{i - 1} s ON s.src = x.src AND s.node = x.node\n"
+            f"  WHERE s.src IS NULL GROUP BY x.src, x.node)"
+        )
+        st_ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT src, node FROM s{i - 1}\n"
+            f"  UNION ALL SELECT src, node FROM f{i})"
+        )
+    st_ctes.append(
+        f"p{STRESS_MAX_DEPTH} AS MATERIALIZED (SELECT src, node,"
+        f" CAST(0 AS BIGINT) AS psi FROM f{STRESS_MAX_DEPTH})"
+    )
+    for i in range(STRESS_MAX_DEPTH - 1, -1, -1):
+        st_ctes.append(
+            f"p{i} AS MATERIALIZED (\n"
+            f"  SELECT f.src, f.node,\n"
+            f"         CAST(coalesce(sum(1 + pw.psi), 0) AS BIGINT) AS psi\n"
+            f"  FROM f{i} f JOIN und u ON f.node = u.name\n"
+            f"  LEFT JOIN p{i + 1} pw ON pw.src = f.src AND pw.node = u.nb\n"
+            f"  GROUP BY f.src, f.node)"
+        )
+    st_ctes.append(
+        "allf AS MATERIALIZED (\n"
+        + "\n  UNION ALL\n".join(
+            f"  SELECT f.src, f.node, f.sigma, p.psi\n"
+            f"  FROM f{i} f JOIN p{i} p ON p.src = f.src AND p.node = f.node"
+            for i in range(STRESS_MAX_DEPTH + 1)
+        )
+        + ")"
+    )
+    q["graph_stress_centrality"] = (
+        f"WITH {TOK},\n{_M},\n{_REL},\n{_PAIRS},\n"
+        + ",\n".join(st_ctes)
+        + "\nSELECT vn.name, CAST(coalesce(st.stress, 0) AS BIGINT) AS stress"
+        "\nFROM vn LEFT JOIN ("
+        "\n  SELECT node AS name, CAST(sum(sigma * psi) AS BIGINT) AS stress"
+        "\n  FROM allf WHERE node <> src GROUP BY node) st USING (name)"
+    )
+
     # TextRank keyphrases (kgspark.textops.keyphrases): word-adjacency pair
     # derivation in SQL (letter runs, length/stoplist filter, consecutive
     # pairs via unnest(range), undirected via UNION), then the SAME unroll.

