@@ -767,6 +767,15 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(extraction.triples(_t(spark, sf_dir, "documents")))
 
 
+def _q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality mining (1:1/1:N/N:1/M:N + symmetry
+    micro-ratio) over the documents-corpus triples: hash-aggregate folds
+    plus a pair-keyed symmetry self-join, O(predicates) output."""
+    return ontology.predicate_stats(
+        extraction.triples(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source stress centrality (integer Brandes two-sweep:
     forward σ BFS + backward ψ DAG accumulation, 8 lexicographic sources,
@@ -1340,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "text_keyphrases": _q_text_keyphrases,
         "graph_stress_centrality": _q_graph_stress_centrality,
+        "kg_predicate_stats": _q_kg_predicate_stats,
         # 51+ additions stay AFTER the driver's 50-row evaluation budget so
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,

@@ -122,6 +122,96 @@ def functional_violations(triples: DataFrame) -> DataFrame:
     )
 
 
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile — the ontology-MINING complement
+    of :func:`functional_violations` (which POLICES a declared list): from
+    the data alone, classify every predicate's subject→object mapping as
+    1:1 / 1:N / N:1 / M:N and measure its symmetry, so a curator learns
+    which predicates behave functionally before declaring constraints.
+
+    Per predicate over the distinct (subj, obj) pair set: triple/endpoint
+    counts, max fan-out (objects per subject) and fan-in, the cardinality
+    class, and symmetry — pairs asserted in BOTH directions, with
+    ``symmetry_micro`` = 2·sym_pairs·1e6 DIV directed_pairs (integer,
+    engine-exact; 1e6 means perfectly symmetric).
+
+    Scale shape: everything folds through (pred, subj) / (pred, obj) hash
+    aggregates with map-side partials; the symmetry self-join keys on the
+    full (pred, pair) — candidate volume is the predicate's own pair
+    count, never corpus².  Output is O(predicates) rows.
+    """
+    t = triples.select("pred", "subj", "obj").distinct()
+    base = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+    )
+    fo = (
+        t.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("pred")
+        .agg(F.max("n").cast("long").alias("max_fanout"))
+    )
+    fi = (
+        t.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("pred")
+        .agg(F.max("n").cast("long").alias("max_fanin"))
+    )
+    pr = t.filter(F.col("subj") != F.col("obj"))
+    np_ = pr.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    sym = (
+        pr.alias("x")
+        .join(
+            pr.alias("y"),
+            (F.col("x.pred") == F.col("y.pred"))
+            & (F.col("x.subj") == F.col("y.obj"))
+            & (F.col("x.obj") == F.col("y.subj"))
+            & (F.col("x.subj") < F.col("x.obj")),
+        )
+        .groupBy(F.col("x.pred").alias("pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sym"))
+    )
+    out = (
+        base.join(fo, "pred")
+        .join(fi, "pred")
+        .join(np_, "pred", "left")
+        .join(sym, "pred", "left")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            "max_fanout",
+            "max_fanin",
+            F.when(
+                (F.col("max_fanout") == 1) & (F.col("max_fanin") == 1), "1:1"
+            )
+            .when(F.col("max_fanin") == 1, "1:N")
+            .when(F.col("max_fanout") == 1, "N:1")
+            .otherwise("M:N")
+            .alias("cardinality"),
+            F.coalesce("n_sym", F.lit(0)).cast("long").alias(
+                "n_symmetric_pairs"
+            ),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("_np"),
+        )
+        .withColumn(
+            "symmetry_micro",
+            F.when(
+                F.col("_np") > 0,
+                F.expr(
+                    "CAST(2 * n_symmetric_pairs * 1000000 DIV _np AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_np")
+    )
+    return out
+
+
 def triple_support(triples: DataFrame) -> DataFrame:
     """Knowledge-fusion support rollup: how many distinct documents assert
     each (subj, pred, obj) edge, plus the lexicographically-first asserting

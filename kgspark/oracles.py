@@ -377,6 +377,51 @@ GROUP BY name
         "\n  FROM allf WHERE node <> src GROUP BY node) st USING (name)"
     )
 
+    # Predicate cardinality profile (kgspark.ontology.predicate_stats):
+    # plain SQL aggregates over the distinct triple set; the symmetry
+    # self-join and the integer micro ratio restated directly.
+    q["kg_predicate_stats"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+tt AS (SELECT DISTINCT subj, predicate AS pred, obj FROM rel2),
+base AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+  FROM tt GROUP BY pred
+),
+fo AS (SELECT pred, CAST(max(n) AS BIGINT) AS max_fanout FROM
+       (SELECT pred, subj, count(*) AS n FROM tt GROUP BY pred, subj)
+       GROUP BY pred),
+fi AS (SELECT pred, CAST(max(n) AS BIGINT) AS max_fanin FROM
+       (SELECT pred, obj, count(*) AS n FROM tt GROUP BY pred, obj)
+       GROUP BY pred),
+dp AS (SELECT pred, subj, obj FROM tt WHERE subj <> obj),
+np AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs FROM dp GROUP BY pred),
+sym AS (
+  SELECT x.pred, CAST(count(*) AS BIGINT) AS n_sym
+  FROM dp x JOIN dp y ON x.pred = y.pred AND x.subj = y.obj
+        AND x.obj = y.subj AND x.subj < x.obj
+  GROUP BY x.pred
+)
+SELECT base.pred, n_triples, n_subjects, n_objects,
+       fo.max_fanout, fi.max_fanin,
+       CASE WHEN fo.max_fanout = 1 AND fi.max_fanin = 1 THEN '1:1'
+            WHEN fi.max_fanin = 1 THEN '1:N'
+            WHEN fo.max_fanout = 1 THEN 'N:1'
+            ELSE 'M:N' END AS cardinality,
+       CAST(coalesce(sym.n_sym, 0) AS BIGINT) AS n_symmetric_pairs,
+       CAST(CASE WHEN coalesce(np.n_pairs, 0) > 0
+                 THEN 2 * coalesce(sym.n_sym, 0) * 1000000 // np.n_pairs
+                 ELSE 0 END AS BIGINT) AS symmetry_micro
+FROM base
+JOIN fo USING (pred)
+JOIN fi USING (pred)
+LEFT JOIN np USING (pred)
+LEFT JOIN sym USING (pred)
+""".strip()
+
     # TextRank keyphrases (kgspark.textops.keyphrases): word-adjacency pair
     # derivation in SQL (letter runs, length/stoplist filter, consecutive
     # pairs via unnest(range), undirected via UNION), then the SAME unroll.

@@ -310,3 +310,38 @@ def test_temporal_triples_validity_interval(spark):
     assert got[("C", "visited", "D")] == (
         "2025-02-02 00:00:00", "2025-02-02 00:00:00", 1
     )
+
+
+def test_predicate_stats_cardinality_and_symmetry(spark):
+    """Hand-built predicates covering all four cardinality classes, the
+    symmetry ratio, self-loop exclusion, and duplicate-triple collapse."""
+    from kgspark import ontology
+
+    rows = [
+        # p11: bijective a->x, b->y  => 1:1
+        ("a", "p11", "x"), ("b", "p11", "y"),
+        # p1n: a->x, a->y (fanout 2, fanin 1) => 1:N
+        ("a", "p1n", "x"), ("a", "p1n", "y"),
+        # pn1: a->x, b->x (fanout 1, fanin 2) => N:1
+        ("a", "pn1", "x"), ("b", "pn1", "x"),
+        # pmn: a->x, a->y, b->x => M:N; (a,x) also asserted backwards
+        ("a", "pmn", "x"), ("a", "pmn", "y"), ("b", "pmn", "x"),
+        ("x", "pmn", "a"),
+        # duplicate triple must collapse; self-loop excluded from pairs
+        ("a", "p11", "x"), ("s", "ploop", "s"),
+    ]
+    t = spark.createDataFrame(
+        [(s, p, o, "d") for s, p, o in rows], ["subj", "pred", "obj", "doc_id"]
+    )
+    got = {r["pred"]: r for r in ontology.predicate_stats(t).collect()}
+    assert got["p11"]["cardinality"] == "1:1"
+    assert got["p11"]["n_triples"] == 2  # duplicate collapsed
+    assert got["p1n"]["cardinality"] == "1:N"
+    assert got["pn1"]["cardinality"] == "N:1"
+    m = got["pmn"]
+    assert m["cardinality"] == "M:N"
+    assert m["n_symmetric_pairs"] == 1  # {a,x} both ways
+    assert m["symmetry_micro"] == 2 * 1 * 1_000_000 // 4  # 4 directed pairs
+    lo = got["ploop"]
+    assert lo["n_symmetric_pairs"] == 0 and lo["symmetry_micro"] == 0
+    assert lo["cardinality"] == "1:1"
