@@ -212,6 +212,90 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
     return out
 
 
+# Rule mining bounds: candidate predicates are the RULE_TOP_PREDS most
+# frequent (deterministic tiebreak: count desc, pred asc) — the AMIE-style
+# frequency prune that keeps the two-hop body join off the long predicate
+# tail; rules below RULE_MIN_SUPPORT matched head pairs are noise.
+RULE_TOP_PREDS = 20
+RULE_MIN_SUPPORT = 2
+
+
+def rule_mining(
+    triples: DataFrame,
+    top_preds: int = RULE_TOP_PREDS,
+    min_support: int = RULE_MIN_SUPPORT,
+) -> DataFrame:
+    """AMIE-style 2-hop Horn-rule mining (Galárraga et al. 2013, the
+    closed-rule core): for predicate triples (p, q, r), how often does the
+    body path a──p──b──q──c coincide with the head fact a──r──c?
+    ``support`` counts distinct (a, c) pairs satisfying BOTH, ``body_pairs``
+    counts distinct pairs satisfying the body, and ``confidence_micro`` is
+    their integer micro ratio — the standard confidence, engine-exact.
+
+    The body join keys on the shared middle entity; counting DISTINCT
+    (a, c) per (p, q) keeps multiple connecting b's from inflating support
+    (the AMIE pair-support definition).  Predicates are pruned to the
+    ``top_preds`` most frequent before any join — the frequency prune real
+    miners use, and the reason the two-hop candidate volume is bounded by
+    the head of the predicate distribution instead of corpus².  At 100 TB
+    the same plan holds: one frequency aggregate, one broadcast of the
+    tiny predicate list, a middle-entity-keyed self-join, two hash
+    aggregates.
+    """
+    t = (
+        triples.select("subj", "pred", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    top = (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pred"))
+        .limit(top_preds)
+        .select("pred")
+    )
+    tp = t.join(F.broadcast(top), "pred").persist()
+    body = (
+        tp.alias("x")
+        .join(tp.alias("y"), F.col("x.obj") == F.col("y.subj"))
+        .filter(F.col("x.subj") != F.col("y.obj"))
+        .select(
+            F.col("x.pred").alias("body_p"),
+            F.col("y.pred").alias("body_q"),
+            F.col("x.subj").alias("a"),
+            F.col("y.obj").alias("c"),
+        )
+        .distinct()
+    )
+    body_pairs = body.groupBy("body_p", "body_q").agg(
+        F.count(F.lit(1)).cast("long").alias("body_pairs")
+    )
+    matched = (
+        body.join(
+            tp.select(
+                F.col("subj").alias("a"),
+                F.col("pred").alias("head_r"),
+                F.col("obj").alias("c"),
+            ),
+            ["a", "c"],
+        )
+        .groupBy("body_p", "body_q", "head_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = matched.join(body_pairs, ["body_p", "body_q"]).select(
+        "body_p",
+        "body_q",
+        "head_r",
+        "support",
+        "body_pairs",
+        F.expr("CAST(support * 1000000 DIV body_pairs AS BIGINT)").alias(
+            "confidence_micro"
+        ),
+    )
+    return out
+
+
 def triple_support(triples: DataFrame) -> DataFrame:
     """Knowledge-fusion support rollup: how many distinct documents assert
     each (subj, pred, obj) edge, plus the lexicographically-first asserting

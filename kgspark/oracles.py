@@ -422,6 +422,34 @@ LEFT JOIN np USING (pred)
 LEFT JOIN sym USING (pred)
 """.strip()
 
+    # AMIE-style rule mining (kgspark.ontology.rule_mining): frequency-
+    # pruned predicate set, middle-entity body join, DISTINCT pair
+    # support, integer micro confidence — restated as plain SQL joins.
+    from .ontology import RULE_MIN_SUPPORT, RULE_TOP_PREDS
+
+    q["kg_rule_mining"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+tt AS (SELECT DISTINCT subj, predicate AS pred, obj FROM rel2
+       WHERE subj <> obj),
+topp AS (SELECT pred FROM (SELECT pred, count(*) AS n FROM tt GROUP BY pred)
+         ORDER BY n DESC, pred LIMIT {RULE_TOP_PREDS}),
+tp AS (SELECT tt.* FROM tt JOIN topp USING (pred)),
+body AS (SELECT DISTINCT x.pred AS body_p, y.pred AS body_q,
+                x.subj AS a, y.obj AS c
+         FROM tp x JOIN tp y ON x.obj = y.subj WHERE x.subj <> y.obj),
+bp AS (SELECT body_p, body_q, CAST(count(*) AS BIGINT) AS body_pairs
+       FROM body GROUP BY 1, 2),
+rm AS (SELECT body_p, body_q, h.pred AS head_r,
+             CAST(count(*) AS BIGINT) AS support
+      FROM body JOIN tp h ON h.subj = body.a AND h.obj = body.c
+      GROUP BY 1, 2, 3 HAVING count(*) >= {RULE_MIN_SUPPORT})
+SELECT body_p, body_q, head_r, support, body_pairs,
+       CAST(support * 1000000 // body_pairs AS BIGINT) AS confidence_micro
+FROM rm JOIN bp USING (body_p, body_q)
+""".strip()
+
     # TextRank keyphrases (kgspark.textops.keyphrases): word-adjacency pair
     # derivation in SQL (letter runs, length/stoplist filter, consecutive
     # pairs via unnest(range), undirected via UNION), then the SAME unroll.

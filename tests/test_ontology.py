@@ -345,3 +345,35 @@ def test_predicate_stats_cardinality_and_symmetry(spark):
     lo = got["ploop"]
     assert lo["n_symmetric_pairs"] == 0 and lo["symmetry_micro"] == 0
     assert lo["cardinality"] == "1:1"
+
+
+def test_rule_mining_support_and_confidence(spark):
+    """Hand-built KG where marriedTo(a,b) ∧ livesIn(b,c) ⇒ livesIn(a,c)
+    holds for 2 of 3 body pairs: support, body_pairs, confidence, the
+    min-support floor, and DISTINCT pair counting (two middle nodes must
+    not inflate support)."""
+    from kgspark import ontology
+
+    rows = [
+        # body instances of (marriedTo, livesIn)
+        ("a1", "marriedTo", "b1"), ("b1", "livesIn", "rome"),
+        ("a2", "marriedTo", "b2"), ("b2", "livesIn", "oslo"),
+        ("a3", "marriedTo", "b3"), ("b3", "livesIn", "lima"),
+        # head holds for a1 and a2, not a3
+        ("a1", "livesIn", "rome"), ("a2", "livesIn", "oslo"),
+        # a second middle node for the SAME (a1, rome) pair — no inflation
+        ("a1", "marriedTo", "b9"), ("b9", "livesIn", "rome"),
+    ]
+    t = spark.createDataFrame(
+        [(s, p, o, "d") for s, p, o in rows], ["subj", "pred", "obj", "doc_id"]
+    )
+    out = ontology.rule_mining(t, top_preds=5, min_support=2).collect()
+    rules = {(r["body_p"], r["body_q"], r["head_r"]): r for r in out}
+    key = ("marriedTo", "livesIn", "livesIn")
+    assert key in rules
+    r = rules[key]
+    assert r["support"] == 2  # a1/rome counted once despite b1 AND b9
+    assert r["body_pairs"] == 3
+    assert r["confidence_micro"] == 2 * 1_000_000 // 3
+    # nothing else reaches the support floor
+    assert all(k == key for k in rules)
