@@ -835,6 +835,8 @@ def messy_urls_rows() -> list[tuple[str]]:
             "https://sub.example.test:8443/deep/x/y/z/../../w?k=v&j=u",
             "https://example.test/.",
             "https://example.test/..",
+            "https://example.test/a#sec?x=1",
+            "https://example.test/a?q=1#frag?y=2",
         ]
     ]
 
@@ -850,8 +852,9 @@ def host_pages_rows() -> list[tuple[str, str]]:
     gate), a 3-of-5 nav (passes), a single-page promo (fails the n>=2
     floor), a 2-of-3 and 3-of-3 footer (floor boundary), a line repeated
     twice WITHIN one page (n_pages=1, never boilerplate), a line shared
-    across hosts one page each (host-scoped, never boilerplate), and a
-    page left EMPTY after stripping."""
+    across hosts one page each (host-scoped, never boilerplate), a page
+    left EMPTY after stripping, and a whitespace-only page (emits the
+    empty rewrite, not absence)."""
     rows: list[tuple[str, str]] = []
     nav = "Home | About | Contact"
     foot = "(c) example press"
@@ -875,8 +878,15 @@ def host_pages_rows() -> list[tuple[str, str]]:
         ("https://b.test/x", "Cross-host shared line\nB extra page body.")
     )
     for i in range(2):
-        rows.append((f"https://c.test/p{i}", f"C article {i}.\nC shared footer"))
+        # "C promo line" on 2 of 3 c.test pages: the n>=2 floor boundary
+        rows.append(
+            (
+                f"https://c.test/p{i}",
+                f"C article {i}.\nC promo line\nC shared footer",
+            )
+        )
     rows.append(("https://c.test/p2", "C shared footer"))  # empty after strip
+    rows.append(("https://e.test/p0", "   \n   \n"))  # spaces-only page
     rows.append(
         (
             "https://d.test/p0",

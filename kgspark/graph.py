@@ -702,6 +702,7 @@ def stress_centrality(
     ).persist()
     levels = [cur]
     settled = cur.select("src", "node").persist()
+    _pinned = [cur, settled]  # every persisted frame, released before return
     for _ in range(max_depth):
         nxt = (
             levels[-1]
@@ -719,6 +720,7 @@ def stress_centrality(
         settled = truncate_lineage(
             settled.union(nxt.select("src", "node"))
         ).persist()
+        _pinned.extend([nxt, settled])
     psis = [
         levels[-1].select("src", "node", F.lit(0).cast("long").alias("psi"))
     ]
@@ -750,6 +752,7 @@ def stress_centrality(
             )
         )
         psis.append(truncate_lineage(psi_l).persist())
+        _pinned.append(psis[-1])
     frames = [
         lvl.join(psi, ["src", "node"]).select("src", "node", "sigma", "psi")
         for lvl, psi in zip(reversed(levels), psis)
@@ -766,9 +769,11 @@ def stress_centrality(
     out = nodes.join(stress, "name", "left").select(
         "name", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
     )
-    out = truncate_lineage(out)
+    out = truncate_lineage(out)  # materializes — safe to release everything
     adj.unpersist()
     nodes.unpersist()
+    for fr in _pinned:
+        fr.unpersist()
     return out
 
 

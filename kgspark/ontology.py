@@ -293,6 +293,13 @@ def rule_mining(
             "confidence_micro"
         ),
     )
+    # materialize the (small, O(top_preds³)-bounded) result so the
+    # corpus-sized pruned triple cache can be released before returning
+    # (review catch: tp otherwise stays pinned for the session).
+    from .session import truncate_lineage
+
+    out = truncate_lineage(out)
+    tp.unpersist()
     return out
 
 

@@ -357,6 +357,12 @@ def normalize_url(url_col: str = "url"):
 
     The canonical key for crawl-frontier dedup — syntactic variants of one
     page collapse BEFORE any content fetch/hash is spent on them.
+
+    This is the LOSSY dedup-key twin: www-strip, tracking-param drop, and
+    trailing-slash strip deliberately merge URLs the server may treat as
+    distinct.  For the semantics-preserving RFC 3986 §6 rewrite (dot
+    segments resolved, nothing dropped but the fragment) use
+    :func:`url_normalize`.
     """
     scheme = F.lower(F.parse_url(url_col, F.lit("PROTOCOL")))
     host = F.regexp_replace(
@@ -896,6 +902,11 @@ def url_normalize(frontier: DataFrame) -> DataFrame:
     decode/re-encode pass) and empty path segments (``//``) pass through
     the dot rules unchanged — both are flagged, not silently mangled, by
     ``changed`` being false for already-canonical URLs.
+
+    This is the SEMANTICS-PRESERVING twin of :func:`normalize_url` (the
+    lossy crawl-dedup key, which additionally strips ``www.``, tracking
+    params, and trailing slashes): every rewrite here identifies the same
+    resource per RFC 3986 §6.2.2.
     """
     u = F.col("url")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
@@ -922,7 +933,10 @@ def url_normalize(frontier: DataFrame) -> DataFrame:
         p = F.regexp_replace(p, r"^/\.\.(?=/)", "")
         p = F.regexp_replace(p, r"^/\.\.$", "/")
     p = F.when(p == "", F.lit("/")).otherwise(p)
-    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query = text between the FIRST '?' and '#', and only when that '?'
+    # precedes any '#' — a '?' inside the fragment is fragment content,
+    # not a query (review catch: '/a#sec?x=1' has no query).
+    qraw = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     qn = F.array_join(
         F.array_sort(F.filter(F.split(qraw, "&"), lambda x: x != "")), "&"
     )

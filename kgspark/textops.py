@@ -18,6 +18,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -2139,9 +2141,9 @@ def boilerplate_strip(pages: DataFrame, text_col: str = "text") -> DataFrame:
     combined.  At 100 TB the line key would be sha-collapsed; same shape.
     """
     host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    base = pages.select("url", host.alias("host"))
     exploded = (
-        pages.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
+        pages.select(
             "url",
             host.alias("host"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -2168,13 +2170,27 @@ def boilerplate_strip(pages: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_sort(F.collect_list(F.struct("pos", "is_boiler", "line"))),
         lambda s: ~s.is_boiler,
     )
-    return marked.groupBy("url", "host").agg(
+    agg = marked.groupBy("url", "host").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("is_boiler").cast("long")).cast("long").alias(
             "n_boiler_lines"
         ),
         F.sha2(
             F.array_join(F.transform(kept, lambda s: s.line), "\n"), 256
+        ).alias("cleaned_sha256"),
+    )
+    # one row per INPUT page, including pages with no nonempty lines
+    # (whitespace-only text strips to the empty rewrite, not to absence —
+    # review catch: the aggregate alone would drop them).
+    return base.join(agg, ["url", "host"], "left").select(
+        "url",
+        "host",
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_boiler_lines", F.lit(0))
+        .cast("long")
+        .alias("n_boiler_lines"),
+        F.coalesce(
+            "cleaned_sha256", F.lit(hashlib.sha256(b"").hexdigest())
         ).alias("cleaned_sha256"),
     )
 

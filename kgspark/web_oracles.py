@@ -878,15 +878,16 @@ def build() -> dict[str, str]:
     bp_pages = datagen.host_pages_rows()
     bp_host_pages: dict[str, set] = {}
     bp_line_pages: dict[tuple, set] = {}
+    # line trim is ASCII-SPACE only (the engines' trim(); tabs are content)
     for url, text in bp_pages:
         host = (urlsplit(url).hostname or "").lower()
         bp_host_pages.setdefault(host, set()).add(url)
-        for ln in {l.strip() for l in text.split("\n") if l.strip()}:
+        for ln in {l.strip(" ") for l in text.split("\n") if l.strip(" ")}:
             bp_line_pages.setdefault((host, ln), set()).add(url)
     bp_rows = []
     for url, text in bp_pages:
         host = (urlsplit(url).hostname or "").lower()
-        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        lines = [l.strip(" ") for l in text.split("\n") if l.strip(" ")]
         hp = len(bp_host_pages[host])
 
         def _is_boiler(ln: str, _host=host, _hp=hp) -> bool:

@@ -1152,6 +1152,15 @@ def test_boilerplate_strip_boundaries(spark):
     r = out["https://c.test/p2"]
     assert r["n_lines"] == 1 and r["n_boiler_lines"] == 1
     assert r["cleaned_sha256"] == hashlib.sha256(b"").hexdigest()
+    # c.test/p0: the 2-of-3 promo line sits AT the n>=2 floor -> boiler,
+    # alongside the 3-of-3 footer
+    r = out["https://c.test/p0"]
+    assert r["n_lines"] == 3 and r["n_boiler_lines"] == 2
+    assert r["cleaned_sha256"] == hashlib.sha256(b"C article 0.").hexdigest()
+    # whitespace-only page still emits a row: the empty rewrite, not absence
+    r = out["https://e.test/p0"]
+    assert r["n_lines"] == 0 and r["n_boiler_lines"] == 0
+    assert r["cleaned_sha256"] == hashlib.sha256(b"").hexdigest()
     # d.test: within-page repetition, single page — nothing strips
     r = out["https://d.test/p0"]
     assert r["n_boiler_lines"] == 0 and r["n_lines"] == 3

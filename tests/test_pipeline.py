@@ -223,5 +223,10 @@ def test_url_normalize_classes(spark):
     assert n["https://example.test/a?"] == "https://example.test/a"
     assert n["https://example.test/../a"] == "https://example.test/a"
     assert n["https://example.test/a%2Fb/c"] == "https://example.test/a%2Fb/c"
+    # a '?' INSIDE the fragment is fragment content, not a query
+    assert n["https://example.test/a#sec?x=1"] == "https://example.test/a"
+    assert (
+        n["https://example.test/a?q=1#frag?y=2"] == "https://example.test/a?q=1"
+    )
     assert not out["https://example.test/a/b"]["changed"]
     assert out["https://example.test:443/a"]["changed"]
