@@ -776,6 +776,15 @@ def _q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion: mined rules with confidence >= 0.5 predict head
+    facts for body pairs missing them (store anti-join), each predicted
+    fact attributed to its best rule via one max-struct fold."""
+    return ontology.rule_apply(
+        extraction.triples(_t(spark, sf_dir, "documents"))
+    )
+
+
 def _q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate cardinality mining (1:1/1:N/N:1/M:N + symmetry
     micro-ratio) over the documents-corpus triples: hash-aggregate folds
@@ -1360,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stress_centrality": _q_graph_stress_centrality,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_rule_mining": _q_kg_rule_mining,
+        "kg_rule_apply": _q_kg_rule_apply,
         # 51+ additions stay AFTER the driver's 50-row evaluation budget so
         # the r4-green scoreboard prefix is byte-identical (policy since r3)
         "kg_entity_disambiguation": _q_kg_entity_disambiguation,

@@ -218,6 +218,42 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
 # tail; rules below RULE_MIN_SUPPORT matched head pairs are noise.
 RULE_TOP_PREDS = 20
 RULE_MIN_SUPPORT = 2
+RULE_APPLY_MIN_CONF_MICRO = 500_000
+
+
+def _pruned_triples(triples: DataFrame, top_preds: int) -> DataFrame:
+    """Distinct non-self-loop triples restricted to the ``top_preds`` most
+    frequent predicates (deterministic tiebreak: count desc, pred asc)."""
+    t = (
+        triples.select("subj", "pred", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    top = (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pred"))
+        .limit(top_preds)
+        .select("pred")
+    )
+    return t.join(F.broadcast(top), "pred")
+
+
+def _body_pairs(tp: DataFrame) -> DataFrame:
+    """Distinct (body_p, body_q, a, c): endpoints of 2-hop paths
+    a──body_p──b──body_q──c over the pruned triple set (a ≠ c)."""
+    return (
+        tp.alias("x")
+        .join(tp.alias("y"), F.col("x.obj") == F.col("y.subj"))
+        .filter(F.col("x.subj") != F.col("y.obj"))
+        .select(
+            F.col("x.pred").alias("body_p"),
+            F.col("y.pred").alias("body_q"),
+            F.col("x.subj").alias("a"),
+            F.col("y.obj").alias("c"),
+        )
+        .distinct()
+    )
 
 
 def rule_mining(
@@ -242,31 +278,8 @@ def rule_mining(
     tiny predicate list, a middle-entity-keyed self-join, two hash
     aggregates.
     """
-    t = (
-        triples.select("subj", "pred", "obj")
-        .filter(F.col("subj") != F.col("obj"))
-        .distinct()
-    )
-    top = (
-        t.groupBy("pred")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("pred"))
-        .limit(top_preds)
-        .select("pred")
-    )
-    tp = t.join(F.broadcast(top), "pred").persist()
-    body = (
-        tp.alias("x")
-        .join(tp.alias("y"), F.col("x.obj") == F.col("y.subj"))
-        .filter(F.col("x.subj") != F.col("y.obj"))
-        .select(
-            F.col("x.pred").alias("body_p"),
-            F.col("y.pred").alias("body_q"),
-            F.col("x.subj").alias("a"),
-            F.col("y.obj").alias("c"),
-        )
-        .distinct()
-    )
+    tp = _pruned_triples(triples, top_preds).persist()
+    body = _body_pairs(tp)
     body_pairs = body.groupBy("body_p", "body_q").agg(
         F.count(F.lit(1)).cast("long").alias("body_pairs")
     )
@@ -296,6 +309,91 @@ def rule_mining(
     # materialize the (small, O(top_preds³)-bounded) result so the
     # corpus-sized pruned triple cache can be released before returning
     # (review catch: tp otherwise stays pinned for the session).
+    from .session import truncate_lineage
+
+    out = truncate_lineage(out)
+    tp.unpersist()
+    return out
+
+
+def rule_apply(
+    triples: DataFrame,
+    top_preds: int = RULE_TOP_PREDS,
+    min_support: int = RULE_MIN_SUPPORT,
+    min_conf_micro: int = RULE_APPLY_MIN_CONF_MICRO,
+) -> DataFrame:
+    """KG completion by rule application — the prediction half of
+    :func:`rule_mining`: every (a, c) pair satisfying a qualifying rule's
+    body (support ≥ ``min_support``, confidence ≥ ``min_conf_micro``)
+    whose head fact a──r──c is NOT in the store becomes a predicted
+    fact, attributed to its best rule (highest confidence; ties broken
+    by greatest (body_p, body_q) — deterministic either way).
+
+    Output: (subj, pred, obj, confidence_micro, body_p, body_q), one row
+    per predicted fact.  A perfectly-confident rule (1e6) predicts
+    nothing by construction — every body pair already has the head.
+
+    Scale shape: the rules frame is O(top_preds³)-bounded and broadcast;
+    candidates are body pairs × qualifying rules, anti-joined against the
+    store on the full (subj, pred, obj) key, then one max-struct fold per
+    predicted fact.  The store-side anti-join is the only corpus-keyed
+    shuffle beyond the body join rule_mining already pays.
+    """
+    tp = _pruned_triples(triples, top_preds).persist()
+    body = _body_pairs(tp)
+    body_pairs = body.groupBy("body_p", "body_q").agg(
+        F.count(F.lit(1)).cast("long").alias("body_pairs")
+    )
+    matched = (
+        body.join(
+            tp.select(
+                F.col("subj").alias("a"),
+                F.col("pred").alias("head_r"),
+                F.col("obj").alias("c"),
+            ),
+            ["a", "c"],
+        )
+        .groupBy("body_p", "body_q", "head_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    rules = (
+        matched.join(body_pairs, ["body_p", "body_q"])
+        .select(
+            "body_p",
+            "body_q",
+            "head_r",
+            F.expr("CAST(support * 1000000 DIV body_pairs AS BIGINT)").alias(
+                "confidence_micro"
+            ),
+        )
+        .filter(F.col("confidence_micro") >= min_conf_micro)
+    )
+    cand = body.join(F.broadcast(rules), ["body_p", "body_q"])
+    missing = cand.join(
+        tp.select(
+            F.col("subj").alias("a"),
+            F.col("pred").alias("head_r"),
+            F.col("obj").alias("c"),
+        ),
+        ["a", "head_r", "c"],
+        "left_anti",
+    )
+    best = F.max(
+        F.struct("confidence_micro", "body_p", "body_q")
+    ).alias("best")
+    out = (
+        missing.groupBy("a", "head_r", "c")
+        .agg(best)
+        .select(
+            F.col("a").alias("subj"),
+            F.col("head_r").alias("pred"),
+            F.col("c").alias("obj"),
+            F.col("best.confidence_micro").alias("confidence_micro"),
+            F.col("best.body_p").alias("body_p"),
+            F.col("best.body_q").alias("body_q"),
+        )
+    )
     from .session import truncate_lineage
 
     out = truncate_lineage(out)

@@ -427,11 +427,7 @@ LEFT JOIN sym USING (pred)
     # support, integer micro confidence — restated as plain SQL joins.
     from .ontology import RULE_MIN_SUPPORT, RULE_TOP_PREDS
 
-    q["kg_rule_mining"] = f"""
-WITH {TOK},
-{_M},
-{_REL},
-tt AS (SELECT DISTINCT subj, predicate AS pred, obj FROM rel2
+    _RULE_PREFIX = f"""tt AS (SELECT DISTINCT subj, predicate AS pred, obj FROM rel2
        WHERE subj <> obj),
 topp AS (SELECT pred FROM (SELECT pred, count(*) AS n FROM tt GROUP BY pred)
          ORDER BY n DESC, pred LIMIT {RULE_TOP_PREDS}),
@@ -444,10 +440,52 @@ bp AS (SELECT body_p, body_q, CAST(count(*) AS BIGINT) AS body_pairs
 rm AS (SELECT body_p, body_q, h.pred AS head_r,
              CAST(count(*) AS BIGINT) AS support
       FROM body JOIN tp h ON h.subj = body.a AND h.obj = body.c
-      GROUP BY 1, 2, 3 HAVING count(*) >= {RULE_MIN_SUPPORT})
+      GROUP BY 1, 2, 3 HAVING count(*) >= {RULE_MIN_SUPPORT})""".strip()
+
+    q["kg_rule_mining"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+{_RULE_PREFIX}
 SELECT body_p, body_q, head_r, support, body_pairs,
        CAST(support * 1000000 // body_pairs AS BIGINT) AS confidence_micro
 FROM rm JOIN bp USING (body_p, body_q)
+""".strip()
+
+    # Rule application (kgspark.ontology.rule_apply): qualifying rules
+    # joined back onto their body pairs, store anti-join, arg-max rule per
+    # predicted fact (row_number mirrors Spark's max-struct ordering).
+    from .ontology import RULE_APPLY_MIN_CONF_MICRO
+
+    q["kg_rule_apply"] = f"""
+WITH {TOK},
+{_M},
+{_REL},
+{_RULE_PREFIX},
+rules AS (
+  SELECT body_p, body_q, head_r,
+         CAST(support * 1000000 // body_pairs AS BIGINT) AS confidence_micro
+  FROM rm JOIN bp USING (body_p, body_q)
+  WHERE support * 1000000 // body_pairs >= {RULE_APPLY_MIN_CONF_MICRO}
+),
+cand AS (
+  SELECT body.a, rules.head_r, body.c,
+         rules.confidence_micro, rules.body_p, rules.body_q
+  FROM body JOIN rules USING (body_p, body_q)
+),
+missing AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN tp h ON h.subj = cand.a AND h.pred = cand.head_r
+        AND h.obj = cand.c
+  WHERE h.subj IS NULL
+)
+SELECT subj, pred, obj, confidence_micro, body_p, body_q FROM (
+  SELECT a AS subj, head_r AS pred, c AS obj,
+         confidence_micro, body_p, body_q,
+         row_number() OVER (PARTITION BY a, head_r, c
+             ORDER BY confidence_micro DESC, body_p DESC, body_q DESC)
+         AS rn
+  FROM missing) WHERE rn = 1
 """.strip()
 
     # TextRank keyphrases (kgspark.textops.keyphrases): word-adjacency pair

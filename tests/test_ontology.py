@@ -377,3 +377,28 @@ def test_rule_mining_support_and_confidence(spark):
     assert r["confidence_micro"] == 2 * 1_000_000 // 3
     # nothing else reaches the support floor
     assert all(k == key for k in rules)
+
+
+def test_rule_apply_predicts_missing_heads(spark):
+    """The mined marriedTo∧livesIn⇒livesIn rule (confidence 2/3 >= 0.5)
+    predicts exactly the one missing head fact, attributed to it."""
+    from kgspark import ontology
+
+    rows = [
+        ("a1", "marriedTo", "b1"), ("b1", "livesIn", "rome"),
+        ("a2", "marriedTo", "b2"), ("b2", "livesIn", "oslo"),
+        ("a3", "marriedTo", "b3"), ("b3", "livesIn", "lima"),
+        ("a1", "livesIn", "rome"), ("a2", "livesIn", "oslo"),
+        ("a1", "marriedTo", "b9"), ("b9", "livesIn", "rome"),
+    ]
+    t = spark.createDataFrame(
+        [(s, p, o, "d") for s, p, o in rows], ["subj", "pred", "obj", "doc_id"]
+    )
+    out = ontology.rule_apply(t, top_preds=5, min_support=2).collect()
+    preds = {(r["subj"], r["pred"], r["obj"]): r for r in out}
+    assert ("a3", "livesIn", "lima") in preds
+    r = preds[("a3", "livesIn", "lima")]
+    assert r["confidence_micro"] == 2 * 1_000_000 // 3
+    assert (r["body_p"], r["body_q"]) == ("marriedTo", "livesIn")
+    # existing facts are never re-predicted
+    assert ("a1", "livesIn", "rome") not in preds
